@@ -1,0 +1,83 @@
+"""File-level NIfTI plumbing utilities.
+
+Reference semantics: ``common/image_utils.py:252-339`` (``split_sequence``,
+``make_sequence``, ``split_volume``, ``image_apply_mask``, ``padding``,
+``auto_crop_image``).  These operate on small files between pipeline stages;
+they stay host-side, using this framework's pure-numpy NIfTI I/O.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.ops.crop import foreground_bbox
+
+
+def split_sequence(image_name, output_name):
+    """Split a 4D sequence into per-frame 3D volumes ``<output_name><t:02d>.nii.gz``."""
+    nim = nifti.load(image_name)
+    T = nim.header["dim"][4]
+    image = np.asanyarray(nim.dataobj)
+    for t in range(T):
+        nifti.save(nifti.Nifti1Image(image[:, :, :, t], nim.affine), f"{output_name}{t:02d}.nii.gz")
+
+
+def make_sequence(image_names, dt, output_name):
+    """Stack per-frame volumes into a 4D sequence with temporal spacing dt."""
+    nim = nifti.load(image_names[0])
+    X, Y, Z = (int(v) for v in nim.header["dim"][1:4])
+    T = len(image_names)
+    image = np.zeros((X, Y, Z, T))
+    for t in range(T):
+        image[:, :, :, t] = np.asanyarray(nifti.load(image_names[t]).dataobj)
+    out = nifti.Nifti1Image(image, nim.affine)
+    out.header["pixdim"][4] = dt
+    nifti.save(out, output_name)
+
+
+def split_volume(image_name, output_name):
+    """Split a 3D volume into per-slice files with z-shifted affines
+    (``image_utils.py:281-294``)."""
+    nim = nifti.load(image_name)
+    Z = nim.header["dim"][3]
+    image = np.asanyarray(nim.dataobj)
+    for z in range(Z):
+        image_slice = np.expand_dims(image[:, :, z], axis=2)
+        affine2 = np.copy(nim.affine)
+        affine2[:3, 3] += z * affine2[:3, 2]
+        nifti.save(nifti.Nifti1Image(image_slice, affine2), f"{output_name}{z:02d}.nii.gz")
+
+
+def image_apply_mask(input_name, output_name, mask_image, pad_value=-1):
+    """Set voxels where mask == 0 to pad_value (``image_utils.py:297-303``)."""
+    nim = nifti.load(input_name)
+    image = np.array(nim.dataobj)
+    image[np.asarray(mask_image) == 0] = pad_value
+    nifti.save(nifti.Nifti1Image(image, nim.affine), output_name)
+
+
+def padding(input_A_name, input_B_name, output_name, value_in_B, value_output):
+    """Relabel: where B == value_in_B, set A := value_output (``image_utils.py:306-312``)."""
+    nim = nifti.load(input_A_name)
+    image_A = np.array(nim.dataobj)
+    image_B = np.asanyarray(nifti.load(input_B_name).dataobj)
+    image_A[image_B == value_in_B] = value_output
+    nifti.save(nifti.Nifti1Image(image_A, nim.affine), output_name)
+
+
+def auto_crop_image(input_name, output_name, reserve, verbose=False):
+    """Crop to the foreground bounding box + margin, updating the affine
+    (``image_utils.py:315-339``)."""
+    nim = nifti.load(input_name)
+    image = np.asanyarray(nim.dataobj)
+    x1, x2, y1, y2, z1, z2 = foreground_bbox(image, reserve)
+    if verbose:
+        print("Bounding box")
+        print(f"  bottom-left corner = ({x1},{y1},{z1})")
+        print(f"  top-right corner = ({x2},{y2},{z2})")
+    image = image[x1:x2, y1:y2, z1:z2]
+    affine = np.copy(nim.affine)
+    affine[:3, 3] = np.dot(affine, np.array([x1, y1, z1, 1]))[:3]
+    nifti.save(nifti.Nifti1Image(image, affine), output_name)
+    return (x1, x2, y1, y2, z1, z2)
