@@ -1,0 +1,60 @@
+"""Benchmark: short-axis full-sequence segmentation on one TPU chip.
+
+The reference's headline number (README.md:49): ~10 s to segment a
+192 x 208 x 10 x 50 SAX cine on an Nvidia K80 — a per-frame feed_dict loop
+(``deploy_network.py:103-116``).  Here the same cine runs as batched jit
+calls over all 500 slices.  Prints ONE JSON line:
+  {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_SECONDS = 10.0  # reference README.md:49, K80
+X, Y, Z, T = 192, 208, 10, 50
+REPEATS = 5
+
+
+def main():
+    import jax
+
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.ops import rescale_intensity
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=5,
+                            n_filter=(16, 32, 64, 128, 256),
+                            n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    model = SegmentationModel.from_fcn(params, state, names, cfg)
+    engine = InferenceEngine(model, chunk=50)
+
+    rng = np.random.RandomState(0)
+    cine = (rng.rand(X, Y, Z, T) * 1000).astype(np.float32)
+
+    # Warm-up: compile + first run (excluded, like the reference's session
+    # startup is excluded from its per-sequence number).
+    engine.segment_sequence(rescale_intensity(cine, (1.0, 99.0)))
+
+    times = []
+    for _ in range(REPEATS):
+        t0 = time.time()
+        image = rescale_intensity(cine, (1.0, 99.0))
+        seg = engine.segment_sequence(image)
+        times.append(time.time() - t0)
+    assert seg.shape == (X, Y, Z, T)
+
+    value = float(np.median(times))
+    print(json.dumps({
+        "metric": "sa_cine_segmentation_192x208x10x50",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_SECONDS / value, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,144 @@
+"""Tests for the batched inference engine and deploy twins."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.infer import (
+    InferenceEngine,
+    SegmentationModel,
+    deploy_dataset,
+    deploy_dataset_ao,
+    es_frame,
+    pad_to_factor,
+    window_weights,
+)
+from ukbb_cardiac_tpu.models import fcn as fcn_mod
+from ukbb_cardiac_tpu.models import unet as unet_mod
+from ukbb_cardiac_tpu.models import convlstm
+
+import jax
+
+from phantom import sax_phantom, write_subject
+
+
+TINY = fcn_mod.FCNConfig(n_class=4, n_level=5, n_filter=(4, 8, 8, 8, 8),
+                         n_block=(1, 1, 1, 1, 1), same_dim=4, fc=8)
+
+
+@pytest.fixture(scope="module")
+def tiny_fcn():
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), TINY)
+    return params, state, names
+
+
+def test_pad_to_factor_matches_reference_arithmetic():
+    # deploy_network.py:97-100 semantics
+    (xp, xq), (yp, yq) = pad_to_factor(90, 100, 16)
+    assert (90 + xp + xq) % 16 == 0 and (100 + yp + yq) % 16 == 0
+    assert xp == (96 - 90) // 2 and yp == (112 - 100) // 2
+    # already-multiple is a no-op
+    assert pad_to_factor(96, 112, 16) == ((0, 0), (0, 0))
+
+
+def test_engine_batches_match_slicewise(tiny_fcn):
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=8)
+    rng = np.random.RandomState(0)
+    slices = rng.rand(13, 40, 44).astype(np.float32)  # crosses chunk boundary
+    pred = engine.run_slices(slices)
+    assert pred.shape == (13, 40, 44)
+    # batched result equals per-slice result (BN eval mode is batch-invariant)
+    pred_one = engine.run_slices(slices[3:4])
+    np.testing.assert_array_equal(pred[3], pred_one[0])
+
+
+def test_engine_sequence_roundtrip(tiny_fcn):
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=16)
+    image = np.random.RandomState(1).rand(48, 52, 3, 4).astype(np.float32)
+    seg = engine.segment_sequence(image)
+    assert seg.shape == image.shape
+    # frame t / slice z of the 4D path equals the 3D path on that volume
+    vol = engine.segment_volume(image[:, :, :, 2])
+    np.testing.assert_array_equal(seg[:, :, :, 2], vol)
+
+
+def test_es_frame_rules():
+    pred = np.zeros((4, 4, 1, 5))
+    counts = [10, 8, 2, 5, 9]  # label-1 voxels per frame
+    for t, c in enumerate(counts):
+        pred[:, :, :, t].flat[:c] = 1
+    assert es_frame(pred, "sa", False) == 2       # argmin for SA (LV)
+    assert es_frame(pred, "la_4ch", True) == 2    # argmin for seg4
+    assert es_frame(pred, "la_2ch", False) == 0   # argmax for LA views
+    assert es_frame(pred, "la_4ch", False) == 0
+
+
+def test_deploy_dataset_end_to_end(tmp_path, tiny_fcn):
+    params, state, names = tiny_fcn
+    bundle = str(tmp_path / "fcn_sa.npz")
+    store.save_model(bundle, "fcn", TINY, names, params, state)
+
+    data_dir = tmp_path / "data"
+    write_subject(str(data_dir / "1000000"), seqs=("sa",), X=64, Y=72, Z=2, T=3)
+    deploy_dataset(bundle, str(data_dir), seq_name="sa", chunk=8)
+
+    subj = data_dir / "1000000"
+    for f in ("seg_sa.nii.gz", "sa_ED.nii.gz", "sa_ES.nii.gz",
+              "seg_sa_ED.nii.gz", "seg_sa_ES.nii.gz"):
+        assert (subj / f).exists(), f
+    from ukbb_cardiac_tpu.io import nifti
+    seg = nifti.load(str(subj / "seg_sa.nii.gz"))
+    assert seg.dataobj.shape == (64, 72, 2, 3)
+    assert set(np.unique(seg.dataobj)) <= {0.0, 1.0, 2.0, 3.0}
+    # idempotent resume: second run skips (no exception, file untouched)
+    mtime = os.path.getmtime(subj / "seg_sa.nii.gz")
+    deploy_dataset(bundle, str(data_dir), seq_name="sa", chunk=8)
+    assert os.path.getmtime(subj / "seg_sa.nii.gz") == mtime
+
+
+def test_window_weights_triangular():
+    w = window_weights(5, 1.0)
+    assert len(w) == 9
+    assert w[4] == 1.0 and w[0] == pytest.approx(0.2) and np.all(np.diff(w[:5]) > 0)
+    # r=0 → flat window (reference default weight_r flag)
+    np.testing.assert_allclose(window_weights(5, 0.0), np.ones(9))
+
+
+TINY_AO = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(4, 8, 8), n_block=(1, 1, 1))
+
+
+def _tiny_unet_lstm_bundle(path):
+    key = jax.random.PRNGKey(0)
+    params, state, names = unet_mod.init_unet(key, TINY_AO)
+    lstm = convlstm.init_biconv_lstm(jax.random.PRNGKey(1), TINY_AO.n_filter[0], 8,
+                                     TINY_AO.n_class)
+    params.update(lstm)
+    store.save_model(path, "unet_lstm", TINY_AO, names, params, state,
+                     extra_meta={"bidirectional": True})
+
+
+def test_deploy_ao_full_scan_vs_compat(tmp_path):
+    bundle = str(tmp_path / "unet_lstm_ao.npz")
+    _tiny_unet_lstm_bundle(bundle)
+    data_dir = tmp_path / "data"
+    write_subject(str(data_dir / "2000000"), seqs=("ao",), X=60, Y=64, T=6)
+
+    deploy_dataset_ao(bundle, str(data_dir), window="full", weight_R=2)
+    from ukbb_cardiac_tpu.io import nifti
+    seg = nifti.load(str(data_dir / "2000000" / "seg_ao.nii.gz"))
+    assert seg.dataobj.shape == (60, 64, 1, 6)
+    assert set(np.unique(seg.dataobj)) <= {0.0, 1.0, 2.0}
+
+    # compat (windowed) mode also runs and produces the same shape
+    os.remove(data_dir / "2000000" / "seg_ao.nii.gz")
+    deploy_dataset_ao(bundle, str(data_dir), window="compat", weight_R=2)
+    seg2 = nifti.load(str(data_dir / "2000000" / "seg_ao.nii.gz"))
+    assert seg2.dataobj.shape == (60, 64, 1, 6)

@@ -1,0 +1,129 @@
+"""Registration-core tests: B-spline synthesis, losses, pair registration."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from ukbb_cardiac_tpu.reg import (
+    RegConfig,
+    average_fields,
+    bending_energy,
+    bspline_dense_field,
+    bspline_point_disp,
+    compose_fields,
+    cubic_bspline,
+    lattice_shape,
+    make_register_pair,
+    nmi,
+    ssd,
+    total_field,
+    transform_points,
+    warp_image,
+)
+
+
+def test_cubic_bspline_partition_of_unity():
+    # sum of B(t - k) over integer shifts == 1 everywhere
+    t = np.linspace(0, 1, 11)
+    total = sum(np.asarray(cubic_bspline(t - k)) for k in range(-2, 3))
+    np.testing.assert_allclose(total, 1.0, atol=1e-6)
+
+
+def test_dense_field_matches_direct_evaluation():
+    rng = np.random.RandomState(0)
+    X, Y, s = 23, 31, 5
+    Cx, Cy = lattice_shape((X, Y), s)
+    control = jnp.asarray(rng.randn(Cx, Cy, 2).astype(np.float32))
+    field = np.asarray(bspline_dense_field(control, (X, Y), s))
+
+    # direct evaluation: u(x) = sum_i B((x-(i-1)s)/s) c_i
+    c = np.asarray(control)
+    for (x, y) in [(0, 0), (7, 3), (22, 30), (11, 17)]:
+        ref = np.zeros(2)
+        for i in range(Cx):
+            for j in range(Cy):
+                w = (np.asarray(cubic_bspline(jnp.asarray((x - (i - 1) * s) / s))) *
+                     np.asarray(cubic_bspline(jnp.asarray((y - (j - 1) * s) / s))))
+                ref += w * c[i, j]
+        np.testing.assert_allclose(field[x, y], ref, atol=1e-4)
+
+
+def test_point_disp_matches_dense_field():
+    rng = np.random.RandomState(1)
+    X, Y, s = 32, 32, 8
+    Cx, Cy = lattice_shape((X, Y), s)
+    control = jnp.asarray(rng.randn(Cx, Cy, 2).astype(np.float32))
+    field = np.asarray(bspline_dense_field(control, (X, Y), s))
+    pts = jnp.asarray([[0.0, 0.0], [5.0, 9.0], [31.0, 31.0], [16.0, 4.0]])
+    disp = np.asarray(bspline_point_disp(control, pts, s))
+    for k, (x, y) in enumerate(np.asarray(pts).astype(int)):
+        np.testing.assert_allclose(disp[k], field[x, y], atol=1e-4)
+
+
+def test_bending_energy_zero_for_affine():
+    X, Y = 24, 24
+    gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+    affine_disp = jnp.asarray(
+        np.stack([0.1 * gx + 0.2 * gy, -0.05 * gx], axis=-1), dtype=jnp.float32)
+    assert float(bending_energy(affine_disp)) < 1e-10
+    rnd = jnp.asarray(np.random.RandomState(0).randn(X, Y, 2), dtype=jnp.float32)
+    assert float(bending_energy(rnd)) > 1e-2
+
+
+def test_nmi_higher_for_identical():
+    rng = np.random.RandomState(0)
+    a = jnp.asarray(rng.rand(32, 32).astype(np.float32))
+    b = jnp.asarray(rng.rand(32, 32).astype(np.float32))
+    assert float(nmi(a, a)) > float(nmi(a, b))
+
+
+def test_compose_and_average_fields():
+    X, Y = 16, 16
+    d1 = jnp.full((X, Y, 2), 1.0)
+    d2 = jnp.full((X, Y, 2), 2.0)
+    comp = compose_fields(d1, d2)
+    # constant fields compose additively (away from boundary clamping)
+    np.testing.assert_allclose(np.asarray(comp)[4:-4, 4:-4], 3.0, atol=1e-5)
+    avg = average_fields(jnp.stack([d1, d2]), jnp.asarray([0.25, 0.75]))
+    np.testing.assert_allclose(np.asarray(avg), 1.75, atol=1e-6)
+
+
+def _gaussian_blob(X, Y, cx, cy, r):
+    gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+    return np.exp(-((gx - cx) ** 2 + (gy - cy) ** 2) / (2 * r * r)).astype(np.float32)
+
+
+def test_register_recovers_translation():
+    X = Y = 48
+    target = _gaussian_blob(X, Y, 24, 24, 6)
+    source = _gaussian_blob(X, Y, 27, 22, 6)  # shifted by (+3, -2)
+
+    cfg = RegConfig(spacing=8, levels=2, iters=60, lr=0.5, be_weight=1e-2)
+    register = jax.jit(make_register_pair((X, Y), cfg))
+    controls = register(jnp.asarray(target), jnp.asarray(source))
+
+    disp = total_field(controls, (X, Y), cfg)
+    warped = np.asarray(warp_image(jnp.asarray(source), disp))
+    err_before = np.mean((source - target) ** 2)
+    err_after = np.mean((warped - target) ** 2)
+    assert err_after < 0.2 * err_before, (err_before, err_after)
+
+    # displacement at the blob centre approximates the true shift (+3, -2)
+    centre_disp = np.asarray(disp)[24, 24]
+    assert abs(centre_disp[0] - 3) < 1.2 and abs(centre_disp[1] + 2) < 1.2, centre_disp
+
+
+def test_transform_points_consistent_with_field():
+    X = Y = 48
+    target = _gaussian_blob(X, Y, 24, 24, 6)
+    source = _gaussian_blob(X, Y, 27, 22, 6)
+    cfg = RegConfig(spacing=8, levels=2, iters=40, lr=0.5, be_weight=1e-2)
+    controls = jax.jit(make_register_pair((X, Y), cfg))(
+        jnp.asarray(target), jnp.asarray(source))
+    pts = jnp.asarray([[24.0, 24.0], [20.0, 28.0]])
+    moved = np.asarray(transform_points(controls, pts, cfg))
+    disp = np.asarray(total_field(controls, (X, Y), cfg))
+    for k, (x, y) in enumerate(np.asarray(pts).astype(int)):
+        np.testing.assert_allclose(moved[k], [x, y] + disp[x, y], atol=1e-3)

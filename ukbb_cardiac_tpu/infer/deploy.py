@@ -1,0 +1,165 @@
+"""SA/LA segmentation deployment — file-level twin of
+``common/deploy_network.py`` with a batched TPU execution core.
+
+Behavioural parity points (reference file:line):
+- idempotent skip when ``seg_<seq>.nii.gz`` exists (:62-67)
+- intensity rescale to [0,1] at percentiles (1, 99) (:89)
+- centred pad to multiple of 16 (:94-100)
+- ED = frame 0; ES = argmin(label-1 count) for sa / seg4 la_4ch,
+  argmax for la views (:123-131)
+- output naming incl. the ``seg4_`` prefix (:134-151) and the
+  ED/ES-only mode (:152-216)
+
+The hot loop is replaced: instead of T per-frame ``sess.run`` calls the
+whole (Z*T)-slice batch runs through ``InferenceEngine.segment_sequence``.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from typing import Optional
+
+import numpy as np
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.ops import rescale_intensity
+
+
+def load_segmentation_model(model_path: str, compute_dtype=None) -> SegmentationModel:
+    """Load a model bundle (.npz) into a deployable SegmentationModel."""
+    import jax.numpy as jnp
+
+    dtype = compute_dtype or jnp.float32
+    kind, cfg, names, params, state, _ = store.load_model(model_path)
+    if kind in ("fcn", "resnet"):
+        return SegmentationModel.from_fcn(params, state, names, cfg, dtype)
+    if kind == "unet":
+        return SegmentationModel.from_unet(params, state, names, cfg, dtype)
+    raise ValueError(f"model kind {kind!r} is not a slice-segmentation model")
+
+
+def seg_prefix(seq_name: str, seg4: bool) -> str:
+    return "seg4" if (seq_name == "la_4ch" and seg4) else "seg"
+
+
+def es_frame(pred: np.ndarray, seq_name: str, seg4: bool) -> int:
+    """ES frame rule (``deploy_network.py:125-131``): label-1 voxel count
+    argmin for sa / seg4 (LV), argmax for la views (LA)."""
+    counts = np.sum(pred == 1, axis=(0, 1, 2))
+    if seq_name == "sa" or (seq_name == "la_4ch" and seg4):
+        return int(np.argmin(counts))
+    return int(np.argmax(counts))
+
+
+def deploy_subject_sequence(engine: InferenceEngine, data_dir: str, seq_name: str,
+                            seg4: bool = False, save_seg: bool = True) -> Optional[float]:
+    """Segment one subject's full cine. Returns segmentation seconds, or
+    None if skipped."""
+    prefix = seg_prefix(seq_name, seg4)
+    seg_name = os.path.join(data_dir, f"{prefix}_{seq_name}.nii.gz")
+    if os.path.exists(seg_name):
+        return None
+    image_name = os.path.join(data_dir, f"{seq_name}.nii.gz")
+    if not os.path.exists(image_name):
+        print(f"  Directory {data_dir} does not contain an image with "
+              f"file name {os.path.basename(image_name)}. Skip.")
+        return None
+
+    print(f"  Reading {image_name} ...")
+    nim = nifti.load(image_name)
+    orig_image = np.asarray(nim.dataobj)
+    if orig_image.ndim == 3:
+        orig_image = orig_image[..., None]
+
+    print("  Segmenting full sequence ...")
+    start = time.time()
+    image = rescale_intensity(orig_image.astype(np.float32), (1.0, 99.0))
+    pred = engine.segment_sequence(image).astype(np.float64)
+    seg_time = time.time() - start
+    print(f"  Segmentation time = {seg_time:3f}s")
+
+    k = {"ED": 0, "ES": es_frame(pred, seq_name, seg4)}
+    print("  ED frame = {0:d}, ES frame = {1:d}".format(k["ED"], k["ES"]))
+
+    if save_seg:
+        print("  Saving segmentation ...")
+        nim2 = nifti.Nifti1Image(pred, nim.affine)
+        nim2.header["pixdim"] = nim.header["pixdim"]
+        nifti.save(nim2, seg_name)
+        for fr in ("ED", "ES"):
+            nifti.save(nifti.Nifti1Image(orig_image[:, :, :, k[fr]], nim.affine),
+                       os.path.join(data_dir, f"{seq_name}_{fr}.nii.gz"))
+            nifti.save(nifti.Nifti1Image(pred[:, :, :, k[fr]], nim.affine),
+                       os.path.join(data_dir, f"{prefix}_{seq_name}_{fr}.nii.gz"))
+    return seg_time
+
+
+def deploy_subject_ed_es(engine: InferenceEngine, data_dir: str, seq_name: str,
+                         seg4: bool = False, save_seg: bool = True):
+    """ED/ES-only mode (``deploy_network.py:152-216``). Returns list of
+    per-frame segmentation times."""
+    prefix = seg_prefix(seq_name, seg4)
+    names = {fr: os.path.join(data_dir, f"{seq_name}_{fr}.nii.gz") for fr in ("ED", "ES")}
+    if not all(os.path.exists(p) for p in names.values()):
+        print(f"  Directory {data_dir} does not contain an image with file "
+              f"name {os.path.basename(names['ED'])} or "
+              f"{os.path.basename(names['ES'])}. Skip.")
+        return []
+    times = []
+    for fr in ("ED", "ES"):
+        nim = nifti.load(names[fr])
+        image = np.asarray(nim.dataobj)
+        if image.ndim == 2:
+            image = image[..., None]
+        print(f"  Segmenting {fr} frame ...")
+        start = time.time()
+        image = rescale_intensity(image.astype(np.float32), (1.0, 99.0))
+        pred = engine.segment_volume(image).astype(np.float64)
+        times.append(time.time() - start)
+        print(f"  Segmentation time = {times[-1]:3f}s")
+        if save_seg:
+            nim2 = nifti.Nifti1Image(pred, nim.affine)
+            nim2.header["pixdim"] = nim.header["pixdim"]
+            nifti.save(nim2, os.path.join(data_dir, f"{prefix}_{seq_name}_{fr}.nii.gz"))
+    return times
+
+
+def deploy_dataset(model_path: str, data_dir: str, seq_name: str = "sa",
+                   process_seq: bool = True, save_seg: bool = True,
+                   seg4: bool = False, chunk: int = 64,
+                   compute_dtype=None) -> None:
+    """Walk subject subdirectories and segment each — the reference CLI's
+    main loop (``deploy_network.py:43-225``)."""
+    model = load_segmentation_model(model_path, compute_dtype)
+    engine = InferenceEngine(model, chunk=chunk)
+
+    print("Start deployment on the data set ...")
+    start_time = time.time()
+    table_time, processed = [], []
+    for data in sorted(os.listdir(data_dir)):
+        subject_dir = os.path.join(data_dir, data)
+        if not os.path.isdir(subject_dir):
+            continue
+        print(data)
+        if process_seq:
+            t = deploy_subject_sequence(engine, subject_dir, seq_name, seg4, save_seg)
+            if t is not None:
+                table_time.append(t)
+                processed.append(data)
+        else:
+            ts = deploy_subject_ed_es(engine, subject_dir, seq_name, seg4, save_seg)
+            if ts:
+                table_time.extend(ts)
+                processed.append(data)
+
+    if table_time:
+        unit = "sequence" if process_seq else "frame"
+        print("Average segmentation time = {0:.3f}s per {1}".format(
+            np.mean(table_time), unit))
+        total = time.time() - start_time
+        print("Including image I/O, it took {0:.3f}s for processing {1:d} "
+              "subjects ({2:.3f}s per subjects).".format(
+                  total, len(processed), total / max(len(processed), 1)))

@@ -1,0 +1,235 @@
+"""Aortic cine segmentation deployment — twin of
+``common/deploy_network_ao.py`` with a TPU-native full-sequence mode.
+
+Reference behaviour (file:line):
+- z-score normalisation by default, else percentile rescale (:92-96)
+- pad to a fixed 256 x 256 grid (:104-108)
+- 'UNet' mode: per-frame 2D segmentation (:111-128)
+- 'UNet-LSTM' / 'Temporal-UNet' mode: sliding **circular** window of
+  ``2*weight_R - 1`` frames, stride ``time_step``, accumulating
+  triangular-weighted probabilities then normalising (:129-183)
+- ``pred = argmax(prob)``, saved as ``seg_ao.nii.gz`` (:189-196)
+
+TPU-native modes:
+- ``window='full'`` (default): the ConvLSTM is a ``lax.scan`` so the whole
+  T-frame cine runs as ONE device program — no window approximation, no
+  T x window/stride recompute factor.  (The reference *must* window
+  because its LSTM graph is unrolled at fixed length, see its comment at
+  :166-169.)
+- ``window='compat'``: reproduces the sliding-window blending exactly for
+  parity testing against the released ``UNet-LSTM_ao`` checkpoint.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.models import convlstm, unet as unet_mod
+from ukbb_cardiac_tpu.ops import normalise_intensity, rescale_intensity
+
+AO_SIZE = 256  # fixed aortic grid (deploy_network_ao.py:105)
+
+
+def window_weights(weight_R: int, weight_r: float) -> np.ndarray:
+    """Triangular window weights w_t = (1 - d/R)^r over a 2R-1 window
+    (``deploy_network_ao.py:132-144``)."""
+    time_window = weight_R * 2 - 1
+    rad = (time_window - 1) // 2
+    w = []
+    for t in range(time_window):
+        d = abs(t - rad)
+        w.append(pow(1.0 - float(d) / weight_R, weight_r) if d <= weight_R else 0.0)
+    return np.asarray(w, dtype=np.float32)
+
+
+class AorticEngine:
+    """Jit executor for aortic models (UNet / UNet-LSTM / Temporal-UNet)."""
+
+    def __init__(self, kind: str, cfg, names, params, state,
+                 bidirectional: bool = True, compute_dtype=jnp.float32):
+        self.kind = kind
+        self.cfg = cfg
+        self.names = names
+        self.bidirectional = bidirectional
+        self.compute_dtype = compute_dtype
+        self._params = jax.device_put(params)
+        self._state = jax.device_put(state)
+        self._compiled = {}
+
+    # -- jitted programs ---------------------------------------------------
+    def _lstm_full(self, shape):
+        key = ("lstm_full", shape)
+        if key not in self._compiled:
+            cfg, names, dtype, bidir = self.cfg, self.names, self.compute_dtype, self.bidirectional
+
+            @jax.jit
+            def run(params, state, images):
+                # images: (N, T, X, Y, 1) — N = Z slices, full cine scan.
+                N, T, X, Y, C = images.shape
+                flat = images.reshape(N * T, X, Y, C).astype(dtype)
+                _, feats, _ = unet_mod.apply_unet(params, state, names, cfg, flat,
+                                                  train=False, compute_dtype=dtype)
+                feats = feats.reshape(N, T, X, Y, -1)
+                if bidir:
+                    logits = convlstm.apply_biconv_lstm(params, feats)
+                else:
+                    logits = convlstm.apply_conv_lstm(params, feats)
+                return jax.nn.softmax(logits, axis=-1)
+
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    def _temporal_unet(self, shape):
+        key = ("tunet", shape)
+        if key not in self._compiled:
+            cfg, names, dtype = self.cfg, self.names, self.compute_dtype
+
+            @jax.jit
+            def run(params, state, images):
+                logits, _, _ = unet_mod.apply_temporal_unet(
+                    params, state, names, cfg, images, train=False, compute_dtype=dtype)
+                return jax.nn.softmax(logits, axis=-1)
+
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    # -- public ------------------------------------------------------------
+    def prob_sequence(self, image: np.ndarray, window: str = "full",
+                      weight_R: int = 5, weight_r: float = 0.0,
+                      time_step: int = 1) -> np.ndarray:
+        """Probability maps for a padded cine (X, Y, Z, T) → (X, Y, Z, T, C).
+
+        ``window='full'``: one scan over all T frames (UNet-LSTM) or one 3D
+        pass (Temporal-UNet).  ``window='compat'``: the reference's sliding
+        circular window with triangular blending.
+        """
+        X, Y, Z, T = image.shape
+        if self.kind == "unet":
+            if not hasattr(self, "_unet_engine"):
+                self._unet_engine = InferenceEngine(SegmentationModel.from_unet(
+                    self._params, self._state, self.names, self.cfg,
+                    self.compute_dtype))
+            _, prob = self._unet_engine.segment_sequence(
+                image.astype(np.float32), want_prob=True)
+            return prob
+
+        # (X, Y, Z, T) -> (Z, T, X, Y, 1)
+        seq = np.transpose(image, (2, 3, 0, 1)).astype(np.float32)[..., None]
+        if window == "full":
+            if self.kind == "temporal_unet":
+                prob = self._temporal_unet(seq.shape)(self._params, self._state,
+                                                      jnp.asarray(seq))
+            else:
+                prob = self._lstm_full(seq.shape)(self._params, self._state,
+                                                  jnp.asarray(seq))
+            prob = np.asarray(prob)  # (Z, T, X, Y, C)
+            return np.transpose(prob, (2, 3, 0, 1, 4))
+
+        # compat: sliding circular windows (deploy_network_ao.py:129-183)
+        time_window = weight_R * 2 - 1
+        rad = (time_window - 1) // 2
+        w = window_weights(weight_R, weight_r).reshape(1, 1, 1, time_window, 1)
+        n_class = self.cfg.n_class
+        prob = np.zeros((X, Y, Z, T, n_class), dtype=np.float32)
+        weight = np.zeros((1, 1, 1, T, 1), dtype=np.float32)
+        for t in range(0, T, time_step):
+            idx = [(i + T) % T for i in range(t - rad, t + rad + 1)]
+            win = seq[:, idx]  # (Z, tw, X, Y, 1)
+            if self.kind == "temporal_unet":
+                p = self._temporal_unet(win.shape)(self._params, self._state,
+                                                   jnp.asarray(win))
+            else:
+                p = self._lstm_full(win.shape)(self._params, self._state,
+                                               jnp.asarray(win))
+            p = np.transpose(np.asarray(p), (2, 3, 0, 1, 4))  # (X, Y, Z, tw, C)
+            prob[:, :, :, idx] += p * w
+            weight[:, :, :, idx] += w
+        return prob / weight
+
+
+def load_aortic_engine(model_path: str, compute_dtype=jnp.float32) -> AorticEngine:
+    kind, cfg, names, params, state, extra = store.load_model(model_path)
+    return AorticEngine(kind, cfg, names, params, state,
+                        bidirectional=extra.get("bidirectional", True),
+                        compute_dtype=compute_dtype)
+
+
+def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
+                      z_score: bool = True, save_seg: bool = True,
+                      window: str = "full", weight_R: int = 5,
+                      weight_r: float = 0.0, time_step: int = 1) -> Optional[float]:
+    """Segment one subject's aortic cine. Returns seconds or None if skipped."""
+    seg_name = os.path.join(data_dir, f"seg_{seq_name}.nii.gz")
+    if os.path.exists(seg_name):
+        return None
+    image_name = os.path.join(data_dir, f"{seq_name}.nii.gz")
+    if not os.path.exists(image_name):
+        print(f"  Directory {data_dir} does not contain an image with "
+              f"file name {os.path.basename(image_name)}. Skip.")
+        return None
+
+    print(f"  Reading {image_name} ...")
+    nim = nifti.load(image_name)
+    image = np.asarray(nim.dataobj).astype(np.float32)
+    X, Y, Z, T = image.shape
+
+    print("  Segmenting full sequence ...")
+    start = time.time()
+    if z_score:
+        image = normalise_intensity(image, 10.0)
+    else:
+        image = rescale_intensity(image, (1.0, 99.0))
+
+    x_pre, y_pre = (AO_SIZE - X) // 2, (AO_SIZE - Y) // 2
+    x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
+    padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post), (0, 0), (0, 0)))
+
+    prob = engine.prob_sequence(padded, window, weight_R, weight_r, time_step)
+    prob = prob[x_pre:x_pre + X, y_pre:y_pre + Y]
+    pred = np.argmax(prob, axis=-1).astype(np.int32)
+    seg_time = time.time() - start
+
+    if save_seg:
+        print("  Saving segmentation ...")
+        nim2 = nifti.Nifti1Image(pred.astype(np.float64), nim.affine)
+        nim2.header["pixdim"] = nim.header["pixdim"]
+        nifti.save(nim2, seg_name)
+    print(f"  Segmentation time = {seg_time:3f}s")
+    return seg_time
+
+
+def deploy_dataset_ao(model_path: str, data_dir: str, seq_name: str = "ao",
+                      z_score: bool = True, save_seg: bool = True,
+                      window: str = "full", weight_R: int = 5,
+                      weight_r: float = 0.0, time_step: int = 1,
+                      compute_dtype=jnp.float32) -> None:
+    """Walk subject dirs and segment each aortic cine
+    (``deploy_network_ao.py`` main loop)."""
+    engine = load_aortic_engine(model_path, compute_dtype)
+    print("Start deployment on the data set ...")
+    start_time = time.time()
+    processed = []
+    for data in sorted(os.listdir(data_dir)):
+        subject_dir = os.path.join(data_dir, data)
+        if not os.path.isdir(subject_dir):
+            continue
+        print(data)
+        t = deploy_subject_ao(engine, subject_dir, seq_name, z_score, save_seg,
+                              window, weight_R, weight_r, time_step)
+        if t is not None:
+            processed.append(data)
+    total = time.time() - start_time
+    if processed:
+        print("It took {0:.3f}s for processing {1:d} subjects "
+              "({2:.3f}s per subjects).".format(total, len(processed),
+                                                total / len(processed)))

@@ -1,0 +1,179 @@
+"""Batched segmentation inference engine.
+
+Replaces the reference's per-frame ``sess.run`` loop
+(``common/deploy_network.py:103-116``) with a single jitted forward over
+the whole (Z*T)-slice batch of a cine, chunked to bound HBM footprint.
+
+TPU-native design:
+- **Static shapes**: spatial dims pad exactly like the reference (centred,
+  to a multiple of 16, ``deploy_network.py:97-100``) so voxel outputs are
+  parity-comparable; the batch dim pads up to a fixed chunk size so every
+  chunk reuses one compiled program.
+- **One compile per (chunk, X2, Y2)**: compiled executables are cached on
+  the engine; all subjects with the same padded shape share them.
+- **Device-side argmax**: only the int8 ``pred`` ships back to host unless
+  probabilities are requested (prob is ~n_class x the bytes).
+- bfloat16 compute is available via ``compute_dtype`` (conv accumulation
+  stays f32 — see ``models/layers.py``); default f32 for checkpoint parity.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Callable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ukbb_cardiac_tpu.models import fcn as fcn_mod
+from ukbb_cardiac_tpu.models import unet as unet_mod
+
+
+@dataclass
+class SegmentationModel:
+    """A deployable slice-segmentation model: pure forward + weights.
+
+    ``forward(params, state, images)`` maps (N, X, Y, C) float images to
+    logits (N, X, Y, n_class); ``params``/``state`` are pytrees.
+    """
+
+    forward: Callable
+    params: dict
+    state: dict
+    n_class: int
+    in_ch: int = 1
+
+    @staticmethod
+    def from_fcn(params, state, names, cfg: fcn_mod.FCNConfig,
+                 compute_dtype=jnp.float32) -> "SegmentationModel":
+        def forward(p, s, images):
+            logits, _ = fcn_mod.apply_fcn(p, s, names, cfg, images, train=False,
+                                          compute_dtype=compute_dtype)
+            return logits
+        return SegmentationModel(forward, params, state, cfg.n_class, cfg.in_ch)
+
+    @staticmethod
+    def from_unet(params, state, names, cfg: unet_mod.UNetConfig,
+                  compute_dtype=jnp.float32) -> "SegmentationModel":
+        def forward(p, s, images):
+            logits, _, _ = unet_mod.apply_unet(params, state, names, cfg, images,
+                                               train=False, compute_dtype=compute_dtype)
+            return logits
+        return SegmentationModel(forward, params, state, cfg.n_class, cfg.in_ch)
+
+
+def pad_to_factor(X: int, Y: int, factor: int = 16):
+    """Centred padding amounts to make X, Y multiples of ``factor``
+    (mirrors ``deploy_network.py:97-100`` exactly)."""
+    X2 = int(math.ceil(X / float(factor))) * factor
+    Y2 = int(math.ceil(Y / float(factor))) * factor
+    x_pre, y_pre = (X2 - X) // 2, (Y2 - Y) // 2
+    return (x_pre, X2 - X - x_pre), (y_pre, Y2 - Y - y_pre)
+
+
+class InferenceEngine:
+    """Chunked, shape-bucketed jit executor for slice segmentation.
+
+    Parameters
+    ----------
+    model : SegmentationModel
+    chunk : batch chunk size (slices per device program). 64 keeps the
+        full-resolution multiscale concat (~160ch at 192x208) under ~2 GB.
+    pad_factor : spatial padding multiple (16 = FCN's 2^(n_level-1)).
+    """
+
+    def __init__(self, model: SegmentationModel, chunk: int = 64,
+                 pad_factor: int = 16):
+        self.model = model
+        self.chunk = chunk
+        self.pad_factor = pad_factor
+        self._compiled = {}
+        # Weights go to device once, not per call.
+        self._params = jax.device_put(model.params)
+        self._state = jax.device_put(model.state)
+
+    def _fn(self, shape, want_prob: bool):
+        key = (shape, want_prob)
+        if key not in self._compiled:
+            forward = self.model.forward
+
+            @partial(jax.jit)
+            def run(params, state, images):
+                logits = forward(params, state, images)
+                pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+                if want_prob:
+                    return jax.nn.softmax(logits, axis=-1), pred
+                return pred
+
+            self._compiled[key] = run
+        return self._compiled[key]
+
+    def run_slices(self, slices: np.ndarray, want_prob: bool = False):
+        """Segment a stack of 2D slices.
+
+        slices: (N, X, Y) or (N, X, Y, C) float array, already intensity-
+        normalised. X, Y need not be padded; padding/cropping is handled
+        here. Returns pred (N, X, Y) uint8, and prob (N, X, Y, n_class)
+        float32 if requested.
+        """
+        slices = np.asarray(slices, dtype=np.float32)
+        if slices.ndim == 3:
+            slices = slices[..., None]
+        N, X, Y = slices.shape[:3]
+        (x_pre, x_post), (y_pre, y_post) = pad_to_factor(X, Y, self.pad_factor)
+        padded = np.pad(slices, ((0, 0), (x_pre, x_post), (y_pre, y_post), (0, 0)))
+
+        preds = []
+        probs = []
+        for i in range(0, N, self.chunk):
+            block = padded[i:i + self.chunk]
+            n = block.shape[0]
+            if n < self.chunk:
+                block = np.pad(block, ((0, self.chunk - n), (0, 0), (0, 0), (0, 0)))
+            out = self._fn(block.shape, want_prob)(self._params, self._state,
+                                                   jnp.asarray(block))
+            if want_prob:
+                prob, pred = out
+                probs.append(np.asarray(prob[:n]))
+                preds.append(np.asarray(pred[:n]))
+            else:
+                preds.append(np.asarray(out[:n]))
+
+        pred = np.concatenate(preds, axis=0)
+        pred = pred[:, x_pre:x_pre + X, y_pre:y_pre + Y]
+        if want_prob:
+            prob = np.concatenate(probs, axis=0)
+            prob = prob[:, x_pre:x_pre + X, y_pre:y_pre + Y]
+            return pred, prob
+        return pred
+
+    def segment_sequence(self, image: np.ndarray, want_prob: bool = False):
+        """Segment a full 4D cine (X, Y, Z, T) in one batched pass.
+
+        The reference loops t over T with a per-frame device round-trip
+        (``deploy_network.py:103-116``); here all Z*T slices form one
+        batch.  Returns seg (X, Y, Z, T) uint8 (+ prob (X,Y,Z,T,n_class)).
+        """
+        X, Y, Z, T = image.shape
+        # (X, Y, Z, T) -> (Z*T, X, Y): frame-major order t, then slice z.
+        slices = np.transpose(image, (3, 2, 0, 1)).reshape(T * Z, X, Y)
+        out = self.run_slices(slices, want_prob)
+        if want_prob:
+            pred, prob = out
+            seg = np.transpose(pred.reshape(T, Z, X, Y), (2, 3, 1, 0))
+            prob4 = np.transpose(prob.reshape(T, Z, X, Y, -1), (2, 3, 1, 0, 4))
+            return seg, prob4
+        return np.transpose(out.reshape(T, Z, X, Y), (2, 3, 1, 0))
+
+    def segment_volume(self, volume: np.ndarray, want_prob: bool = False):
+        """Segment a 3D volume (X, Y, Z) slice-wise. Returns (X, Y, Z)."""
+        X, Y, Z = volume.shape
+        slices = np.transpose(volume, (2, 0, 1))
+        out = self.run_slices(slices, want_prob)
+        if want_prob:
+            pred, prob = out
+            return np.transpose(pred, (1, 2, 0)), np.transpose(prob, (1, 2, 0, 3))
+        return np.transpose(out, (1, 2, 0))

@@ -21,6 +21,28 @@ def get_largest_cc(binary):
     return cc == (int(np.argmax(areas)) + 1)
 
 
+def label_cc(binary, connectivity=1):
+    """Connected-component labelling with selectable connectivity.
+
+    connectivity=1 → faces only (scipy default, used by get_largest_cc);
+    connectivity=ndim → full neighbourhood (the ``skimage.measure.label(
+    ..., connectivity=2)`` the reference QC gates use,
+    ``cardiac_utils.py:1633,1770``). Returns (labels, n)."""
+    binary = np.asarray(binary)
+    structure = ndimage.generate_binary_structure(binary.ndim, connectivity)
+    return ndimage.label(binary, structure=structure)
+
+
+def count_significant_cc(binary, pixel_thres=10, connectivity=2):
+    """Number of connected components larger than ``pixel_thres`` pixels
+    (the reference's fragmentation criterion, ``cardiac_utils.py:1629-1643``)."""
+    cc, n_cc = label_cc(binary, connectivity)
+    if n_cc == 0:
+        return 0
+    areas = np.bincount(cc.ravel())[1:]
+    return int(np.sum(areas > pixel_thres))
+
+
 def remove_small_cc(binary, thres=10):
     """Zero out connected components smaller than `thres` pixels."""
     binary = np.asarray(binary)

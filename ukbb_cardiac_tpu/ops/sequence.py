@@ -66,6 +66,46 @@ def padding(input_A_name, input_B_name, output_name, value_in_B, value_output):
     nifti.save(nifti.Nifti1Image(image_A, nim.affine), output_name)
 
 
+def resample_to_target(source_name, target_name, output_name, interp="linear"):
+    """Resample a source image onto a target image's grid (identity world
+    transform) — the ``mirtk transform-image src out -target tgt`` twin
+    (``cardiac_utils.py:850-853``).  interp: 'linear' or 'nn'.
+
+    Maps every target voxel through the target affine to world space and
+    back through the source affine; works per 3D volume (loops T for 4D).
+    """
+    from scipy.ndimage import map_coordinates
+
+    src = nifti.load(source_name)
+    tgt = nifti.load(target_name)
+    src_data = np.asanyarray(src.dataobj)
+    tgt_dim = tgt.header["dim"]
+    X, Y, Z = (int(v) for v in tgt_dim[1:4])
+
+    # target voxel -> world -> source voxel
+    M = np.linalg.inv(src.affine) @ tgt.affine
+    gx, gy, gz = np.meshgrid(np.arange(X), np.arange(Y), np.arange(Z),
+                             indexing="ij")
+    coords = np.stack([gx, gy, gz, np.ones_like(gx)], axis=0).reshape(4, -1)
+    sv = (M @ coords)[:3]
+    order = 0 if interp == "nn" else 1
+
+    if src_data.ndim == 3:
+        out = map_coordinates(src_data.astype(np.float64), sv, order=order,
+                              mode="constant").reshape(X, Y, Z)
+    else:
+        T = src_data.shape[3]
+        out = np.zeros((X, Y, Z, T))
+        for t in range(T):
+            out[..., t] = map_coordinates(
+                src_data[..., t].astype(np.float64), sv, order=order,
+                mode="constant").reshape(X, Y, Z)
+
+    out_img = nifti.Nifti1Image(out, tgt.affine)
+    out_img.header["pixdim"][1:5] = tgt.header["pixdim"][1:5]
+    nifti.save(out_img, output_name)
+
+
 def auto_crop_image(input_name, output_name, reserve, verbose=False):
     """Crop to the foreground bounding box + margin, updating the affine
     (``image_utils.py:315-339``)."""

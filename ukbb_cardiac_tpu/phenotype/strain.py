@@ -1,0 +1,258 @@
+"""Short-axis motion tracking and strain analysis.
+
+Reference: ``common/cardiac_utils.py:755-987``
+(``evaluate_strain_by_length``, ``cine_2d_sa_motion_and_strain_analysis``).
+
+The reference's motion engine is ~300 sequential MIRTK subprocess calls
+per subject — forward + backward FFD registration between every adjacent
+frame pair of 3 slices, composed, blended, applied to contours
+(SURVEY.md §3.4; "several minutes" per subject, README.md:51).  Here the
+whole pair population is ONE batched jitted registration
+(``reg.make_register_batch``) and everything else is numpy on tiny
+arrays:
+
+  pairs (3 slices x 2(T-1))  →  batched FFD register on TPU
+  → per-slice forward/backward composition (dense-field compose)
+  → time-weighted forward/backward blending (the ``average_3d_ffd`` sum)
+  → ED contour points pushed through the per-frame fields
+  → Lagrangian strain per line = (len_t − len_ED)/len_ED x 100
+  → 17x(T) radial + circumferential CSV tables.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import numpy as np
+import pandas as pd
+from scipy.ndimage import map_coordinates
+
+import jax.numpy as jnp
+
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.io.vtkio import PolyData, append_polydata, load_polydata, save_polydata
+from ukbb_cardiac_tpu.ops import np_categorical_dice
+from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_target
+from ukbb_cardiac_tpu.phenotype.myo_contour import extract_myocardial_contour
+from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch, total_field
+
+
+def evaluate_strain_by_length(contour_name_stem: str, T: int, dt: float,
+                              output_name_stem: str) -> None:
+    """Lagrangian strain per line cell vs ED; per-AHA-segment tables
+    (``cardiac_utils.py:755-837``).  Reads ``<stem><fr:02d>.vtk``, writes
+    the Strain cell array back and ``<out>_radial.csv`` / ``<out>_circum.csv``."""
+    poly_ED = load_polydata(f"{contour_name_stem}{0:02d}.vtk")
+    pts = poly_ED.points
+    n_lines = len(poly_ED.lines)
+    length_ED = np.zeros(n_lines)
+    for i, cell in enumerate(poly_ED.lines):
+        length_ED[i] = np.linalg.norm(pts[cell[0]] - pts[cell[1]])
+    seg_id = poly_ED.cell_scalars["Segment_ID"]
+    dir_id = poly_ED.cell_scalars["Direction_ID"]
+
+    table_strain = {"radial": np.zeros((17, T)), "circum": np.zeros((17, T))}
+    for fr in range(T):
+        filename = f"{contour_name_stem}{fr:02d}.vtk"
+        poly = load_polydata(filename)
+        p = poly.points
+        strain = np.zeros(n_lines)
+        for i, cell in enumerate(poly.lines):
+            d = np.linalg.norm(p[cell[0]] - p[cell[1]])
+            strain[i] = (d - length_ED[i]) / length_ED[i] * 100
+        poly.cell_scalars["Strain"] = strain
+        save_polydata(poly, filename)
+
+        for i in range(16):
+            table_strain["radial"][i, fr] = np.mean(
+                strain[(seg_id == (i + 1)) & (dir_id == 1)]) if np.any(
+                    (seg_id == (i + 1)) & (dir_id == 1)) else np.nan
+            table_strain["circum"][i, fr] = np.mean(
+                strain[(seg_id == (i + 1)) & (dir_id == 2)]) if np.any(
+                    (seg_id == (i + 1)) & (dir_id == 2)) else np.nan
+        table_strain["radial"][-1, fr] = np.mean(strain[dir_id == 1])
+        table_strain["circum"][-1, fr] = np.mean(strain[dir_id == 2])
+
+    for c in ("radial", "circum"):
+        index = [str(x) for x in np.arange(1, 17)] + ["Global"]
+        column = np.arange(0, T) * dt * 1e3  # time in ms
+        df = pd.DataFrame(table_strain[c], index=index, columns=column)
+        df.to_csv(f"{output_name_stem}_{c}.csv")
+
+
+def _sample_field(field: np.ndarray, pts_xy: np.ndarray) -> np.ndarray:
+    """Bilinear sample a dense (X, Y, 2) field at (N, 2) pixel coords."""
+    coords = [pts_xy[:, 0], pts_xy[:, 1]]
+    return np.stack([map_coordinates(field[..., k], coords, order=1,
+                                     mode="nearest") for k in range(2)], axis=1)
+
+
+def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
+                       register_batch=None) -> np.ndarray:
+    """Per-frame ED→fr displacement fields for one slice's cine.
+
+    frames: (T, X, Y).  Returns (T, X, Y, 2): combined forward/backward
+    motion estimate (``cardiac_utils.py:881-936``):
+    forward = compose of pair (fr-1→fr); backward = compose of circular
+    pairs (fr+1→fr) from frame 0 backwards; blended with weights
+    (T−fr)/T and fr/T.
+    """
+    from ukbb_cardiac_tpu.reg.register import compose_fields
+
+    T, X, Y = frames.shape
+    if register_batch is None:
+        register_batch = make_register_batch((X, Y), cfg)
+
+    # forward pairs: (target fr-1, source fr), fr = 1..T-1
+    fwd_targets = frames[:-1]
+    fwd_sources = frames[1:]
+    # backward pairs: (target (fr+1)%T, source fr), fr = T-1..1
+    bwd_targets = np.stack([frames[(fr + 1) % T] for fr in range(T - 1, 0, -1)])
+    bwd_sources = np.stack([frames[fr] for fr in range(T - 1, 0, -1)])
+
+    targets = jnp.asarray(np.concatenate([fwd_targets, bwd_targets]))
+    sources = jnp.asarray(np.concatenate([fwd_sources, bwd_sources]))
+    controls = register_batch(targets, sources)
+
+    # densify per pair
+    n_pairs = 2 * (T - 1)
+    fields = np.zeros((n_pairs, X, Y, 2), dtype=np.float32)
+    for b in range(n_pairs):
+        ctl_b = tuple(np.asarray(c[b]) for c in controls)
+        fields[b] = np.asarray(total_field(
+            tuple(jnp.asarray(c) for c in ctl_b), (X, Y), cfg))
+
+    fwd_pair = fields[:T - 1]            # [fr-1 -> fr], index fr-1
+    bwd_pair = fields[T - 1:][::-1]      # index fr-1 holds (fr+1)%T -> fr? re-order:
+    # after reversal, bwd_pair[i] is the pair registered for fr = i+1,
+    # i.e. transform (fr+1)%T -> fr.
+
+    def compose_np(d1, d2):
+        return np.asarray(compose_fields(jnp.asarray(d1), jnp.asarray(d2)))
+
+    forward = np.zeros((T, X, Y, 2), dtype=np.float32)
+    for fr in range(1, T):
+        if fr == 1:
+            forward[1] = fwd_pair[0]
+        else:
+            forward[fr] = compose_np(fwd_pair[fr - 1], forward[fr - 1])
+
+    backward = np.zeros((T, X, Y, 2), dtype=np.float32)
+    for fr in range(T - 1, 0, -1):
+        if fr == T - 1:
+            backward[fr] = bwd_pair[fr - 1]
+        else:
+            backward[fr] = compose_np(bwd_pair[fr - 1], backward[fr + 1])
+
+    combined = np.zeros((T, X, Y, 2), dtype=np.float32)
+    for fr in range(1, T):
+        wf = float(T - fr) / T
+        wb = float(fr) / T
+        combined[fr] = wf * forward[fr] + wb * backward[fr]
+    return combined
+
+
+def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
+                                          output_name_stem: str,
+                                          cfg: RegConfig = RegConfig(),
+                                          eval_dice: bool = False) -> Optional[pd.DataFrame]:
+    """Full SA strain driver (``cardiac_utils.py:840-987``), MIRTK-free.
+
+    Expects ``<data_dir>/{sa,seg_sa,seg_sa_ED}.nii.gz``; writes contour
+    VTKs + strain CSVs ``<output_name_stem>_{radial,circum}.csv``.
+    Returns the per-frame LV/Myo warp-Dice table when ``eval_dice``.
+    """
+    # LV-focused crop (cardiac_utils.py:845-853): relabel RV->BG, bbox+20
+    padding(os.path.join(data_dir, "seg_sa_ED.nii.gz"),
+            os.path.join(data_dir, "seg_sa_ED.nii.gz"),
+            os.path.join(output_dir, "seg_sa_lv_ED.nii.gz"), 3, 0)
+    auto_crop_image(os.path.join(output_dir, "seg_sa_lv_ED.nii.gz"),
+                    os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"), 20)
+    resample_to_target(os.path.join(data_dir, "sa.nii.gz"),
+                       os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"),
+                       os.path.join(output_dir, "sa_crop.nii.gz"))
+    resample_to_target(os.path.join(data_dir, "seg_sa.nii.gz"),
+                       os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"),
+                       os.path.join(output_dir, "seg_sa_crop.nii.gz"), interp="nn")
+
+    # ED contours on the three representative slices (basal/mid/apical)
+    extract_myocardial_contour(os.path.join(data_dir, "seg_sa_ED.nii.gz"),
+                               os.path.join(output_dir, "myo_contour_ED_z"),
+                               three_slices=True)
+
+    nim = nifti.load(os.path.join(output_dir, "sa_crop.nii.gz"))
+    Z = int(nim.header["dim"][3])
+    T = int(nim.header["dim"][4])
+    dt = float(nim.header["pixdim"][4])
+    sa_crop = np.asanyarray(nim.dataobj).astype(np.float32)
+    affine_crop = nim.affine
+    inv_affine = np.linalg.inv(affine_crop)
+    X, Y = sa_crop.shape[:2]
+
+    register_batch = make_register_batch((X, Y), cfg)
+    dice_rows = []
+    seg_crop = None
+    if eval_dice:
+        seg_crop = np.asanyarray(nifti.load(
+            os.path.join(output_dir, "seg_sa_crop.nii.gz")).dataobj)
+
+    for z in range(Z):
+        contour_ED = os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk")
+        if not os.path.exists(contour_ED):
+            continue
+        frames = np.transpose(sa_crop[:, :, z, :], (2, 0, 1))  # (T, X, Y)
+        combined = track_slice_fields(frames, cfg, register_batch)
+
+        poly_ED = load_polydata(contour_ED)
+        world = poly_ED.points  # (N, 3)
+        vox = (inv_affine @ np.concatenate(
+            [world, np.ones((len(world), 1))], axis=1).T).T[:, :3]
+
+        for fr in range(T):
+            disp = _sample_field(combined[fr], vox[:, :2])
+            vox_fr = vox.copy()
+            vox_fr[:, :2] += disp
+            world_fr = (affine_crop @ np.concatenate(
+                [vox_fr, np.ones((len(vox_fr), 1))], axis=1).T).T[:, :3]
+            poly_fr = PolyData(points=world_fr, lines=list(poly_ED.lines),
+                               point_scalars=dict(poly_ED.point_scalars),
+                               point_vectors=dict(poly_ED.point_vectors),
+                               cell_scalars=dict(poly_ED.cell_scalars))
+            save_polydata(poly_fr,
+                          os.path.join(output_dir,
+                                       f"myo_contour_z{z:02d}_fr{fr:02d}.vtk"))
+
+        if eval_dice:
+            # warp each frame's segmentation back to the ED grid and Dice
+            # it against ED (the reference's dormant self-check,
+            # cardiac_utils.py:944-967, enabled here as a real metric)
+            gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+            for fr in range(T):
+                cx = gx + combined[fr][..., 0]
+                cy = gy + combined[fr][..., 1]
+                warped = map_coordinates(seg_crop[:, :, z, fr].astype(float),
+                                         [cx, cy], order=0, mode="constant")
+                dice_rows.append(
+                    [np_categorical_dice(seg_crop[:, :, z, 0], warped, 1),
+                     np_categorical_dice(seg_crop[:, :, z, 0], warped, 2)])
+
+    # merge slices per frame (vtkAppendPolyData twin, :969-984)
+    for fr in range(T):
+        parts = []
+        for z in range(Z):
+            p = os.path.join(output_dir, f"myo_contour_z{z:02d}_fr{fr:02d}.vtk")
+            if os.path.exists(p):
+                parts.append(load_polydata(p))
+        if parts:
+            save_polydata(append_polydata(parts),
+                          os.path.join(output_dir, f"myo_contour_fr{fr:02d}.vtk"))
+
+    evaluate_strain_by_length(os.path.join(output_dir, "myo_contour_fr"),
+                              T, dt, output_name_stem)
+    if eval_dice and dice_rows:
+        df = pd.DataFrame(dice_rows)
+        df.to_csv(os.path.join(output_dir, "dice_cine_warp_ffd.csv"),
+                  index=None, header=None)
+        return df
+    return None

@@ -1,0 +1,194 @@
+"""Multi-level B-spline FFD registration — the MIRTK ``register``
+replacement and the flagship TPU win (SURVEY.md §2.3, §3.4).
+
+The reference shells out to ``mirtk register`` ~300 times per subject,
+sequentially, on CPU (several minutes).  Here a registration is ONE jitted
+program — multi-level additive FFD (the classic Rueckert / MIRTK
+multi-level model: total displacement = sum of per-level lattices of
+halving spacing), Adam on control points, Gaussian-pyramid image
+smoothing per level — and the whole (slice, frame-pair) population of a
+cine is vmapped into a single batched device call.
+
+Energy matches ``par/ffd_cine_2d_motion.cfg``: SSD + 1e-1 bending energy,
+3 levels, finest control spacing 10 px (NMI variant for the aortic config).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import partial
+from typing import Sequence, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ukbb_cardiac_tpu.ops.resample import sample_2d
+from ukbb_cardiac_tpu.reg import bspline, losses
+
+
+@dataclass(frozen=True)
+class RegConfig:
+    spacing: int = 10            # finest control spacing, px (ffd_cine_2d_motion.cfg:11)
+    levels: int = 3              # resolution levels (cfg:6 "No. of levels = 3")
+    iters: int = 80              # Adam steps per level
+    lr: float = 0.5              # px per step at coarse level
+    be_weight: float = 1e-1      # bending energy weight (cfg:9)
+    metric: str = "ssd"          # 'ssd' | 'nmi' (ffd_aortic_motion.cfg:5)
+    n_bins: int = 32             # NMI histogram bins
+    smooth_sigma: float = 1.0    # per-level Gaussian blur factor
+    padding_value: float | None = None  # ignore-below mask (cfg:12 "Padding value = -1")
+
+
+def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
+    x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
+    k = jnp.exp(-0.5 * (x / sigma) ** 2)
+    return k / jnp.sum(k)
+
+
+def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
+    """Separable Gaussian blur of a 2D image (static radius 3*sigma)."""
+    if sigma <= 0:
+        return image
+    radius = max(1, int(3 * sigma))
+    k = _gaussian_kernel(sigma, radius)
+    x = image[None, :, :, None]
+    kx = k.reshape(-1, 1, 1, 1)
+    ky = k.reshape(1, -1, 1, 1)
+    pad = ((radius, radius), (0, 0))
+    x = jax.lax.conv_general_dilated(x, kx, (1, 1), (pad[0], pad[1]),
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    x = jax.lax.conv_general_dilated(x, ky, (1, 1), (pad[1], pad[0]),
+                                     dimension_numbers=("NHWC", "HWIO", "NHWC"))
+    return x[0, :, :, 0]
+
+
+def _warp(source: jnp.ndarray, disp: jnp.ndarray, order: int = 1) -> jnp.ndarray:
+    """Pull-back warp: out[x] = source[x + disp[x]]; disp (X, Y, 2)."""
+    X, Y = source.shape
+    gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
+                          jnp.arange(Y, dtype=jnp.float32), indexing="ij")
+    return sample_2d(source, gx + disp[..., 0], gy + disp[..., 1], order=order)
+
+
+def make_register_pair(image_shape: Tuple[int, int], cfg: RegConfig = RegConfig()):
+    """Build the jitted single-pair registration.
+
+    Returns ``register(target, source) -> controls`` where ``controls`` is
+    a tuple of per-level lattices; use :func:`total_field` /
+    :func:`transform_points` to consume them.  The returned transform maps
+    target coordinates to source coordinates (pull-back), the same
+    convention as ``mirtk register -dofout`` used for frame-to-frame
+    tracking (``cardiac_utils.py:882-890``).
+    """
+    X, Y = image_shape
+    spacings = [cfg.spacing * (2 ** (cfg.levels - 1 - l)) for l in range(cfg.levels)]
+    sigmas = [cfg.smooth_sigma * (2 ** (cfg.levels - 1 - l)) for l in range(cfg.levels)]
+
+    def level_loss(c_l, base_disp, spacing, tgt, src, mask):
+        disp = base_disp + bspline.bspline_dense_field(c_l, (X, Y), spacing)
+        warped = _warp(src, disp)
+        if cfg.metric == "nmi":
+            sim = -losses.nmi(tgt, warped, cfg.n_bins)
+        else:
+            sim = losses.ssd(tgt, warped, mask)
+        return sim + cfg.be_weight * losses.bending_energy(disp)
+
+    def register(target, source):
+        target = target.astype(jnp.float32)
+        source = source.astype(jnp.float32)
+        scale = jnp.maximum(jnp.max(target) - jnp.min(target), 1e-6)
+        tgt_n = (target - jnp.min(target)) / scale
+        src_n = (source - jnp.min(source)) / scale
+        mask = None
+        if cfg.padding_value is not None:
+            mask = (target > cfg.padding_value).astype(jnp.float32)
+
+        base = jnp.zeros((X, Y, 2))
+        controls = []
+        for l in range(cfg.levels):
+            s_l = spacings[l]
+            Cx, Cy = bspline.lattice_shape((X, Y), s_l)
+            tgt_l = gaussian_blur(tgt_n, sigmas[l] - cfg.smooth_sigma)
+            src_l = gaussian_blur(src_n, sigmas[l] - cfg.smooth_sigma)
+
+            c = jnp.zeros((Cx, Cy, 2))
+            opt = optax.adam(cfg.lr)
+            opt_state = opt.init(c)
+            g = jax.grad(level_loss)
+
+            def body(_, carry):
+                c, opt_state = carry
+                grads = g(c, base, s_l, tgt_l, src_l, mask)
+                updates, opt_state = opt.update(grads, opt_state, c)
+                return optax.apply_updates(c, updates), opt_state
+
+            c, _ = jax.lax.fori_loop(0, cfg.iters, body, (c, opt_state))
+            controls.append(c)
+            base = base + bspline.bspline_dense_field(c, (X, Y), s_l)
+        return tuple(controls)
+
+    return register
+
+
+def total_field(controls: Sequence[jnp.ndarray], image_shape: Tuple[int, int],
+                cfg: RegConfig = RegConfig()) -> jnp.ndarray:
+    """Dense displacement (X, Y, 2) of a multi-level control stack."""
+    X, Y = image_shape
+    disp = jnp.zeros((X, Y, 2))
+    for l, c in enumerate(controls):
+        s_l = cfg.spacing * (2 ** (cfg.levels - 1 - l))
+        disp = disp + bspline.bspline_dense_field(c, (X, Y), s_l)
+    return disp
+
+
+def transform_points(controls, points: jnp.ndarray,
+                     cfg: RegConfig = RegConfig()) -> jnp.ndarray:
+    """Map (N, 2) pixel points through the multi-level FFD — the
+    ``mirtk transform-points`` twin (exact B-spline evaluation, no dense
+    resampling error)."""
+    out = points.astype(jnp.float32)
+    disp = jnp.zeros_like(out)
+    for l, c in enumerate(controls):
+        s_l = cfg.spacing * (2 ** (cfg.levels - 1 - l))
+        disp = disp + bspline.bspline_point_disp(c, points, s_l)
+    return out + disp
+
+
+def warp_image(source: jnp.ndarray, disp: jnp.ndarray, order: int = 1) -> jnp.ndarray:
+    """Public pull-back warp (``mirtk transform-image`` twin)."""
+    return _warp(source.astype(jnp.float32), disp, order=order)
+
+
+def compose_fields(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+    """Compose pull-back displacement fields:  (d1 ∘ d2)(x) = d2(x) + d1(x + d2(x)).
+
+    Matches transform composition T1(T2(x)) for pull-back warps — the
+    ``mirtk compose-dofs`` replacement (``cardiac_utils.py:892-922``),
+    carried as dense fields instead of refitting a lattice.
+    """
+    X, Y, _ = d1.shape
+    gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
+                          jnp.arange(Y, dtype=jnp.float32), indexing="ij")
+    px = gx + d2[..., 0]
+    py = gy + d2[..., 1]
+    d1x = sample_2d(d1[..., 0], px, py)
+    d1y = sample_2d(d1[..., 1], px, py)
+    return d2 + jnp.stack([d1x, d1y], axis=-1)
+
+
+def average_fields(fields: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
+    """Weighted average of displacement fields — the ``average_3d_ffd``
+    C++ tool collapses to one weighted sum (``average_3d_ffd.cc:102-120``)."""
+    w = weights.reshape((-1,) + (1,) * (fields.ndim - 1))
+    return jnp.sum(fields * w, axis=0)
+
+
+def make_register_batch(image_shape: Tuple[int, int],
+                        cfg: RegConfig = RegConfig()):
+    """vmapped batched registration: (N, X, Y) targets x sources → per-level
+    control stacks with a leading batch axis.  One device program replaces
+    the reference's ~300 sequential MIRTK subprocesses (SURVEY.md §3.4)."""
+    single = make_register_pair(image_shape, cfg)
+    return jax.jit(jax.vmap(single))

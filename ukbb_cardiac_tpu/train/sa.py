@@ -1,0 +1,238 @@
+"""SA/LA FCN trainer — twin of ``common/train_network.py`` on a JAX/optax
+core with optional mesh data-parallelism.
+
+Reference semantics preserved (file:line):
+- dataset scan of ``{train,validation,test}/<eid>/<seq>_{ED,ES}.nii.gz``
+  + ``label_<seq>_{ED,ES}.nii.gz`` pairs (:125-138)
+- n_class by sequence: sa=4, la_2ch=2, la_4ch=3 (:157-167)
+- ``get_random_batch``: random subject pairs, centre crop to
+  ``image_size``, rescale (1,99), per-slice 2D stacking, optional
+  augmentation (:57-118); training uses rotate=10, scale=0.2 (:263)
+- FCN with n_filter=[16*2^i], n_block=[2,2,3,3,3], same_dim=32, fc=64
+  (:179-195); softmax CE loss (:204-206); Adam (:225)
+- validation every 10 iterations with per-class Dice (:276-308);
+  checkpoint every 1000 (:337-339); model-name encoding (:228-230)
+
+TPU-native changes:
+- the device step is one jitted function (forward+backward+Adam+BN);
+  mesh data-parallelism shards the batch over chips (``steps.py``)
+- metrics go to a JSONL log (`train_log.jsonl`) instead of TF summaries
+- checkpoints are native model bundles (``ckpt/store.py``)
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.models import fcn as fcn_mod
+from ukbb_cardiac_tpu.models import losses
+from ukbb_cardiac_tpu.ops import crop_image, data_augmenter, rescale_intensity
+from ukbb_cardiac_tpu.train import steps as steps_lib
+
+N_CLASS = {"sa": 4, "la_2ch": 2, "la_4ch": 3, "la_4ch_seg4": 6}
+
+
+@dataclass
+class SATrainConfig:
+    seq_name: str = "sa"
+    image_size: int = 192
+    train_batch_size: int = 2
+    validation_batch_size: int = 2
+    train_iteration: int = 50000
+    num_filter: int = 16
+    num_level: int = 5
+    learning_rate: float = 1e-3
+    dataset_dir: str = ""
+    checkpoint_dir: str = ""
+    log_dir: str = ""
+    validation_every: int = 10
+    checkpoint_every: int = 1000
+    seed: int = 0
+    mesh_devices: int = 0  # 0 = single device; >0 = data-parallel mesh
+
+    @property
+    def n_class(self) -> int:
+        return N_CLASS[self.seq_name]
+
+    @property
+    def model_name(self) -> str:
+        n_block = "22333"
+        return (f"FCN_{self.seq_name}_level{self.num_level}_filter{self.num_filter}_"
+                f"{n_block}_batch{self.train_batch_size}_"
+                f"iter{self.train_iteration}_lr{self.learning_rate}")
+
+
+def scan_dataset(dataset_dir: str, seq_name: str):
+    """List (image, label) ED/ES file pairs per subset
+    (``train_network.py:125-138``)."""
+    data_list = {}
+    for k in ("train", "validation", "test"):
+        subset_dir = os.path.join(dataset_dir, k)
+        data_list[k] = []
+        if not os.path.isdir(subset_dir):
+            continue
+        for data in sorted(os.listdir(subset_dir)):
+            data_dir = os.path.join(subset_dir, data)
+            for fr in ("ED", "ES"):
+                image_name = os.path.join(data_dir, f"{seq_name}_{fr}.nii.gz")
+                label_name = os.path.join(data_dir, f"label_{seq_name}_{fr}.nii.gz")
+                if os.path.exists(image_name) and os.path.exists(label_name):
+                    data_list[k].append((image_name, label_name))
+    return data_list
+
+
+def get_random_batch(filename_list, batch_size, image_size=192,
+                     data_augmentation=False, shift=0.0, rotate=0.0,
+                     scale=0.0, intensity=0.0, flip=False, rng=None,
+                     verbose=False):
+    """Host-side batch sampler (``train_network.py:57-118``): random
+    subject volumes, centre crop, rescale, per-slice 2D stacking,
+    optional affine augmentation."""
+    rng = rng or random
+    n_file = len(filename_list)
+    images, labels = [], []
+    n_selected = 0
+    while n_selected < batch_size:
+        image_name, label_name = filename_list[rng.randrange(n_file)]
+        if not (os.path.exists(image_name) and os.path.exists(label_name)):
+            continue
+        if verbose:
+            print(f"  Select {image_name} {label_name}")
+        image = np.asarray(nifti.load(image_name).dataobj, dtype=np.float32)
+        label = np.asarray(nifti.load(label_name).dataobj)
+        if image.shape != label.shape:
+            print(f"Error: mismatched size, image.shape = {image.shape}, "
+                  f"label.shape = {label.shape}")
+            print(f"Skip {image_name}, {label_name}")
+            continue
+        if image.max() < 1e-6:
+            print(f"Error: blank image, image.max = {image.max()}")
+            print(f"Skip {image_name} {label_name}")
+            continue
+        X, Y, Z = image.shape[:3]
+        cx, cy = X // 2, Y // 2
+        image = crop_image(image, cx, cy, image_size)
+        label = crop_image(label, cx, cy, image_size)
+        image = rescale_intensity(image, (1.0, 99.0))
+        for z in range(Z):
+            images.append(image[:, :, z])
+            labels.append(label[:, :, z])
+        n_selected += 1
+
+    images = np.asarray(images, dtype=np.float32)[..., None]
+    labels = np.asarray(labels, dtype=np.int32)
+    if data_augmentation:
+        images, labels = data_augmenter(images, labels, shift=shift,
+                                        rotate=rotate, scale=scale,
+                                        intensity=intensity, flip=flip)
+    return images, labels
+
+
+def make_fcn_loss(names, cfg: fcn_mod.FCNConfig):
+    """Loss closure for the train step: softmax CE + accuracy/Dice aux
+    (``train_network.py:204-214``)."""
+
+    def loss_fn(params, state, batch, key):
+        logits, new_state = fcn_mod.apply_fcn(params, state, names, cfg,
+                                              batch["image"], train=True)
+        loss = losses.softmax_cross_entropy(logits, batch["label"], cfg.n_class)
+        pred = jnp.argmax(logits, axis=-1)
+        acc = jnp.mean((pred == batch["label"]).astype(jnp.float32))
+        aux = {"accuracy": acc}
+        for k in range(1, cfg.n_class):
+            a = pred == k
+            b = batch["label"] == k
+            aux[f"dice_{k}"] = (2 * jnp.sum(a & b) /
+                                jnp.maximum(jnp.sum(a) + jnp.sum(b), 1e-7))
+        return loss, (aux, new_state)
+
+    return loss_fn
+
+
+def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
+          progress_every: int = 100):
+    """Run the training loop. Returns (params, state, names, model_cfg)."""
+    data_list = scan_dataset(cfg.dataset_dir, cfg.seq_name)
+    if not data_list["train"]:
+        raise FileNotFoundError(f"no training pairs under {cfg.dataset_dir}/train")
+
+    n_filter = tuple(cfg.num_filter * (2 ** i) for i in range(cfg.num_level))
+    model_cfg = fcn_mod.FCNConfig(n_class=cfg.n_class, n_level=cfg.num_level,
+                                  n_filter=n_filter, n_block=(2, 2, 3, 3, 3),
+                                  same_dim=32, fc=64)
+    key = jax.random.PRNGKey(cfg.seed)
+    params, state, names = fcn_mod.init_fcn(key, model_cfg)
+    optimizer = optax.adam(cfg.learning_rate)
+    opt_state = optimizer.init(params)
+
+    loss_fn = make_fcn_loss(names, model_cfg)
+    if cfg.mesh_devices > 1:
+        from ukbb_cardiac_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh_devices)
+        step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
+    else:
+        step = steps_lib.make_train_step(loss_fn, optimizer)
+
+    model_dir = os.path.join(cfg.checkpoint_dir or ".", cfg.model_name)
+    os.makedirs(model_dir, exist_ok=True)
+    log_path = os.path.join(model_dir, "train_log.jsonl")
+    log_f = open(log_path, "a")
+
+    rng = random.Random(cfg.seed)
+    total = max_iterations or cfg.train_iteration
+    print("Start training...")
+    start_time = time.time()
+    for iteration in range(1, 1 + total):
+        t0 = time.time()
+        images, labels = get_random_batch(
+            data_list["train"], cfg.train_batch_size, image_size=cfg.image_size,
+            data_augmentation=True, shift=0, rotate=10, scale=0.2,
+            intensity=0, flip=False, rng=rng)
+        batch = {"image": images, "label": labels}
+        params, state, opt_state, loss, aux = step(
+            params, state, opt_state, batch, jax.random.PRNGKey(iteration))
+
+        if iteration % cfg.validation_every == 0 and data_list["validation"]:
+            v_images, v_labels = get_random_batch(
+                data_list["validation"], cfg.validation_batch_size,
+                image_size=cfg.image_size, rng=rng)
+            v_logits, _ = fcn_mod.apply_fcn(params, state, names, model_cfg,
+                                            jnp.asarray(v_images), train=False)
+            v_pred = np.asarray(jnp.argmax(v_logits, axis=-1))
+            rec = {"iteration": iteration, "loss": float(loss),
+                   "accuracy": float(aux["accuracy"]),
+                   "val_accuracy": float(np.mean(v_pred == v_labels)),
+                   "seconds": time.time() - t0}
+            for k in range(1, cfg.n_class):
+                a, b = v_pred == k, v_labels == k
+                rec[f"val_dice_{k}"] = float(
+                    2 * np.sum(a & b) / max(np.sum(a) + np.sum(b), 1e-7))
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+
+        if iteration % progress_every == 0:
+            print(f"Iteration {iteration}/{total}: loss = {float(loss):.4f}, "
+                  f"{time.time() - t0:.3f}s/iter")
+
+        if iteration % cfg.checkpoint_every == 0 or iteration == total:
+            ckpt_path = os.path.join(model_dir, f"model-{iteration}.npz")
+            store.save_model(ckpt_path, "fcn", model_cfg, names,
+                             jax.device_get(params), jax.device_get(state),
+                             extra_meta={"iteration": iteration,
+                                         "seq_name": cfg.seq_name})
+
+    log_f.close()
+    print(f"Training took {time.time() - start_time:.3f}s.")
+    return params, state, names, model_cfg
