@@ -37,13 +37,12 @@ def main():
 
     # Warm-up: compile + first run (excluded, like the reference's session
     # startup is excluded from its per-sequence number).
-    engine.segment_sequence(rescale_intensity(cine, (1.0, 99.0)))
+    engine.segment_sequence_fused(cine)
 
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
-        image = rescale_intensity(cine, (1.0, 99.0))
-        seg = engine.segment_sequence(image)
+        seg = engine.segment_sequence_fused(cine)  # includes rescale on device
         times.append(time.time() - t0)
     assert seg.shape == (X, Y, Z, T)
 

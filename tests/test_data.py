@@ -1,0 +1,172 @@
+"""Data-layer tests: DICOM reader/writer, Biobank converter, cvi42 parser."""
+
+import os
+import pickle
+
+import numpy as np
+import pytest
+
+from ukbb_cardiac_tpu.data import (
+    Biobank_Dataset,
+    dcmread,
+    dcmwrite_minimal,
+    is_dicom_file,
+    parse_workspace,
+    process_manifest,
+)
+from ukbb_cardiac_tpu.io import nifti
+
+
+def _write_series(dir_path, z, T=4, rows=16, cols=20, suid="1.2.3.4",
+                  spacing=(1.8, 1.9), dz=10.0, annotated_uids=()):
+    os.makedirs(dir_path, exist_ok=True)
+    rng = np.random.RandomState(z)
+    for t in range(T):
+        pixel = (rng.rand(rows, cols) * 1000).astype(np.uint16)
+        uid = f"9.8.7.{z}.{t}"
+        dcmwrite_minimal(
+            os.path.join(dir_path, f"img_{z:02d}_{t:02d}.dcm"),
+            {
+                "SOPInstanceUID": uid,
+                "SeriesInstanceUID": suid,
+                "CardiacNumberOfImages": T,
+                "Rows": rows, "Columns": cols,
+                "PixelSpacing": [spacing[1], spacing[0]],
+                "SpacingBetweenSlices": dz,
+                "SliceThickness": 8.0,
+                "TriggerTime": 30.0 * t,
+                "InstanceNumber": t + 1,
+                "ImagePositionPatient": [10.0, 20.0, 30.0 + z * dz],
+                "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+                "BitsAllocated": 16, "PixelRepresentation": 0,
+            },
+            pixel)
+
+
+def test_dicom_roundtrip(tmp_path):
+    path = str(tmp_path / "x.dcm")
+    pixel = (np.arange(16 * 20) % 7).astype(np.uint16).reshape(16, 20)
+    dcmwrite_minimal(path, {
+        "Rows": 16, "Columns": 20, "PixelSpacing": [1.5, 1.25],
+        "CardiacNumberOfImages": 3, "TriggerTime": 42.5,
+        "SeriesInstanceUID": "1.2.3", "BitsAllocated": 16,
+        "PixelRepresentation": 0,
+        "ImagePositionPatient": [1.0, 2.0, 3.0],
+        "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+    }, pixel)
+    assert is_dicom_file(path)
+    d = dcmread(path)
+    assert int(d.Rows) == 16 and int(d.Columns) == 20
+    assert d.PixelSpacing == [1.5, 1.25]
+    assert float(d.TriggerTime) == 42.5
+    assert d.SeriesInstanceUID == "1.2.3"
+    np.testing.assert_array_equal(d.pixel_array, pixel)
+
+
+def test_biobank_dataset_conversion(tmp_path):
+    subject = tmp_path / "subject"
+    T, Z = 4, 3
+    for z in range(Z):
+        _write_series(str(subject / f"CINE_segmented_SAX_b{z}"), z, T=T)
+    _write_series(str(subject / "CINE_segmented_LAX_4Ch"), 9, T=T)
+    _write_series(str(subject / "CINE_segmented_Ao_dist"), 5, T=T)
+
+    ds = Biobank_Dataset(str(subject))
+    assert set(ds.subdir.keys()) == {"sa", "la_4ch", "ao"}
+    assert len(ds.subdir["sa"]) == Z
+    ds.read_dicom_images()
+    out = tmp_path / "out"
+    out.mkdir()
+    ds.convert_dicom_to_nifti(str(out))
+    nim = nifti.load(str(out / "sa.nii.gz"))
+    assert nim.dataobj.shape == (20, 16, Z, T)  # (X=cols, Y=rows, Z, T)
+    # affine: x/y negated (LPS->RAS), z spacing 10
+    assert nim.affine[0, 0] == pytest.approx(-1.8)
+    assert nim.affine[1, 1] == pytest.approx(-1.9)
+    assert nim.affine[2, 2] == pytest.approx(10.0)
+    assert nim.affine[0, 3] == pytest.approx(-10.0)
+    # dt from trigger times: 30 ms -> 0.03 s
+    assert nim.header["pixdim"][4] == pytest.approx(0.03)
+
+
+def test_biobank_multiseries_selection(tmp_path):
+    subject = tmp_path / "subject"
+    d = subject / "CINE_segmented_LAX_4Ch"
+    # two series in one dir: T files of suid A + T files of suid B
+    _write_series(str(d), 0, T=3, suid="1.1.1")
+    for t in range(3):
+        pixel = np.full((16, 20), t, dtype=np.uint16)
+        from ukbb_cardiac_tpu.data import dcmwrite_minimal as w
+        w(str(d / f"zzz_{t:02d}.dcm"), {
+            "SeriesInstanceUID": "2.2.2", "CardiacNumberOfImages": 3,
+            "Rows": 16, "Columns": 20, "PixelSpacing": [1.0, 1.0],
+            "SliceThickness": 8.0, "TriggerTime": 10.0 * t,
+            "ImagePositionPatient": [0, 0, 0],
+            "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+            "BitsAllocated": 16, "PixelRepresentation": 0,
+        }, pixel)
+    ds = Biobank_Dataset(str(subject))
+    files = ds.find_series(str(d), 3)
+    assert len(files) == 3
+    # picks the last UID (2.2.2) without annotations
+    assert all(f.startswith("zzz") for f in files)
+
+
+def test_process_manifest(tmp_path):
+    src = tmp_path / "manifest.csv"
+    src.write_text("eid,date\n100,Jan 5, 2015\n")
+    dst = tmp_path / "manifest2.csv"
+    process_manifest(str(src), str(dst))
+    assert "Jan-5-2015" in dst.read_text()
+
+
+CVI42_XML = """<?xml version="1.0"?>
+<Workspace xmlns:Hash="http://www.circlecvi.com/cvi42/Workspace/Hash/"
+           xmlns:Point="http://www.circlecvi.com/cvi42/Workspace/Point/">
+ <Item Hash:key="StudyMapStates">
+  <Item Hash:key="ImageStates">
+   <Item Hash:key="1.2.3.4.5">
+    <Item Hash:key="Contours">
+     <Item Hash:key="saendocardialContour">
+      <Item Hash:key="Points">
+       <Item><Point:x>40</Point:x><Point:y>80</Point:y></Item>
+       <Item><Point:x>44</Point:x><Point:y>80</Point:y></Item>
+       <Item><Point:x>44</Point:x><Point:y>84</Point:y></Item>
+      </Item>
+      <Item Hash:key="SubpixelResolution">4</Item>
+     </Item>
+    </Item>
+   </Item>
+  </Item>
+ </Item>
+</Workspace>
+"""
+
+
+def test_cvi42_parser(tmp_path):
+    xml = tmp_path / "ws.cvi42wsx"
+    xml.write_text(CVI42_XML)
+    uid_contours = parse_workspace(str(xml))
+    assert "1.2.3.4.5" in uid_contours
+    pts = uid_contours["1.2.3.4.5"]["saendocardialContour"]
+    np.testing.assert_allclose(pts, [[10, 20], [11, 20], [11, 21]])
+
+    from ukbb_cardiac_tpu.data import parseFile
+    out = tmp_path / "pickles"
+    out.mkdir()
+    parseFile(str(xml), str(out))
+    with open(out / "1.2.3.4.5.pickle", "rb") as f:
+        contours = pickle.load(f)
+    assert "saendocardialContour" in contours
+
+
+def test_rasterise_contours():
+    contours = {"saendocardialContour": np.array([[2.0, 2.0], [8.0, 2.0],
+                                                  [8.0, 8.0], [2.0, 8.0]]),
+                "saepicardialContour": np.array([[1.0, 1.0], [9.0, 1.0],
+                                                 [9.0, 9.0], [1.0, 9.0]])}
+    lab_up = Biobank_Dataset.rasterise_contours(contours, X=12, Y=12, up=4)
+    assert lab_up.shape == (48, 48)
+    assert lab_up[20, 20] == 1   # inside endo
+    assert lab_up[5, 20] == 2    # between epi and endo
+    assert lab_up[0, 0] == 0

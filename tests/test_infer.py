@@ -142,3 +142,19 @@ def test_deploy_ao_full_scan_vs_compat(tmp_path):
     deploy_dataset_ao(bundle, str(data_dir), window="compat", weight_R=2)
     seg2 = nifti.load(str(data_dir / "2000000" / "seg_ao.nii.gz"))
     assert seg2.dataobj.shape == (60, 64, 1, 6)
+
+
+def test_fused_path_matches_host_path(tiny_fcn):
+    """Device-fused rescale+segment equals the host rescale + batched path."""
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=8)
+    rng = np.random.RandomState(7)
+    cine = (rng.rand(48, 52, 3, 5) * 1000).astype(np.float32)
+
+    from ukbb_cardiac_tpu.ops import rescale_intensity
+    host = engine.segment_sequence(rescale_intensity(cine, (1.0, 99.0)))
+    fused = engine.segment_sequence_fused(cine)
+    assert fused.shape == host.shape
+    agree = np.mean(fused == host)
+    assert agree > 0.999, agree  # device/host percentile float differences only

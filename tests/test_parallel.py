@@ -1,0 +1,99 @@
+"""Parallelism tests: mesh sharding (8 virtual devices), fleet driver."""
+
+import os
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import NamedSharding, PartitionSpec as P
+
+from ukbb_cardiac_tpu.parallel import (
+    make_mesh,
+    pad_batch_to_devices,
+    run_fleet,
+    shard_batch,
+    shard_subjects,
+)
+from ukbb_cardiac_tpu.train import steps as steps_lib
+from ukbb_cardiac_tpu.train.sa import make_fcn_loss
+from ukbb_cardiac_tpu.models import fcn as fcn_mod
+
+import optax
+
+
+def test_mesh_and_shard_batch(eight_devices):
+    mesh = make_mesh(8)
+    x = np.arange(8 * 4, dtype=np.float32).reshape(8, 4)
+    xs = shard_batch(x, mesh)
+    assert xs.sharding.spec == P("data")
+    np.testing.assert_array_equal(np.asarray(xs), x)
+
+
+def test_2d_mesh(eight_devices):
+    mesh = make_mesh(8, axes=("data", "space"), shape=(4, 2))
+    assert mesh.shape == {"data": 4, "space": 2}
+
+
+def test_dp_train_step_matches_single_device(eight_devices):
+    """The mesh data-parallel step computes the same update as the
+    single-device step (global-batch gradient)."""
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_fcn_loss(names, cfg)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(params)
+    rng = np.random.RandomState(0)
+    batch = {"image": jnp.asarray(rng.rand(8, 16, 16, 1), dtype=jnp.float32),
+             "label": jnp.asarray(rng.randint(0, 4, (8, 16, 16)),
+                                  dtype=jnp.int32)}
+    key = jax.random.PRNGKey(1)
+
+    single = steps_lib.make_train_step(loss_fn, opt)
+    p1, s1, o1, l1, a1 = single(params, state, opt_state, batch, key)
+
+    mesh = make_mesh(8)
+    dp = steps_lib.make_dp_train_step(loss_fn, opt, mesh, donate=False)
+    with mesh:
+        p2, s2, o2, l2, a2 = dp(params, state, opt_state, batch, key)
+
+    assert float(l1) == pytest.approx(float(l2), rel=1e-5)
+    k0 = names["levels"][0][0][0]
+    np.testing.assert_allclose(np.asarray(p1[k0]["kernel"]),
+                               np.asarray(p2[k0]["kernel"]), atol=1e-6)
+
+
+def test_pad_batch_to_devices():
+    x = np.zeros((5, 3))
+    padded, valid = pad_batch_to_devices(x, 4)
+    assert padded.shape == (8, 3) and valid == 5
+    x2 = np.zeros((8, 3))
+    padded2, valid2 = pad_batch_to_devices(x2, 4)
+    assert padded2.shape == (8, 3) and valid2 == 8
+
+
+def test_shard_subjects():
+    subs = [str(i) for i in range(10)]
+    shards = [shard_subjects(subs, 3, i) for i in range(3)]
+    assert sorted(sum(shards, [])) == sorted(subs)
+    assert all(len(s) in (3, 4) for s in shards)
+
+
+def test_run_fleet_isolation_and_resume(tmp_path):
+    done = set()
+
+    def work(s):
+        if s == "bad":
+            raise RuntimeError("boom")
+        done.add(s)
+
+    manifest = str(tmp_path / "manifest.json")
+    result = run_fleet(["a", "bad", "c"], work, workers=2,
+                       done_check=lambda s: s == "c",
+                       manifest_path=manifest, verbose=False)
+    assert set(result.succeeded) == {"a"}
+    assert "bad" in result.failed and "boom" in result.failed["bad"]
+    assert result.skipped == ["c"]
+    assert os.path.exists(manifest)

@@ -1,0 +1,149 @@
+"""Golden parity tests against TensorFlow kernels and TF checkpoints.
+
+These validate the two halves of the checkpoint-parity contract
+(SURVEY.md §5 "checkpoint/resume"):
+1. numerics: our conv/BN/fixed-bilinear-upsample match TF's kernels
+   (tf.nn.conv2d / batch_normalization / conv2d_transpose semantics that
+   ``tf.layers`` wrapped in the reference graphs);
+2. plumbing: a TF-1.x checkpoint written with ``tf.layers`` variable
+   names converts name-for-name into a bundle whose forward pass equals
+   the TF-op forward pass.
+"""
+
+import numpy as np
+import pytest
+
+tf = pytest.importorskip("tensorflow")
+
+import jax
+import jax.numpy as jnp
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.ckpt.tf_reader import convert_tf_checkpoint
+from ukbb_cardiac_tpu.models import fcn as fcn_mod
+from ukbb_cardiac_tpu.models import layers as L
+
+BN_EPS = 1e-3
+
+CFG = fcn_mod.FCNConfig(n_class=2, n_level=3, n_filter=(2, 3, 4),
+                        n_block=(1, 1, 2), same_dim=2, fc=3)
+
+
+def _np_params(cfg, seed=0):
+    """Random numpy parameters in tf.layers naming order."""
+    rng = np.random.RandomState(seed)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+
+    def rnd(tree):
+        out = {}
+        for k, v in tree.items():
+            if isinstance(v, dict):
+                out[k] = rnd(v)
+            else:
+                arr = rng.randn(*np.shape(v)).astype(np.float32) * 0.3
+                if k == "moving_variance":
+                    arr = np.abs(arr) + 0.5
+                out[k] = arr
+        return out
+
+    return rnd(params), rnd(state), names
+
+
+def _tf_forward(params, state, names, cfg, image):
+    """Reference-semantics FCN forward with raw tf.nn ops
+    (``network.py:170-230``)."""
+
+    def conv_bn_relu(x, nm, strides=1):
+        cname, bname = nm
+        x = tf.nn.conv2d(x, params[cname]["kernel"], strides=strides,
+                         padding="SAME")
+        s = state[bname]
+        p = params[bname]
+        x = tf.nn.batch_normalization(x, s["moving_mean"], s["moving_variance"],
+                                      p["beta"], p["gamma"], BN_EPS)
+        return tf.nn.relu(x)
+
+    x = tf.constant(image)
+    feats = []
+    for l in range(cfg.n_level):
+        for i, nm in enumerate(names["levels"][l]):
+            x = conv_bn_relu(x, nm, 2 if (l > 0 and i == 0) else 1)
+        feats.append(x)
+
+    ups = []
+    for l in range(cfg.n_level):
+        f = conv_bn_relu(feats[l], names["same_dim"][l])
+        if l > 0:
+            factor = 2 ** l
+            sz = factor * 2 - 1
+            W = L.linear_2d(sz)
+            n = f.shape[-1]
+            kernel = np.zeros((sz, sz, n, n), np.float32)
+            for c in range(n):
+                kernel[:, :, c, c] = W  # diagonal kernel (network.py:146-149)
+            N, H, Wd, C = f.shape
+            f = tf.nn.conv2d_transpose(
+                f, kernel, output_shape=[N, H * factor, Wd * factor, C],
+                strides=factor, padding="SAME")
+        ups.append(f)
+
+    x = tf.concat(ups, axis=-1)
+    for nm in names["fc"]:
+        x = conv_bn_relu(x, nm)
+    out = params[names["out"]]
+    x = tf.nn.conv2d(x, out["kernel"], strides=1, padding="SAME") + out["bias"]
+    return x.numpy()
+
+
+def _to_jax(tree):
+    return {k: _to_jax(v) if isinstance(v, dict) else jnp.asarray(v)
+            for k, v in tree.items()}
+
+
+def test_fcn_forward_matches_tf_ops():
+    params, state, names = _np_params(CFG)
+    rng = np.random.RandomState(1)
+    image = rng.rand(2, 32, 32, 1).astype(np.float32)
+
+    ref = _tf_forward(params, state, names, CFG, image)
+    ours, _ = fcn_mod.apply_fcn(_to_jax(params), _to_jax(state), names, CFG,
+                                jnp.asarray(image), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-4)
+
+
+def test_checkpoint_roundtrip_conversion(tmp_path):
+    """Write a TF checkpoint with tf.layers names → convert → same output."""
+    import tensorflow.compat.v1 as tf1
+
+    params, state, names = _np_params(CFG, seed=3)
+
+    # flatten into tf.layers-style names
+    flat = {}
+    for cname_b in list(params.keys()):
+        for leaf, val in params[cname_b].items():
+            flat[f"{cname_b}/{leaf}"] = val
+    for bname in state:
+        for leaf, val in state[bname].items():
+            flat[f"{bname}/{leaf}"] = val
+
+    graph = tf1.Graph()
+    with graph.as_default():
+        tfvars = [tf1.get_variable(name, initializer=val)
+                  for name, val in flat.items()]
+        saver = tf1.train.Saver(var_list={v.op.name: v for v in tfvars})
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            prefix = str(tmp_path / "FCN_test.ckpt")
+            saver.save(sess, prefix)
+
+    bundle = convert_tf_checkpoint(prefix)
+    kind, cfg2, names2, params2, state2, extra = store.load_model(bundle)
+    assert kind == "fcn"
+    assert cfg2 == CFG
+
+    rng = np.random.RandomState(5)
+    image = rng.rand(1, 32, 32, 1).astype(np.float32)
+    ref = _tf_forward(params, state, names, CFG, image)
+    ours, _ = fcn_mod.apply_fcn(params2, state2, names2, cfg2,
+                                jnp.asarray(image), train=False)
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-4)

@@ -1,0 +1,140 @@
+"""Trainer tests: SA FCN and aortic UNet / UNet-LSTM two-phase."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+import jax
+
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.train.ao import (
+    AoTrainConfig,
+    get_random_batch_ao,
+    scan_dataset_ao,
+    train as train_ao,
+)
+from ukbb_cardiac_tpu.train.sa import (
+    SATrainConfig,
+    get_random_batch,
+    scan_dataset,
+    train as train_sa,
+)
+
+from phantom import ao_phantom, sax_phantom
+
+
+def _make_sa_dataset(root, n_subj=2):
+    for k in ("train", "validation"):
+        for i in range(n_subj):
+            d = os.path.join(root, k, f"{k}{i}")
+            os.makedirs(d, exist_ok=True)
+            image, seg = sax_phantom(48, 48, 3, 4, r_lv=8.0, wall=3.0,
+                                     rng=np.random.RandomState(i))
+            affine = np.diag([1.8, 1.8, 10.0, 1.0])
+            for fr, t in (("ED", 0), ("ES", 2)):
+                nifti.save(nifti.Nifti1Image(image[:, :, :, t], affine),
+                           os.path.join(d, f"sa_{fr}.nii.gz"))
+                nifti.save(nifti.Nifti1Image(seg[:, :, :, t].astype(np.float64),
+                                             affine),
+                           os.path.join(d, f"label_sa_{fr}.nii.gz"))
+
+
+def _make_ao_dataset(root, n_subj=2, sparse=True):
+    for k in ("train", "validation"):
+        for i in range(n_subj):
+            d = os.path.join(root, k, f"{k}{i}")
+            os.makedirs(d, exist_ok=True)
+            image, seg = ao_phantom(48, 48, 8, rng=np.random.RandomState(i))
+            affine = np.diag([1.8, 1.8, 10.0, 1.0])
+            nifti.save(nifti.Nifti1Image(image, affine),
+                       os.path.join(d, "ao.nii.gz"))
+            label = seg.astype(np.float64)
+            if sparse:  # annotate only frames 0 and 4 (ED/ES-style)
+                label = label.copy()
+                label[:, :, :, [1, 2, 3, 5, 6, 7]] = 0
+            nifti.save(nifti.Nifti1Image(label, affine),
+                       os.path.join(d, "label_ao.nii.gz"))
+            nifti.save(nifti.Nifti1Image(seg.astype(np.float64), affine),
+                       os.path.join(d, "label_ao_prop.nii.gz"))
+
+
+def test_sa_batch_sampler(tmp_path):
+    _make_sa_dataset(str(tmp_path))
+    data_list = scan_dataset(str(tmp_path), "sa")
+    assert len(data_list["train"]) == 4  # 2 subjects x ED/ES
+    images, labels = get_random_batch(data_list["train"], 2, image_size=48,
+                                      data_augmentation=True, rotate=10,
+                                      scale=0.2)
+    assert images.shape == (6, 48, 48, 1)  # 2 subjects x 3 slices
+    assert labels.shape == (6, 48, 48)
+    assert set(np.unique(labels)) <= {0, 1, 2, 3}
+
+
+def test_sa_training_loop(tmp_path):
+    _make_sa_dataset(str(tmp_path))
+    cfg = SATrainConfig(seq_name="sa", image_size=48, train_batch_size=1,
+                        num_filter=2, dataset_dir=str(tmp_path),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        validation_every=2, checkpoint_every=4)
+    params, state, names, model_cfg = train_sa(cfg, max_iterations=4)
+    model_dir = os.path.join(str(tmp_path / "ckpt"), cfg.model_name)
+    assert os.path.exists(os.path.join(model_dir, "model-4.npz"))
+    log = [json.loads(l) for l in open(os.path.join(model_dir, "train_log.jsonl"))]
+    assert len(log) >= 1 and np.isfinite(log[-1]["loss"])
+
+
+def test_ao_batch_sampler_windows(tmp_path):
+    _make_ao_dataset(str(tmp_path))
+    data_list = scan_dataset_ao(str(tmp_path))
+    assert len(data_list["train"][0]) == 3  # has label_prop
+    images, labels = get_random_batch_ao(data_list["train"], 1, image_size=48,
+                                         time_window=3, z_score=True)
+    # 2 annotated frames per subject -> 2 windows
+    assert images.shape == (2, 3, 48, 48, 1)
+    assert labels.shape == (2, 3, 48, 48)
+    # flatten mode (UNet)
+    images_f, labels_f = get_random_batch_ao(data_list["train"], 1,
+                                             image_size=48, time_window=1,
+                                             flatten=True)
+    assert images_f.ndim == 4 and labels_f.ndim == 3
+
+
+def test_ao_unet_then_lstm_two_phase(tmp_path):
+    _make_ao_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg1 = AoTrainConfig(model="UNet", image_size=48, train_batch_size=1,
+                         num_filter=2, num_level=3, dataset_dir=str(tmp_path),
+                         checkpoint_dir=ckpt_dir, checkpoint_every=2,
+                         validation_every=2)
+    train_ao(cfg1, max_iterations=2)
+    unet_bundle = os.path.join(ckpt_dir, cfg1.model_name, "model-2.npz")
+    assert os.path.exists(unet_bundle)
+
+    cfg2 = AoTrainConfig(model="UNet-LSTM", image_size=48, train_batch_size=1,
+                         num_filter=2, num_level=3, num_hidden=4, weight_R=2,
+                         dataset_dir=str(tmp_path), checkpoint_dir=ckpt_dir,
+                         model_path=unet_bundle, checkpoint_every=2,
+                         validation_every=2)
+    params, state, names, ucfg = train_ao(cfg2, max_iterations=2)
+
+    # phase-2 freeze: UNet weights unchanged vs the restored bundle
+    from ukbb_cardiac_tpu.ckpt import store
+    _, _, _, p1, s1, _ = store.load_model(unet_bundle)
+    k0 = sorted(k for k in p1["UNet"]["conv0"] if k.startswith("conv2d"))[0]
+    np.testing.assert_array_equal(
+        np.asarray(params["UNet"]["conv0"][k0]["kernel"]),
+        np.asarray(p1["UNet"]["conv0"][k0]["kernel"]))
+    # ...while LSTM weights exist and the bundle saved
+    assert "LSTM" in params
+    lstm_bundle = os.path.join(ckpt_dir, cfg2.model_name, "model-2.npz")
+    assert os.path.exists(lstm_bundle)
+
+    # the trained bundle deploys through the aortic engine
+    from ukbb_cardiac_tpu.infer.deploy_ao import load_aortic_engine
+    engine = load_aortic_engine(lstm_bundle)
+    image, _ = ao_phantom(48, 48, 4)
+    prob = engine.prob_sequence(np.pad(image, ((0, 0), (0, 0), (0, 0), (0, 0))),
+                                window="full")
+    assert prob.shape == (48, 48, 1, 4, 3)

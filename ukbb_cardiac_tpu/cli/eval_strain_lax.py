@@ -1,0 +1,55 @@
+"""CLI twin of ``long_axis/eval_strain_lax.py`` — longitudinal strain."""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import pandas as pd
+
+from ukbb_cardiac_tpu.phenotype.qc import la_pass_quality_control
+from ukbb_cardiac_tpu.phenotype.strain_la import cine_2d_la_motion_and_strain_analysis
+
+COLUMNS = [f"Ell_{i} (%)" for i in range(1, 7)] + ["Ell_Global (%)"]
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_dir", metavar="dir_name", required=True)
+    parser.add_argument("--output_csv", metavar="csv_name", required=True)
+    parser.add_argument("--par_dir", metavar="dir_name", default="",
+                        help="Unused; kept for reference-CLI compatibility.")
+    parser.add_argument("--start_idx", type=int, default=0)
+    parser.add_argument("--end_idx", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    data_list = sorted(os.listdir(args.data_dir))
+    end_idx = len(data_list) if args.end_idx == 0 else args.end_idx
+    table, processed = [], []
+    for data in data_list[args.start_idx:end_idx]:
+        print(data)
+        data_dir = os.path.join(args.data_dir, data)
+        seg_la_name = os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz")
+        if not os.path.exists(seg_la_name):
+            continue
+        if not la_pass_quality_control(seg_la_name):
+            continue
+
+        motion_dir = os.path.join(data_dir, "cine_motion")
+        os.makedirs(motion_dir, exist_ok=True)
+        cine_2d_la_motion_and_strain_analysis(
+            data_dir, motion_dir, os.path.join(data_dir, "strain_la_4ch"))
+        shutil.rmtree(motion_dir, ignore_errors=True)
+
+        longit_csv = os.path.join(data_dir, "strain_la_4ch_longit.csv")
+        if os.path.exists(longit_csv):
+            df_longit = pd.read_csv(longit_csv, index_col=0)
+            table.append([df_longit.iloc[i, :].min() for i in range(7)])
+            processed.append(data)
+
+    pd.DataFrame(table, index=processed, columns=COLUMNS).to_csv(args.output_csv)
+
+
+if __name__ == "__main__":
+    main()

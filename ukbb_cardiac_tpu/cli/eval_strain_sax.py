@@ -1,0 +1,66 @@
+"""CLI twin of ``short_axis/eval_strain_sax.py`` — SA strain.
+
+``--par_dir`` is accepted for flag compatibility but unused: the MIRTK
+parameter files are replaced by the built-in registration config
+(``reg.RegConfig``, defaults matching ``par/ffd_cine_2d_motion.cfg``).
+``--start_idx/--end_idx`` manual sharding is kept for fleet runs.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import shutil
+
+import pandas as pd
+
+from ukbb_cardiac_tpu.phenotype.qc import sa_pass_quality_control
+from ukbb_cardiac_tpu.phenotype.strain import cine_2d_sa_motion_and_strain_analysis
+
+COLUMNS = ([f"Ecc_AHA_{i} (%)" for i in range(1, 17)] + ["Ecc_Global (%)"] +
+           [f"Err_AHA_{i} (%)" for i in range(1, 17)] + ["Err_Global (%)"])
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_dir", metavar="dir_name", required=True)
+    parser.add_argument("--output_csv", metavar="csv_name", required=True)
+    parser.add_argument("--par_dir", metavar="dir_name", default="",
+                        help="Unused; kept for reference-CLI compatibility.")
+    parser.add_argument("--start_idx", type=int, default=0)
+    parser.add_argument("--end_idx", type=int, default=0)
+    args = parser.parse_args(argv)
+
+    data_list = sorted(os.listdir(args.data_dir))
+    end_idx = len(data_list) if args.end_idx == 0 else args.end_idx
+    table, processed = [], []
+    for data in data_list[args.start_idx:end_idx]:
+        print(data)
+        data_dir = os.path.join(args.data_dir, data)
+        seg_sa_name = os.path.join(data_dir, "seg_sa_ED.nii.gz")
+        if not os.path.exists(seg_sa_name):
+            continue
+        if not sa_pass_quality_control(seg_sa_name):
+            continue
+
+        motion_dir = os.path.join(data_dir, "cine_motion")
+        os.makedirs(motion_dir, exist_ok=True)
+        cine_2d_sa_motion_and_strain_analysis(
+            data_dir, motion_dir, os.path.join(data_dir, "strain_sa"))
+        shutil.rmtree(motion_dir, ignore_errors=True)
+
+        radial_csv = os.path.join(data_dir, "strain_sa_radial.csv")
+        circum_csv = os.path.join(data_dir, "strain_sa_circum.csv")
+        if os.path.exists(radial_csv) and os.path.exists(circum_csv):
+            df_radial = pd.read_csv(radial_csv, index_col=0)
+            df_circum = pd.read_csv(circum_csv, index_col=0)
+            line = ([df_circum.iloc[i, :].min() for i in range(17)] +
+                    [df_radial.iloc[i, :].max() for i in range(17)])
+            table.append(line)
+            processed.append(data)
+
+    pd.DataFrame(table, index=processed, columns=COLUMNS).to_csv(args.output_csv)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,315 @@
+"""Minimal DICOM reader (pure Python) for UK Biobank CMR series.
+
+The reference uses pydicom (``data/biobank_utils.py``), with a SimpleITK
+fallback for compressed transfer syntaxes (``:344-363``).  Neither is a
+dependency here; UKB cardiac DICOMs are uncompressed little-endian, so a
+direct parser covers the real data path.  Exposes the attribute subset
+``Biobank_Dataset`` consumes: Rows, Columns, PixelSpacing,
+SpacingBetweenSlices, SliceThickness, ImagePositionPatient,
+ImageOrientationPatient, CardiacNumberOfImages, TriggerTime,
+SeriesInstanceUID, SeriesDescription, InstanceNumber and ``pixel_array``.
+
+Supported transfer syntaxes: implicit VR little endian (1.2.840.10008.1.2)
+and explicit VR little endian (1.2.840.10008.1.2.1).  Compressed files
+raise ``UnsupportedDicom`` — callers degrade per-frame like the reference.
+"""
+
+from __future__ import annotations
+
+import os
+import struct
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+
+IMPLICIT_LE = "1.2.840.10008.1.2"
+EXPLICIT_LE = "1.2.840.10008.1.2.1"
+
+# tag -> attribute name (the subset biobank_utils touches)
+_TAGS = {
+    (0x0008, 0x0018): "SOPInstanceUID",
+    (0x0008, 0x103E): "SeriesDescription",
+    (0x0018, 0x0050): "SliceThickness",
+    (0x0018, 0x0088): "SpacingBetweenSlices",
+    (0x0018, 0x1060): "TriggerTime",
+    (0x0018, 0x1090): "CardiacNumberOfImages",
+    (0x0020, 0x000E): "SeriesInstanceUID",
+    (0x0020, 0x0013): "InstanceNumber",
+    (0x0020, 0x0032): "ImagePositionPatient",
+    (0x0020, 0x0037): "ImageOrientationPatient",
+    (0x0028, 0x0002): "SamplesPerPixel",
+    (0x0028, 0x0008): "NumberOfFrames",
+    (0x0028, 0x0010): "Rows",
+    (0x0028, 0x0011): "Columns",
+    (0x0028, 0x0030): "PixelSpacing",
+    (0x0028, 0x0100): "BitsAllocated",
+    (0x0028, 0x0103): "PixelRepresentation",
+    (0x0028, 0x1052): "RescaleIntercept",
+    (0x0028, 0x1053): "RescaleSlope",
+    (0x7FE0, 0x0010): "PixelData",
+}
+
+_INT_ATTRS = {"Rows", "Columns", "CardiacNumberOfImages", "InstanceNumber",
+              "BitsAllocated", "PixelRepresentation", "SamplesPerPixel",
+              "NumberOfFrames"}
+_FLOAT_ATTRS = {"SliceThickness", "SpacingBetweenSlices", "TriggerTime",
+                "RescaleIntercept", "RescaleSlope"}
+_FLOAT_LIST_ATTRS = {"PixelSpacing", "ImagePositionPatient",
+                     "ImageOrientationPatient"}
+
+
+class UnsupportedDicom(Exception):
+    pass
+
+
+class DicomImage:
+    """Attribute-style access mirroring pydicom's Dataset surface."""
+
+    def __init__(self, attrs: Dict[str, object]):
+        self._attrs = attrs
+
+    def __getattr__(self, name):
+        try:
+            return self._attrs[name]
+        except KeyError:
+            raise AttributeError(name)
+
+    def __contains__(self, name):
+        return name in self._attrs
+
+    @property
+    def pixel_array(self) -> np.ndarray:
+        raw = self._attrs.get("PixelData")
+        if raw is None:
+            raise AttributeError("PixelData")
+        bits = int(self._attrs.get("BitsAllocated", 16))
+        signed = int(self._attrs.get("PixelRepresentation", 0)) == 1
+        if bits == 16:
+            dtype = np.int16 if signed else np.uint16
+        elif bits == 8:
+            dtype = np.int8 if signed else np.uint8
+        else:
+            raise UnsupportedDicom(f"BitsAllocated={bits}")
+        rows = int(self._attrs["Rows"])
+        cols = int(self._attrs["Columns"])
+        n_frames = int(self._attrs.get("NumberOfFrames", 1))
+        arr = np.frombuffer(raw, dtype=dtype,
+                            count=rows * cols * n_frames)
+        if n_frames > 1:
+            return arr.reshape(n_frames, rows, cols)
+        return arr.reshape(rows, cols)
+
+
+def _decode_value(name: str, vr: Optional[str], raw: bytes):
+    if name == "PixelData":
+        return raw
+    if vr == "US" or (vr is None and name in _INT_ATTRS and len(raw) == 2):
+        return struct.unpack("<H", raw[:2])[0]
+    if vr == "UL":
+        return struct.unpack("<I", raw[:4])[0]
+    text = raw.decode("latin-1").strip("\x00 ").strip()
+    if name in _INT_ATTRS:
+        try:
+            return int(float(text))
+        except ValueError:
+            return 0
+    if name in _FLOAT_ATTRS:
+        try:
+            return float(text)
+        except ValueError:
+            return 0.0
+    if name in _FLOAT_LIST_ATTRS:
+        return [float(v) for v in text.split("\\") if v]
+    return text
+
+
+_EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
+
+
+def _parse_dataset(buf: bytes, pos: int, explicit: bool,
+                   attrs: Dict[str, object], stop_at: Optional[int] = None):
+    n = len(buf)
+    end = n if stop_at is None else stop_at
+    while pos + 8 <= end:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        pos += 4
+        if (group, elem) == (0xFFFE, 0xE00D) or (group, elem) == (0xFFFE, 0xE0DD):
+            pos += 4
+            continue
+        vr = None
+        if (group, elem) == (0xFFFE, 0xE000):  # item inside SQ
+            length = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+            if length == 0xFFFFFFFF:
+                pos = _skip_undefined(buf, pos, explicit)
+            else:
+                pos += length
+            continue
+        if explicit:
+            vr = buf[pos:pos + 2]
+            if vr in _EXPLICIT_LONG_VRS:
+                length = struct.unpack_from("<I", buf, pos + 4)[0]
+                pos += 8
+            else:
+                length = struct.unpack_from("<H", buf, pos + 2)[0]
+                pos += 4
+            vr = vr.decode("ascii", "replace")
+        else:
+            length = struct.unpack_from("<I", buf, pos)[0]
+            pos += 4
+
+        if length == 0xFFFFFFFF:
+            if (group, elem) == (0x7FE0, 0x0010):
+                raise UnsupportedDicom("encapsulated (compressed) pixel data")
+            pos = _skip_undefined(buf, pos, explicit)
+            continue
+
+        name = _TAGS.get((group, elem))
+        if name is not None:
+            attrs[name] = _decode_value(name, vr, buf[pos:pos + length])
+        pos += length
+    return pos
+
+
+def _skip_undefined(buf: bytes, pos: int, explicit: bool) -> int:
+    """Skip an undefined-length sequence by scanning nested delimiters."""
+    depth = 1
+    n = len(buf)
+    while pos + 8 <= n and depth > 0:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        length = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        if (group, elem) == (0xFFFE, 0xE000):      # item
+            if length == 0xFFFFFFFF:
+                continue  # delimited item: keep scanning
+            pos += length
+        elif (group, elem) == (0xFFFE, 0xE00D):    # item delimiter
+            continue
+        elif (group, elem) == (0xFFFE, 0xE0DD):    # sequence delimiter
+            depth -= 1
+        else:
+            # nested element inside a delimited item
+            if length == 0xFFFFFFFF:
+                depth += 1
+            else:
+                pos += length
+    return pos
+
+
+def dcmread(path: str) -> DicomImage:
+    """Read a DICOM file — the ``pydicom.dcmread`` twin for our subset."""
+    with open(path, "rb") as f:
+        buf = f.read()
+    attrs: Dict[str, object] = {}
+    if buf[128:132] == b"DICM":
+        # file meta group: always explicit VR LE; read until group != 0002
+        pos = 132
+        transfer = EXPLICIT_LE
+        n = len(buf)
+        while pos + 8 <= n:
+            group, elem = struct.unpack_from("<HH", buf, pos)
+            if group != 0x0002:
+                break
+            vr = buf[pos + 4:pos + 6]
+            if vr in _EXPLICIT_LONG_VRS:
+                length = struct.unpack_from("<I", buf, pos + 8)[0]
+                hdr = 12
+            else:
+                length = struct.unpack_from("<H", buf, pos + 6)[0]
+                hdr = 8
+            if (group, elem) == (0x0002, 0x0010):
+                transfer = buf[pos + hdr:pos + hdr + length].decode(
+                    "ascii").strip("\x00 ")
+            pos += hdr + length
+        if transfer == IMPLICIT_LE:
+            explicit = False
+        elif transfer == EXPLICIT_LE:
+            explicit = True
+        else:
+            raise UnsupportedDicom(f"transfer syntax {transfer}")
+        _parse_dataset(buf, pos, explicit, attrs)
+    else:
+        # raw dataset without preamble: assume implicit VR LE
+        _parse_dataset(buf, 0, False, attrs)
+    return DicomImage(attrs)
+
+
+_WRITE_VRS = {
+    "SOPInstanceUID": "UI", "SeriesInstanceUID": "UI",
+    "SeriesDescription": "LO", "SliceThickness": "DS",
+    "SpacingBetweenSlices": "DS", "TriggerTime": "DS",
+    "CardiacNumberOfImages": "IS", "InstanceNumber": "IS",
+    "ImagePositionPatient": "DS", "ImageOrientationPatient": "DS",
+    "NumberOfFrames": "IS", "Rows": "US", "Columns": "US",
+    "PixelSpacing": "DS", "BitsAllocated": "US",
+    "PixelRepresentation": "US", "SamplesPerPixel": "US",
+    "RescaleIntercept": "DS", "RescaleSlope": "DS",
+}
+_NAME_TO_TAG = {v: k for k, v in _TAGS.items()}
+
+
+def dcmwrite_minimal(path: str, attrs: Dict[str, object],
+                     pixel: Optional[np.ndarray] = None) -> None:
+    """Write a minimal explicit-VR-little-endian DICOM file.
+
+    Used for synthetic fixtures and tests (the reference relies on real
+    UKB DICOMs that cannot ship with the repo). ``pixel`` is a (rows,
+    cols) int16/uint16 array.
+    """
+    body = bytearray()
+
+    def put(group, elem, vr, val: bytes):
+        if len(val) % 2:
+            val += b"\x00" if vr != "UI" else b"\x00"
+        body.extend(struct.pack("<HH", group, elem))
+        if vr in ("OB", "OW", "SQ", "UT", "UN", "OF"):
+            body.extend(vr.encode() + b"\x00\x00")
+            body.extend(struct.pack("<I", len(val)))
+        else:
+            body.extend(vr.encode())
+            body.extend(struct.pack("<H", len(val)))
+        body.extend(val)
+
+    items = []
+    for name, value in attrs.items():
+        tag = _NAME_TO_TAG.get(name)
+        if tag is None:
+            continue
+        vr = _WRITE_VRS[name]
+        if vr == "US":
+            raw = struct.pack("<H", int(value))
+        elif isinstance(value, (list, tuple, np.ndarray)):
+            raw = "\\".join(str(v) for v in value).encode()
+        else:
+            raw = str(value).encode()
+        items.append((tag, vr, raw))
+    for (group, elem), vr, raw in sorted(items):
+        put(group, elem, vr, raw)
+    if pixel is not None:
+        put(0x7FE0, 0x0010, "OW", np.ascontiguousarray(pixel).tobytes())
+
+    meta = bytearray()
+
+    def put_meta(group, elem, vr, val: bytes):
+        if len(val) % 2:
+            val += b"\x00"
+        meta.extend(struct.pack("<HH", group, elem))
+        meta.extend(vr.encode())
+        meta.extend(struct.pack("<H", len(val)))
+        meta.extend(val)
+
+    put_meta(0x0002, 0x0010, "UI", EXPLICIT_LE.encode())
+
+    with open(path, "wb") as f:
+        f.write(b"\x00" * 128 + b"DICM")
+        f.write(bytes(meta))
+        f.write(bytes(body))
+
+
+def is_dicom_file(path: str) -> bool:
+    try:
+        with open(path, "rb") as f:
+            head = f.read(132)
+        return head[128:132] == b"DICM"
+    except OSError:
+        return False

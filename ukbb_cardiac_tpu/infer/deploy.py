@@ -76,8 +76,10 @@ def deploy_subject_sequence(engine: InferenceEngine, data_dir: str, seq_name: st
 
     print("  Segmenting full sequence ...")
     start = time.time()
-    image = rescale_intensity(orig_image.astype(np.float32), (1.0, 99.0))
-    pred = engine.segment_sequence(image).astype(np.float64)
+    # One fused device program: rescale (deploy_network.py:89), pad,
+    # batched forward, argmax, packed readback.
+    pred = engine.segment_sequence_fused(orig_image,
+                                         rescale="percentile").astype(np.float64)
     seg_time = time.time() - start
     print(f"  Segmentation time = {seg_time:3f}s")
 

@@ -1,0 +1,316 @@
+"""Long-axis (4-chamber) motion tracking and longitudinal strain.
+
+Reference: ``common/cardiac_utils.py:990-1136`` (mitral-valve trimming,
+LA AHA-6 partitioning), ``:1139-1322`` (``extract_la_myocardial_contour``),
+``:1325-1404`` (``evaluate_la_strain_by_length``) and ``:1407-1537``
+(``cine_2d_la_motion_and_strain_analysis``).
+
+Motion engine shared with the SA driver: one batched JAX FFD
+registration replaces the reference's sequential MIRTK subprocesses.
+"""
+
+from __future__ import annotations
+
+import math
+import os
+from typing import Dict, Optional, Tuple
+
+import numpy as np
+import pandas as pd
+from scipy.ndimage import map_coordinates
+
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.io.vtkio import PolyData, load_polydata, save_polydata
+from ukbb_cardiac_tpu.ops import get_largest_cc, np_categorical_dice, remove_small_cc
+from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_target
+from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
+from ukbb_cardiac_tpu.phenotype.contours import approximate_contour, extract_contour
+from ukbb_cardiac_tpu.phenotype.strain import _sample_field, track_slice_fields
+from ukbb_cardiac_tpu.reg import RegConfig
+
+LA_LABEL = {"BG": 0, "LV": 1, "Myo": 2, "RV": 3, "LA": 4, "RA": 5}
+
+
+def remove_mitral_valve_points(endo_contour, epi_contour, mitral_plane):
+    """Cut both contours at the mitral-valve plane so they become open
+    curves starting just after the plane (``cardiac_utils.py:990-1032``)."""
+
+    def trim(contour):
+        N = contour.shape[0]
+        start_i = 0
+        for i in range(N):
+            y, x = contour[i]
+            prev_y, prev_x = contour[(i - 1) % N]
+            if not mitral_plane[x, y] and mitral_plane[prev_x, prev_y]:
+                start_i = i
+                break
+        contour = np.concatenate((contour[start_i:], contour[:start_i]))
+        N = contour.shape[0]
+        end_i = N
+        for i in range(N):
+            y, x = contour[i]
+            if mitral_plane[x, y]:
+                end_i = i
+                break
+        return contour[:end_i]
+
+    return trim(endo_contour), trim(epi_contour)
+
+
+def determine_la_aha_part(seg_la, affine_la, affine_sa):
+    """Long-axis index (2x granularity of SA slice index) → basal/mid/
+    apical thirds + LV mid-line per index (``cardiac_utils.py:1035-1103``)."""
+    label = LA_LABEL
+    inv_sa = np.linalg.inv(affine_sa)
+    z = 0
+
+    def la_indices(mask):
+        xs, ys = np.nonzero(mask)
+        n = len(xs)
+        vox = np.stack([xs, ys, np.zeros(n), np.ones(n)])
+        z_sa = (inv_sa @ (affine_la @ vox))[2]
+        return xs, ys, np.rint(z_sa * 2).astype(int)
+
+    lv_myo = (seg_la == label["LV"]) | (seg_la == label["Myo"])
+    _, _, lv_myo_idx = la_indices(lv_myo)
+    lv_myo_idx_min, lv_myo_idx_max = lv_myo_idx.min(), lv_myo_idx.max()
+
+    if affine_sa[2, 2] > 0:
+        la_idx = np.arange(lv_myo_idx_max, lv_myo_idx_min, -1)
+    else:
+        la_idx = np.arange(lv_myo_idx_min, lv_myo_idx_max + 1, 1)
+
+    n_la_idx = len(la_idx)
+    i1 = int(math.ceil(n_la_idx / 3.0))
+    i2 = int(math.ceil(2 * n_la_idx / 3.0))
+    part_z: Dict[int, str] = {}
+    for i in range(0, i1):
+        part_z[la_idx[i]] = "basal"
+    for i in range(i1, i2):
+        part_z[la_idx[i]] = "mid"
+    for i in range(i2, n_la_idx):
+        part_z[la_idx[i]] = "apical"
+
+    xs, ys, lv_idx = la_indices(seg_la == label["LV"])
+    lv_idx_min, lv_idx_max = lv_idx.min(), lv_idx.max()
+    mid_line: Dict[int, np.ndarray] = {}
+    for idx in range(lv_idx_min, lv_idx_max + 1):
+        sel = lv_idx == idx
+        mx, my = np.mean(xs[sel]), np.mean(ys[sel])
+        mid_line[idx] = np.dot(affine_la, np.array([mx, my, z, 1]))[:3]
+    for idx in range(lv_myo_idx_min, lv_idx_min):
+        mid_line[idx] = mid_line[lv_idx_min]
+    for idx in range(lv_idx_max, lv_myo_idx_max + 1):
+        mid_line[idx] = mid_line[lv_idx_max]
+    return part_z, mid_line
+
+
+def determine_la_aha_segment_id(point, la_idx, axis, mid_line, part_z) -> int:
+    """Septal vs lateral (sign of dot with lv_to_sep) x part → LA-6
+    segment ID (``cardiac_utils.py:1106-1136``)."""
+    vec = point - mid_line[la_idx]
+    septal = np.dot(vec, axis["lv_to_sep"]) > 0
+    part = part_z[la_idx]
+    table = {("basal", True): 1, ("basal", False): 2,
+             ("mid", True): 3, ("mid", False): 4,
+             ("apical", True): 5, ("apical", False): 6}
+    return table[(part, bool(septal))]
+
+
+def extract_la_myocardial_contour(seg_la_name: str, seg_sa_name: str,
+                                  contour_name: str) -> None:
+    """4ch ED endo/epi open contours with longitudinal line cells and
+    AHA-6 labels (``cardiac_utils.py:1139-1322``)."""
+    nim = nifti.load(seg_la_name)
+    affine = nim.affine
+    seg = np.asanyarray(nim.dataobj)
+    if seg.ndim == 4:
+        seg = seg[:, :, :, 0]
+    label = LA_LABEL
+
+    nim_sa = nifti.load(seg_sa_name)
+    affine_sa = nim_sa.affine
+    seg_sa = np.asanyarray(nim_sa.dataobj)
+    if seg_sa.ndim == 4:
+        seg_sa = seg_sa[:, :, :, 0]
+    aha_axis = determine_aha_coordinate_system(seg_sa, affine_sa)
+
+    z = 0
+    seg_z = seg[:, :, z]
+    endo = get_largest_cc(seg_z == label["LV"]).astype(np.uint8)
+    # The myocardium may be split at the thin apex: keep all non-small CCs
+    # (cardiac_utils.py:1180-1184)
+    myo = remove_small_cc(seg_z == label["Myo"]).astype(np.uint8)
+    epi = get_largest_cc(endo | myo).astype(np.uint8)
+
+    endo_contour = extract_contour(endo)
+    epi_contour = extract_contour(epi)
+
+    mitral_plane = np.zeros(seg_z.shape)
+    for y, x in epi_contour:
+        if endo[x, y]:
+            mitral_plane[x, y] = 1
+    if np.sum(mitral_plane) >= 1:
+        endo_contour, epi_contour = remove_mitral_valve_points(
+            endo_contour, epi_contour, mitral_plane)
+
+    if len(endo_contour) >= 2:
+        endo_contour = approximate_contour(endo_contour)
+    if len(epi_contour) >= 2:
+        epi_contour = approximate_contour(epi_contour)
+
+    part_z, mid_line = determine_la_aha_part(seg_z, affine, affine_sa)
+    la_idx_min = min(part_z.keys())
+    la_idx_max = max(part_z.keys())
+    inv_sa = np.linalg.inv(affine_sa)
+
+    points, pt_label, pt_ids, pt_radial = [], [], [], []
+    lines, lines_aha, lines_dir = [], [], []
+
+    for contour, lab in ((endo_contour, 1), (epi_contour, 2)):
+        base = len(points)
+        N = contour.shape[0]
+        for i in range(N):
+            y, x = contour[i]
+            p = np.dot(affine, np.array([x, y, z, 1]))[:3]
+            z_sa = np.dot(inv_sa, np.hstack([p, 1]))[2]
+            la_idx = int(round(z_sa * 2))
+            la_idx = min(max(la_idx, la_idx_min), la_idx_max)
+            d = p - mid_line[la_idx]
+            d = d / np.linalg.norm(d)
+            seg_id = determine_la_aha_segment_id(p, la_idx, aha_axis,
+                                                 mid_line, part_z)
+            points.append(p)
+            pt_label.append(lab)
+            pt_ids.append(seg_id)
+            pt_radial.append(d)
+            if i < N - 1:
+                lines.append(np.array([base + i, base + i + 1]))
+                lines_aha.append(seg_id)
+                lines_dir.append(3)  # longitudinal
+
+    poly = PolyData(
+        points=np.asarray(points),
+        lines=lines,
+        point_scalars={"Label": np.asarray(pt_label, np.int32),
+                       "Segment_ID": np.asarray(pt_ids, np.int32)},
+        point_vectors={"Direction_Radial": np.asarray(pt_radial)},
+        cell_scalars={"Segment_ID": np.asarray(lines_aha, np.int32),
+                      "Direction_ID": np.asarray(lines_dir, np.int32)},
+    )
+    save_polydata(poly, contour_name)
+
+
+def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
+                                 output_name_stem: str) -> None:
+    """Longitudinal strain table, 7 rows (6 segments + Global)
+    (``cardiac_utils.py:1325-1404``)."""
+    poly_ED = load_polydata(f"{contour_name_stem}{0:02d}.vtk")
+    pts = poly_ED.points
+    n_lines = len(poly_ED.lines)
+    length_ED = np.array([np.linalg.norm(pts[c[0]] - pts[c[1]])
+                          for c in poly_ED.lines])
+    seg_id = poly_ED.cell_scalars["Segment_ID"]
+    dir_id = poly_ED.cell_scalars["Direction_ID"]
+
+    table = np.zeros((7, T))
+    for fr in range(T):
+        filename = f"{contour_name_stem}{fr:02d}.vtk"
+        poly = load_polydata(filename)
+        p = poly.points
+        strain = np.array([
+            (np.linalg.norm(p[c[0]] - p[c[1]]) - length_ED[i]) / length_ED[i] * 100
+            for i, c in enumerate(poly.lines)])
+        poly.cell_scalars["Strain"] = strain
+        save_polydata(poly, filename)
+        for i in range(6):
+            sel = (seg_id == (i + 1)) & (dir_id == 3)
+            table[i, fr] = np.mean(strain[sel]) if np.any(sel) else np.nan
+        table[-1, fr] = np.mean(strain[dir_id == 3])
+
+    index = [str(x) for x in np.arange(1, 7)] + ["Global"]
+    column = np.arange(0, T) * dt * 1e3
+    pd.DataFrame(table, index=index, columns=column).to_csv(
+        f"{output_name_stem}_longit.csv")
+
+
+def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
+                                          output_name_stem: str,
+                                          cfg: RegConfig = RegConfig(),
+                                          eval_dice: bool = False) -> Optional[pd.DataFrame]:
+    """Full LA strain driver (``cardiac_utils.py:1407-1537``), MIRTK-free.
+
+    Expects ``<data_dir>/{la_4ch,seg4_la_4ch,seg4_la_4ch_ED,seg_sa_ED}.nii.gz``.
+    """
+    # LV-focused crop via relabelling (cardiac_utils.py:1412-1425):
+    # Myo->LV, then RV/LA/RA -> BG, bbox + 20
+    lv_name = os.path.join(output_dir, "seg4_la_4ch_lv_ED.nii.gz")
+    padding(os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"),
+            os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"), lv_name, 2, 1)
+    for lab in (3, 4, 5):
+        padding(lv_name, lv_name, lv_name, lab, 0)
+    auto_crop_image(lv_name,
+                    os.path.join(output_dir, "seg4_la_4ch_lv_crop_ED.nii.gz"), 20)
+    resample_to_target(os.path.join(data_dir, "la_4ch.nii.gz"),
+                       os.path.join(output_dir, "seg4_la_4ch_lv_crop_ED.nii.gz"),
+                       os.path.join(output_dir, "la_4ch_crop.nii.gz"))
+    resample_to_target(os.path.join(data_dir, "seg4_la_4ch.nii.gz"),
+                       os.path.join(output_dir, "seg4_la_4ch_lv_crop_ED.nii.gz"),
+                       os.path.join(output_dir, "seg4_la_4ch_crop.nii.gz"),
+                       interp="nn")
+
+    extract_la_myocardial_contour(
+        os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"),
+        os.path.join(data_dir, "seg_sa_ED.nii.gz"),
+        os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
+
+    nim = nifti.load(os.path.join(output_dir, "la_4ch_crop.nii.gz"))
+    T = int(nim.header["dim"][4])
+    dt = float(nim.header["pixdim"][4])
+    la_crop = np.asanyarray(nim.dataobj).astype(np.float32)
+    affine_crop = nim.affine
+    inv_affine = np.linalg.inv(affine_crop)
+    X, Y = la_crop.shape[:2]
+
+    frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
+    combined = track_slice_fields(frames, cfg)
+
+    poly_ED = load_polydata(os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
+    world = poly_ED.points
+    vox = (inv_affine @ np.concatenate(
+        [world, np.ones((len(world), 1))], axis=1).T).T[:, :3]
+
+    for fr in range(T):
+        disp = _sample_field(combined[fr], vox[:, :2])
+        vox_fr = vox.copy()
+        vox_fr[:, :2] += disp
+        world_fr = (affine_crop @ np.concatenate(
+            [vox_fr, np.ones((len(vox_fr), 1))], axis=1).T).T[:, :3]
+        poly_fr = PolyData(points=world_fr, lines=list(poly_ED.lines),
+                           point_scalars=dict(poly_ED.point_scalars),
+                           point_vectors=dict(poly_ED.point_vectors),
+                           cell_scalars=dict(poly_ED.cell_scalars))
+        save_polydata(poly_fr, os.path.join(
+            output_dir, f"la_4ch_myo_contour_fr{fr:02d}.vtk"))
+
+    evaluate_la_strain_by_length(
+        os.path.join(output_dir, "la_4ch_myo_contour_fr"), T, dt,
+        output_name_stem)
+
+    if eval_dice:
+        seg_crop = np.asanyarray(nifti.load(
+            os.path.join(output_dir, "seg4_la_4ch_crop.nii.gz")).dataobj)
+        gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+        rows = []
+        for fr in range(T):
+            cx = gx + combined[fr][..., 0]
+            cy = gy + combined[fr][..., 1]
+            warped = map_coordinates(seg_crop[:, :, 0, fr].astype(float),
+                                     [cx, cy], order=0, mode="constant")
+            rows.append([np_categorical_dice(seg_crop[:, :, 0, 0], warped, 1),
+                         np_categorical_dice(seg_crop[:, :, 0, 0], warped, 2)])
+        df = pd.DataFrame(rows)
+        df.to_csv(os.path.join(output_dir, "dice_cine_la_4ch_warp_ffd.csv"),
+                  index=None, header=None)
+        return df
+    return None

@@ -1,0 +1,343 @@
+"""Aortic trainer — twin of ``common/train_network_ao.py``.
+
+Reference semantics preserved (file:line):
+- flags and defaults: image_size 256 (boundary-learning rationale,
+  :29-30), batch 5, 20k iterations, n_class=3 BG/AAo/DAo (:265-268),
+  n_block=[2,2,2,2,2] (:284), z-score default (:65-66)
+- ``get_random_batch``: subjects with temporally *sparse* annotations;
+  a circular time window around every annotated frame (:159-187);
+  densely-propagated ``label_ao_prop`` used when present, else the
+  central frame's annotation is repeated across the window (:181-187);
+  subject-consistent augmentation (:193-196)
+- model switch UNet / UNet-LSTM / Temporal-UNet (:285-317); UNet-LSTM's
+  unrolled window = 2*weight_R-1 (:294)
+- two-phase training: restore a pre-trained UNet scope (incl. BN moving
+  stats, :407-414) and train only the LSTM head unless ``joint_train``
+  (:350-362) — here a masked optax transform zeroes UNet updates
+- piecewise-constant lr decay via ``reduce_lr_after`` (:329-339)
+- model-name hyperparameter encoding (:365-381)
+
+TPU-native: the jitted step trains the LSTM over the window with
+``lax.scan``; the deploy engine can then run the SAME cell over the full
+cine (``infer/deploy_ao.py``).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import random
+import time
+from dataclasses import dataclass, field
+from typing import List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import optax
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.models import convlstm, losses, unet as unet_mod, wrappers
+from ukbb_cardiac_tpu.ops import (aortic_data_augmenter, crop_image,
+                                  normalise_intensity, rescale_intensity)
+from ukbb_cardiac_tpu.train import steps as steps_lib
+
+
+@dataclass
+class AoTrainConfig:
+    seq_name: str = "ao"
+    model: str = "UNet"        # 'UNet' | 'UNet-LSTM' | 'Temporal-UNet'
+    image_size: int = 256
+    train_batch_size: int = 5
+    validation_batch_size: int = 5
+    num_filter: int = 16
+    num_level: int = 5
+    num_hidden: int = 16
+    train_iteration: int = 20000
+    learning_rate: float = 1e-3
+    reduce_lr_after: Sequence[int] = ()
+    dataset_dir: str = ""
+    checkpoint_dir: str = "model"
+    log_dir: str = "log"
+    model_path: str = ""       # pre-trained UNet bundle for UNet-LSTM
+    z_score: bool = True
+    bidirectional: bool = True
+    seq2seq: bool = True
+    weight_R: int = 5
+    weight_r: float = 0.0
+    joint_train: bool = False
+    from_scratch: bool = False
+    validation_every: int = 10
+    checkpoint_every: int = 1000
+    seed: int = 0
+
+    @property
+    def n_class(self) -> int:
+        return 3
+
+    @property
+    def time_window(self) -> int:
+        return 1 if self.model == "UNet" else self.weight_R * 2 - 1
+
+    @property
+    def model_name(self) -> str:
+        n_filter0 = self.num_filter
+        name = (f"{self.model}_{self.seq_name}_level{self.num_level}_"
+                f"filter{n_filter0}_22222_batch{self.train_batch_size}_"
+                f"iter{self.train_iteration}_lr{self.learning_rate}")
+        if self.z_score:
+            name += "_zscore"
+        if self.model == "UNet-LSTM":
+            name += f"_tw{self.time_window}_h{self.num_hidden}"
+            if self.bidirectional:
+                name += "_bidir"
+            if self.seq2seq:
+                name += f"_seq2seq_wR{self.weight_R}_wr{self.weight_r}"
+            if self.joint_train:
+                name += "_joint"
+            if self.from_scratch:
+                name += "_scratch"
+        if self.model == "Temporal-UNet":
+            name += f"_tw{self.time_window}_wR{self.weight_R}_wr{self.weight_r}"
+        return name
+
+
+def scan_dataset_ao(dataset_dir: str, seq_name: str = "ao"):
+    """(image, label[, label_prop]) triples per subset
+    (``train_network_ao.py:223-238``)."""
+    data_list = {}
+    for k in ("train", "validation"):
+        subset_dir = os.path.join(dataset_dir, k)
+        data_list[k] = []
+        if not os.path.isdir(subset_dir):
+            continue
+        for data in sorted(os.listdir(subset_dir)):
+            data_dir = os.path.join(subset_dir, data)
+            image_name = os.path.join(data_dir, f"{seq_name}.nii.gz")
+            label_name = os.path.join(data_dir, f"label_{seq_name}.nii.gz")
+            prop_name = os.path.join(data_dir, f"label_{seq_name}_prop.nii.gz")
+            if os.path.exists(image_name) and os.path.exists(label_name):
+                if os.path.exists(prop_name):
+                    data_list[k].append((image_name, label_name, prop_name))
+                else:
+                    data_list[k].append((image_name, label_name))
+    return data_list
+
+
+def get_random_batch_ao(filename_list, batch_size, image_size=256,
+                        time_window=1, z_score=True, flatten=False,
+                        data_augmentation=False, shift=0.0, rotate=0.0,
+                        scale=0.0, intensity=0.0, flip=False, rng=None,
+                        verbose=False):
+    """Sparse-annotation window sampler (``train_network_ao.py:98-216``).
+
+    Returns images (N, T, X, Y, 1) and labels (N, T, X, Y); when
+    ``flatten`` (UNet mode) both collapse the window axis into the batch.
+    """
+    rng = rng or random
+    n_file = len(filename_list)
+    images, labels = [], []
+    n_selected = 0
+    while n_selected < batch_size:
+        entry = filename_list[rng.randrange(n_file)]
+        image_name, label_name = entry[0], entry[1]
+        label_prop_name = entry[2] if len(entry) == 3 else None
+        if not (os.path.exists(image_name) and os.path.exists(label_name)):
+            continue
+        if verbose:
+            print(f"  Select {image_name} {label_name}")
+        image = np.asanyarray(nifti.load(image_name).dataobj).astype(np.float32)
+        label = np.asanyarray(nifti.load(label_name).dataobj)
+        label_prop = (np.asanyarray(nifti.load(label_prop_name).dataobj)
+                      if label_prop_name else None)
+
+        if image.shape != label.shape:
+            print(f"Error: mismatched size, image.shape = {image.shape}, "
+                  f"label.shape = {label.shape}")
+            continue
+        if label_prop is not None and image.shape != label_prop.shape:
+            print(f"Error: mismatched size, image.shape = {image.shape}, "
+                  f"label_prop.shape = {label_prop.shape}")
+            continue
+        if image.max() < 1e-6:
+            print(f"Error: blank image, image.max = {image.max()}")
+            continue
+
+        X, Y, Z, T = image.shape
+        cx, cy = X // 2, Y // 2
+        image = crop_image(image, cx, cy, image_size)
+        label = crop_image(label, cx, cy, image_size)
+        if label_prop is not None:
+            label_prop = crop_image(label_prop, cx, cy, image_size)
+
+        if z_score:
+            image = normalise_intensity(image, 10.0)
+        else:
+            image = rescale_intensity(image, (1.0, 99.0))
+
+        t_anno = np.nonzero(np.sum(label > 0, axis=(0, 1, 2)))[0]
+        rad = (time_window - 1) // 2
+        for t in t_anno:
+            idx = [(i + T) % T for i in range(t - rad, t + rad + 1)]
+            image_idx = np.transpose(image[:, :, 0, idx], (2, 0, 1))[..., None]
+            if label_prop is not None:
+                label_idx = np.transpose(label_prop[:, :, 0, idx], (2, 0, 1))
+            else:
+                label_idx = np.repeat(label[:, :, 0, t][None], time_window,
+                                      axis=0)
+            if data_augmentation:
+                image_idx, label_idx = aortic_data_augmenter(
+                    image_idx, label_idx, shift=shift, rotate=rotate,
+                    scale=scale, intensity=intensity, flip=flip)
+            images.append(image_idx)
+            labels.append(label_idx)
+        n_selected += 1
+
+    images = np.asarray(images, dtype=np.float32)
+    labels = np.asarray(labels, dtype=np.int32)
+    if flatten:
+        images = images.reshape((-1,) + images.shape[2:])
+        labels = labels.reshape((-1,) + labels.shape[2:])
+    return images, labels
+
+
+def init_ao_model(cfg: AoTrainConfig, key):
+    """Create (params, state, names) for the selected aortic model."""
+    n_filter = tuple(cfg.num_filter * (2 ** i) for i in range(cfg.num_level))
+    ucfg = unet_mod.UNetConfig(n_class=cfg.n_class, n_level=cfg.num_level,
+                               n_filter=n_filter, n_block=(2, 2, 2, 2, 2))
+    k1, k2 = jax.random.split(key)
+    conv3d = cfg.model == "Temporal-UNet"
+    params, state, names = unet_mod.init_unet(k1, ucfg, conv3d_=conv3d)
+    if cfg.model == "UNet-LSTM":
+        init = (convlstm.init_biconv_lstm if cfg.bidirectional
+                else convlstm.init_conv_lstm)
+        params.update(init(k2, n_filter[0], cfg.num_hidden, cfg.n_class))
+    return ucfg, params, state, names
+
+
+def make_ao_loss(cfg: AoTrainConfig, ucfg, names):
+    """Loss closure per model kind (``train_network_ao.py:285-317``)."""
+
+    def loss_fn(params, state, batch, key):
+        images, labels_arr = batch["image"], batch["label"]
+        if cfg.model == "UNet":
+            loss, prob, pred, new_state = wrappers.unet_model(
+                params, state, names, ucfg, images, labels_arr, train=True)
+            pred_fr, label_fr = pred, labels_arr
+        elif cfg.model == "Temporal-UNet":
+            loss, prob, pred, new_state = wrappers.temporal_unet_model(
+                params, state, names, ucfg, images, labels_arr, train=True,
+                weight_R=cfg.weight_R, weight_r=cfg.weight_r)
+            s = (cfg.time_window - 1) // 2
+            pred_fr, label_fr = pred[:, s], labels_arr[:, s]
+        else:  # UNet-LSTM
+            loss, prob, pred, new_state = wrappers.unet_lstm_model(
+                params, state, names, ucfg, images, labels_arr, train=True,
+                train_unet=cfg.joint_train, bidirectional=cfg.bidirectional,
+                seq2seq=cfg.seq2seq, weight_R=cfg.weight_R,
+                weight_r=cfg.weight_r)
+            s = (cfg.time_window - 1) // 2
+            pred_fr, label_fr = pred[:, s], labels_arr[:, s]
+
+        aux = {"accuracy": jnp.mean((pred_fr == label_fr).astype(jnp.float32))}
+        for name, k in (("dice_aa", 1), ("dice_da", 2)):
+            a, b = pred_fr == k, label_fr == k
+            aux[name] = (2 * jnp.sum(a & b) /
+                         jnp.maximum(jnp.sum(a) + jnp.sum(b), 1e-7))
+        return loss, (aux, new_state)
+
+    return loss_fn
+
+
+def make_ao_optimizer(cfg: AoTrainConfig, params):
+    """Adam with optional lr decay; LSTM-only updates unless joint_train
+    (``train_network_ao.py:341-362``)."""
+    opt = steps_lib.adam_with_schedule(
+        cfg.learning_rate,
+        reduce_after=(sorted(cfg.reduce_lr_after)[0]
+                      if cfg.reduce_lr_after else 0))
+    if cfg.model == "UNet-LSTM" and not cfg.joint_train:
+        def label_fn(tree):
+            return {k: ("train" if k == "LSTM" else "freeze") for k in tree}
+        opt = optax.multi_transform(
+            {"train": opt, "freeze": optax.set_to_zero()}, label_fn)
+    return opt
+
+
+def restore_pretrained_unet(params, state, model_path: str):
+    """Load the ``UNet/`` scope (incl. BN moving stats) from a bundle —
+    the two-phase restore (``train_network_ao.py:407-414``)."""
+    _, _, _, p2, s2, _ = store.load_model(model_path)
+    params = dict(params)
+    state = dict(state)
+    params["UNet"] = p2["UNet"]
+    state["UNet"] = s2["UNet"]
+    return params, state
+
+
+def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
+          progress_every: int = 100):
+    data_list = scan_dataset_ao(cfg.dataset_dir, cfg.seq_name)
+    if not data_list["train"]:
+        raise FileNotFoundError(f"no training data under {cfg.dataset_dir}/train")
+
+    key = jax.random.PRNGKey(cfg.seed)
+    ucfg, params, state, names = init_ao_model(cfg, key)
+    if cfg.model == "UNet-LSTM" and not cfg.from_scratch:
+        if not cfg.model_path:
+            raise ValueError("UNet-LSTM needs --model_path (pre-trained UNet) "
+                             "unless --from_scratch")
+        print("Restore pre-trained UNet weights...")
+        params, state = restore_pretrained_unet(params, state, cfg.model_path)
+
+    optimizer = make_ao_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+    loss_fn = make_ao_loss(cfg, ucfg, names)
+    step = steps_lib.make_train_step(loss_fn, optimizer)
+
+    model_dir = os.path.join(cfg.checkpoint_dir, cfg.model_name)
+    os.makedirs(model_dir, exist_ok=True)
+    log_f = open(os.path.join(model_dir, "train_log.jsonl"), "a")
+
+    rng = random.Random(cfg.seed)
+    flatten = cfg.model == "UNet"
+    total = max_iterations or cfg.train_iteration
+    print("Start training...")
+    start_time = time.time()
+    for iteration in range(1, 1 + total):
+        t0 = time.time()
+        images, labels_arr = get_random_batch_ao(
+            data_list["train"], cfg.train_batch_size,
+            image_size=cfg.image_size, time_window=cfg.time_window,
+            z_score=cfg.z_score, flatten=flatten, data_augmentation=True,
+            shift=0, rotate=10, scale=0.2, intensity=0, flip=False, rng=rng)
+        batch = {"image": images, "label": labels_arr}
+        params, state, opt_state, loss, aux = step(
+            params, state, opt_state, batch, jax.random.PRNGKey(iteration))
+
+        if iteration % cfg.validation_every == 0 and data_list["validation"]:
+            rec = {"iteration": iteration, "loss": float(loss),
+                   "accuracy": float(aux["accuracy"]),
+                   "dice_aa": float(aux["dice_aa"]),
+                   "dice_da": float(aux["dice_da"]),
+                   "seconds": time.time() - t0}
+            log_f.write(json.dumps(rec) + "\n")
+            log_f.flush()
+
+        if iteration % progress_every == 0:
+            print(f"Iteration {iteration}/{total}: loss = {float(loss):.4f}")
+
+        if iteration % cfg.checkpoint_every == 0 or iteration == total:
+            kind = {"UNet": "unet", "UNet-LSTM": "unet_lstm",
+                    "Temporal-UNet": "temporal_unet"}[cfg.model]
+            store.save_model(
+                os.path.join(model_dir, f"model-{iteration}.npz"), kind, ucfg,
+                names, jax.device_get(params), jax.device_get(state),
+                extra_meta={"iteration": iteration,
+                            "bidirectional": cfg.bidirectional})
+
+    log_f.close()
+    print(f"Training took {time.time() - start_time:.3f}s.")
+    return params, state, names, ucfg

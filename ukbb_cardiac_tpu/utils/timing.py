@@ -1,0 +1,85 @@
+"""Structured per-stage timing and optional device profiling.
+
+The reference's only observability is wall-clock prints scattered through
+the scripts (``deploy_network.py:52,86,118-120,218-225``;
+``train_network.py:257,311`` — SURVEY.md §5 "tracing/profiling").  This
+module replaces them with one structured timer: named spans, aggregated
+stats, JSON export, and an optional ``jax.profiler`` trace for device
+timelines.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import json
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class StageTimer:
+    """Hierarchical named wall-clock spans with aggregation.
+
+    >>> timer = StageTimer()
+    >>> with timer.span("segment"):
+    ...     ...
+    >>> timer.summary()["segment"]["total_s"]
+    """
+
+    def __init__(self):
+        self._records = defaultdict(list)
+        self._stack = []
+
+    @contextlib.contextmanager
+    def span(self, name: str):
+        full = "/".join(self._stack + [name])
+        self._stack.append(name)
+        t0 = time.perf_counter()
+        try:
+            yield
+        finally:
+            self._stack.pop()
+            self._records[full].append(time.perf_counter() - t0)
+
+    def record(self, name: str, seconds: float) -> None:
+        self._records[name].append(seconds)
+
+    def summary(self) -> Dict[str, Dict[str, float]]:
+        out = {}
+        for name, vals in self._records.items():
+            out[name] = {
+                "count": len(vals),
+                "total_s": sum(vals),
+                "mean_s": sum(vals) / len(vals),
+                "max_s": max(vals),
+            }
+        return out
+
+    def dump(self, path: str) -> None:
+        with open(path, "w") as f:
+            json.dump(self.summary(), f, indent=2)
+
+    def report(self) -> str:
+        lines = []
+        for name, s in sorted(self.summary().items()):
+            lines.append(f"{name}: n={s['count']} total={s['total_s']:.3f}s "
+                         f"mean={s['mean_s']:.3f}s max={s['max_s']:.3f}s")
+        return "\n".join(lines)
+
+
+@contextlib.contextmanager
+def device_trace(log_dir: Optional[str]):
+    """Optional ``jax.profiler`` trace (viewable in TensorBoard/XProf).
+
+    No-op when log_dir is falsy, so callers can thread a flag through.
+    """
+    if not log_dir:
+        yield
+        return
+    import jax
+
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
