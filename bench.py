@@ -21,6 +21,9 @@ REPEATS = 5
 def main():
     import jax
 
+    from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
     from ukbb_cardiac_tpu.models import fcn as fcn_mod
     from ukbb_cardiac_tpu.ops import rescale_intensity

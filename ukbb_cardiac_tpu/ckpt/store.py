@@ -48,10 +48,15 @@ def _unflatten(flat: Dict[str, np.ndarray]) -> Dict[str, Any]:
 
 
 def save_model(path: str, kind: str, cfg, names, params, state,
-               extra_meta: dict | None = None) -> None:
+               extra_meta: dict | None = None, opt_state=None) -> None:
     """Write a model bundle. ``kind`` in {'fcn','resnet','unet',
     'temporal_unet','unet_lstm'}; cfg a dataclass; names the layer-name
-    structure produced by the model's init function."""
+    structure produced by the model's init function.
+
+    ``opt_state``: optional optax state for training resume — stored as
+    flattened leaves; restored positionally into a freshly-initialised
+    optimizer state of the same structure (see :func:`load_opt_state`).
+    """
     meta = {
         "format": "ukbb_cardiac_tpu.model_bundle.v1",
         "kind": kind,
@@ -63,10 +68,40 @@ def save_model(path: str, kind: str, cfg, names, params, state,
     for name, tree in (("params", params), ("state", state)):
         for k, v in _flatten(tree, name + "/").items():
             arrays[k] = v
+    if opt_state is not None:
+        import jax
+
+        leaves = jax.tree_util.tree_leaves(opt_state)
+        meta["n_opt_leaves"] = len(leaves)
+        for i, leaf in enumerate(leaves):
+            arrays[f"opt/{i}"] = np.asarray(leaf)
     arrays[_META_KEY] = np.frombuffer(
         json.dumps(meta).encode("utf-8"), dtype=np.uint8
     )
     np.savez(path, **arrays)
+
+
+def load_opt_state(path: str, opt_state_template):
+    """Restore an optax state saved by :func:`save_model` into a freshly
+    initialised state of identical structure (positional leaf match).
+    Returns None if the bundle has no optimizer state."""
+    import jax
+
+    with np.load(path, allow_pickle=False) as z:
+        meta = json.loads(bytes(z[_META_KEY].tobytes()).decode("utf-8"))
+        n = meta.get("n_opt_leaves")
+        if n is None:
+            return None
+        leaves = [jnp.asarray(z[f"opt/{i}"]) for i in range(n)]
+    treedef = jax.tree_util.tree_structure(opt_state_template)
+    template_leaves = jax.tree_util.tree_leaves(opt_state_template)
+    if len(template_leaves) != len(leaves):
+        raise ValueError(f"optimizer structure mismatch: "
+                         f"{len(template_leaves)} vs {len(leaves)} leaves")
+    # preserve weak scalar types (e.g. optax step counters)
+    leaves = [l.astype(np.asarray(t).dtype) for l, t in
+              zip(leaves, template_leaves)]
+    return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
 _CFG_TYPES = {

@@ -33,6 +33,9 @@ def main(argv=None):
                              "'compat': the reference's sliding window.")
     args = parser.parse_args(argv)
 
+    from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
     model_path = args.model_path
     if not model_path.endswith(".npz"):
         from ukbb_cardiac_tpu.ckpt.tf_reader import convert_tf_checkpoint

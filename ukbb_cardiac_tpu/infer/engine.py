@@ -182,7 +182,13 @@ class InferenceEngine:
         n = self.model.n_class
         return 2 if n <= 4 else (4 if n <= 16 else 8)
 
-    def _cine_fn(self, cine_shape, n_pieces, rescale):
+    def _cine_fns(self, cine_shape, n_pieces, rescale):
+        """Three small jitted stages (prep → chunked forward → pack) with
+        device-resident intermediates.  A single monolithic jit of the
+        whole pipeline compiles pathologically slowly (~10 min: the
+        percentile sort + 500-slice conv graph blow up XLA's scheduling),
+        while these compile in seconds and run at the same steady-state
+        speed — intermediates never leave HBM."""
         key = ("cine", cine_shape, n_pieces, rescale)
         if key not in self._compiled:
             X, Y, Z, T = cine_shape
@@ -197,8 +203,11 @@ class InferenceEngine:
                                               rescale_intensity_jax)
 
             @jax.jit
-            def run(params, state, *pieces):
-                cine = jnp.concatenate(pieces, axis=-1).astype(jnp.float32)
+            def prep(*pieces):
+                # pieces split along X (axis 0): contiguous host slabs →
+                # full-bandwidth transfers (a T-axis split would need a
+                # strided host copy ~20x slower than the transfer itself)
+                cine = jnp.concatenate(pieces, axis=0).astype(jnp.float32)
                 if rescale == "percentile":
                     cine = rescale_intensity_jax(cine, (1.0, 99.0))
                 elif rescale == "zscore":
@@ -209,13 +218,23 @@ class InferenceEngine:
                     N, X + x_pre + x_post, Y + y_pre + y_post, 1)
                 slices = jnp.pad(slices, ((0, nc * chunk - N), (0, 0),
                                           (0, 0), (0, 0)))
-                chunks = slices.reshape((nc, chunk) + slices.shape[1:])
+                return slices.reshape((nc, chunk) + slices.shape[1:])
 
-                def one(blk):
-                    logits = forward(params, state, blk)
-                    return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            @jax.jit
+            def fwd_chunk(params, state, blk):
+                # one chunk per dispatch: compiles ~6x faster than a
+                # lax.map over all chunks, runs at the same speed (host
+                # dispatch is async and ~1ms against a ~25ms chunk)
+                logits = forward(params, state, blk)
+                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
 
-                preds = jax.lax.map(one, chunks)
+            def fmap(params, state, chunks):
+                preds = [fwd_chunk(params, state, chunks[i])
+                         for i in range(nc)]
+                return jnp.stack(preds)
+
+            @jax.jit
+            def pack(preds):
                 preds = preds.reshape((nc * chunk,) + preds.shape[2:])[:N]
                 preds = preds[:, x_pre:x_pre + X, y_pre:y_pre + Y]
                 seg = jnp.transpose(preds.reshape(T, Z, X, Y), (2, 3, 1, 0))
@@ -223,10 +242,12 @@ class InferenceEngine:
                 pad_n = (-flat.shape[0]) % per_byte
                 flat = jnp.pad(flat, (0, pad_n)).reshape(-1, per_byte)
                 shifts = jnp.arange(per_byte, dtype=jnp.uint8) * bits
-                packed = jnp.sum(
+                return jnp.sum(
                     flat.astype(jnp.uint32) << shifts.astype(jnp.uint32),
                     axis=-1).astype(jnp.uint8)
-                return packed
+
+            def run(params, state, *pieces):
+                return pack(fmap(params, state, prep(*pieces)))
 
             self._compiled[key] = run
         return self._compiled[key]
@@ -241,15 +262,14 @@ class InferenceEngine:
         """
         image = np.ascontiguousarray(image, dtype=np.float32)
         X, Y, Z, T = image.shape
-        # split along T into pieces below the h2d throughput cliff
-        frame_bytes = X * Y * Z * 4
-        frames_per_piece = max(1, self._H2D_PIECE_BYTES // frame_bytes)
-        bounds = list(range(0, T, frames_per_piece)) + [T]
-        # ascontiguousarray: a strided (T-sliced) view hits a pathologically
-        # slow h2d path; a host memcpy first is ~20x faster end-to-end
-        pieces = [jnp.asarray(np.ascontiguousarray(image[..., a:b]))
+        # split along X (axis 0): slabs are contiguous views of the input,
+        # so each transfer runs at full tunnel bandwidth with no host copy
+        row_bytes = Y * Z * T * 4
+        rows_per_piece = max(1, self._H2D_PIECE_BYTES // row_bytes)
+        bounds = list(range(0, X, rows_per_piece)) + [X]
+        pieces = [jnp.asarray(image[a:b])
                   for a, b in zip(bounds[:-1], bounds[1:])]
-        fn = self._cine_fn((X, Y, Z, T), len(pieces), rescale)
+        fn = self._cine_fns((X, Y, Z, T), len(pieces), rescale)
         packed = np.asarray(fn(self._params, self._state, *pieces))
 
         bits = self._pack_bits()

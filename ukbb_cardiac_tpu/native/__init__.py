@@ -1,0 +1,130 @@
+"""Native host-ops library (C++, ctypes-bound) with numpy fallback.
+
+Builds ``libhostops.so`` on first import (g++ -O3, cached next to the
+source).  If the toolchain is unavailable the pure-scipy implementations
+in ``ops/cc.py`` are used instead — behaviour is identical, this is a
+speed path for the per-frame connected-component loops in QC gates
+(SURVEY.md §2.2 QC rows).
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+from typing import Optional
+
+import numpy as np
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+_SRC = os.path.join(_HERE, "hostops.cc")
+_LIB = os.path.join(_HERE, "libhostops.so")
+
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    try:
+        subprocess.run(
+            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
+             "-o", _LIB],
+            check=True, capture_output=True, timeout=120)
+        return True
+    except (OSError, subprocess.SubprocessError):
+        return False
+
+
+def get_lib() -> Optional[ctypes.CDLL]:
+    """The loaded library, building it if needed; None if unavailable."""
+    global _lib, _tried
+    if _lib is not None or _tried:
+        return _lib
+    _tried = True
+    if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
+                                    < os.path.getmtime(_SRC)):
+        if not _build():
+            return None
+    try:
+        lib = ctypes.CDLL(_LIB)
+    except OSError:
+        return None
+
+    i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
+    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
+    i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
+    i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
+
+    lib.cc_label_2d.restype = ctypes.c_int32
+    lib.cc_label_2d.argtypes = [i8p, ctypes.c_int32, ctypes.c_int32,
+                                ctypes.c_int32, i32p]
+    lib.largest_cc_2d.restype = ctypes.c_int64
+    lib.largest_cc_2d.argtypes = [i8p, ctypes.c_int32, ctypes.c_int32,
+                                  ctypes.c_int32, i8p]
+    lib.count_significant_cc_2d.restype = ctypes.c_int32
+    lib.count_significant_cc_2d.argtypes = [i8p, ctypes.c_int32,
+                                            ctypes.c_int32, ctypes.c_int32,
+                                            ctypes.c_int64]
+    lib.remove_small_cc_2d.restype = None
+    lib.remove_small_cc_2d.argtypes = [i8p, ctypes.c_int32, ctypes.c_int32,
+                                       ctypes.c_int32, ctypes.c_int64, i8p]
+    lib.label_areas_per_frame.restype = None
+    lib.label_areas_per_frame.argtypes = [i16p, ctypes.c_int64,
+                                          ctypes.c_int32, ctypes.c_int32,
+                                          i64p]
+    _lib = lib
+    return _lib
+
+
+def available() -> bool:
+    return get_lib() is not None
+
+
+def largest_cc_2d(binary: np.ndarray, connectivity: int = 1) -> np.ndarray:
+    """Largest connected component (native); binary 2D array → bool mask."""
+    lib = get_lib()
+    b = np.ascontiguousarray(binary.astype(np.uint8))
+    ny, nx = 1, b.size
+    if b.ndim == 2:
+        ny, nx = b.shape[0], b.shape[1]
+    out = np.empty_like(b)
+    # the kernel is orientation-agnostic: pass (nx=cols, ny=rows)
+    lib.largest_cc_2d(b, np.int32(nx), np.int32(ny), np.int32(connectivity),
+                      out)
+    return out.astype(bool)
+
+
+def count_significant_cc_2d(binary: np.ndarray, pixel_thres: int = 10,
+                            connectivity: int = 2) -> int:
+    lib = get_lib()
+    b = np.ascontiguousarray(binary.astype(np.uint8))
+    ny, nx = (b.shape[0], b.shape[1]) if b.ndim == 2 else (1, b.size)
+    return int(lib.count_significant_cc_2d(
+        b, np.int32(nx), np.int32(ny), np.int32(connectivity),
+        np.int64(pixel_thres)))
+
+
+def remove_small_cc_2d(binary: np.ndarray, thres: int = 10,
+                       connectivity: int = 1) -> np.ndarray:
+    lib = get_lib()
+    b = np.ascontiguousarray(binary.astype(np.uint8))
+    ny, nx = (b.shape[0], b.shape[1]) if b.ndim == 2 else (1, b.size)
+    out = np.empty_like(b)
+    lib.remove_small_cc_2d(b, np.int32(nx), np.int32(ny),
+                           np.int32(connectivity), np.int64(thres), out)
+    return out
+
+
+def label_areas_per_frame(volume: np.ndarray, n_labels: int) -> np.ndarray:
+    """Per-frame per-label voxel counts for an (X, Y, Z, T) int volume.
+    Returns (T, n_labels) int64."""
+    lib = get_lib()
+    v = np.ascontiguousarray(
+        np.transpose(volume, (3, 0, 1, 2)).astype(np.int16))
+    T = v.shape[0]
+    frame_voxels = v.size // T
+    counts = np.empty((T, n_labels), dtype=np.int64)
+    lib.label_areas_per_frame(v.reshape(-1), np.int64(frame_voxels),
+                              np.int32(T), np.int32(n_labels),
+                              counts.reshape(-1))
+    return counts

@@ -1,9 +1,11 @@
 """Connected-component utilities.
 
 Reference semantics: ``common/image_utils.py:227-249`` (``get_largest_cc``,
-``remove_small_cc``).  The label images involved are tiny (a few hundred KB)
-so these stay host-side on scipy, vectorised over component ids instead of
-the reference's python loop over components.
+``remove_small_cc``) and the QC fragmentation criterion
+(``cardiac_utils.py:1629-1643``).  2D masks route through the native
+C++ union-find library (``ukbb_cardiac_tpu/native``) when available —
+these run O(labels x frames) per subject in the QC gates — with scipy as
+the always-correct fallback; 3D inputs use scipy.
 """
 
 from __future__ import annotations
@@ -11,12 +13,22 @@ from __future__ import annotations
 import numpy as np
 from scipy import ndimage
 
+from ukbb_cardiac_tpu import native
+
+
+def _use_native(binary) -> bool:
+    return binary.ndim == 2 and native.available()
+
 
 def get_largest_cc(binary):
-    """Largest foreground connected component as a boolean mask."""
-    cc, n_cc = ndimage.label(np.asarray(binary))
+    """Largest foreground connected component as a boolean mask
+    (4-connectivity, matching scipy.ndimage.label defaults)."""
+    binary = np.asarray(binary)
+    if _use_native(binary):
+        return native.largest_cc_2d(binary, connectivity=1)
+    cc, n_cc = ndimage.label(binary)
     if n_cc == 0:
-        return np.zeros_like(np.asarray(binary), dtype=bool)
+        return np.zeros_like(binary, dtype=bool)
     areas = np.bincount(cc.ravel())[1:]  # skip background
     return cc == (int(np.argmax(areas)) + 1)
 
@@ -36,6 +48,9 @@ def label_cc(binary, connectivity=1):
 def count_significant_cc(binary, pixel_thres=10, connectivity=2):
     """Number of connected components larger than ``pixel_thres`` pixels
     (the reference's fragmentation criterion, ``cardiac_utils.py:1629-1643``)."""
+    binary = np.asarray(binary)
+    if _use_native(binary):
+        return native.count_significant_cc_2d(binary, pixel_thres, connectivity)
     cc, n_cc = label_cc(binary, connectivity)
     if n_cc == 0:
         return 0
@@ -46,6 +61,9 @@ def count_significant_cc(binary, pixel_thres=10, connectivity=2):
 def remove_small_cc(binary, thres=10):
     """Zero out connected components smaller than `thres` pixels."""
     binary = np.asarray(binary)
+    if _use_native(binary):
+        return native.remove_small_cc_2d(binary, thres, connectivity=1).astype(
+            binary.dtype)
     cc, n_cc = ndimage.label(binary)
     if n_cc == 0:
         return np.copy(binary)

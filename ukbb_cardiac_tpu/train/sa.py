@@ -162,8 +162,13 @@ def make_fcn_loss(names, cfg: fcn_mod.FCNConfig):
 
 
 def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
-          progress_every: int = 100):
-    """Run the training loop. Returns (params, state, names, model_cfg)."""
+          progress_every: int = 100, resume_from: Optional[str] = None):
+    """Run the training loop. Returns (params, state, names, model_cfg).
+
+    ``resume_from``: path to a bundle written by this trainer — restores
+    params, BN state, optimizer state and the iteration counter
+    (checkpoint/resume, SURVEY.md §5; the reference restarts from TF
+    Saver checkpoints)."""
     data_list = scan_dataset(cfg.dataset_dir, cfg.seq_name)
     if not data_list["train"]:
         raise FileNotFoundError(f"no training pairs under {cfg.dataset_dir}/train")
@@ -176,6 +181,15 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     params, state, names = fcn_mod.init_fcn(key, model_cfg)
     optimizer = optax.adam(cfg.learning_rate)
     opt_state = optimizer.init(params)
+
+    start_iteration = 0
+    if resume_from:
+        _, _, names, params, state, extra = store.load_model(resume_from)
+        restored = store.load_opt_state(resume_from, opt_state)
+        if restored is not None:
+            opt_state = restored
+        start_iteration = int(extra.get("iteration", 0))
+        print(f"Resumed from {resume_from} at iteration {start_iteration}.")
 
     loss_fn = make_fcn_loss(names, model_cfg)
     if cfg.mesh_devices > 1:
@@ -190,11 +204,11 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     log_path = os.path.join(model_dir, "train_log.jsonl")
     log_f = open(log_path, "a")
 
-    rng = random.Random(cfg.seed)
+    rng = random.Random(cfg.seed + start_iteration)
     total = max_iterations or cfg.train_iteration
     print("Start training...")
     start_time = time.time()
-    for iteration in range(1, 1 + total):
+    for iteration in range(1 + start_iteration, 1 + total):
         t0 = time.time()
         images, labels = get_random_batch(
             data_list["train"], cfg.train_batch_size, image_size=cfg.image_size,
@@ -231,7 +245,8 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
             store.save_model(ckpt_path, "fcn", model_cfg, names,
                              jax.device_get(params), jax.device_get(state),
                              extra_meta={"iteration": iteration,
-                                         "seq_name": cfg.seq_name})
+                                         "seq_name": cfg.seq_name},
+                             opt_state=jax.device_get(opt_state))
 
     log_f.close()
     print(f"Training took {time.time() - start_time:.3f}s.")
