@@ -158,3 +158,28 @@ def test_fused_path_matches_host_path(tiny_fcn):
     assert fused.shape == host.shape
     agree = np.mean(fused == host)
     assert agree > 0.999, agree  # device/host percentile float differences only
+
+
+def test_deploy_ao_ed_es_mode(tmp_path):
+    """UNet frame-wise ED/ES aortic mode (deploy_network_ao.py:206-268)."""
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+    from ukbb_cardiac_tpu.io import nifti
+    from phantom import ao_phantom
+
+    key = jax.random.PRNGKey(0)
+    params, state, names = unet_mod.init_unet(key, TINY_AO)
+    bundle = str(tmp_path / "unet_ao.npz")
+    store.save_model(bundle, "unet", TINY_AO, names, params, state)
+
+    data_dir = tmp_path / "data"
+    subj = data_dir / "9"
+    subj.mkdir(parents=True)
+    image, _ = ao_phantom(48, 48, 4)
+    affine = np.diag([1.0, 1.0, 10.0, 1.0])
+    for fr, t in (("ED", 0), ("ES", 2)):
+        nifti.save(nifti.Nifti1Image(image[:, :, :, t], affine),
+                   str(subj / f"ao_{fr}.nii.gz"))
+    deploy_dataset_ao(bundle, str(data_dir), process_seq=False)
+    for fr in ("ED", "ES"):
+        seg = nifti.load(str(subj / f"seg_ao_{fr}.nii.gz"))
+        assert seg.dataobj.shape == (48, 48, 1)

@@ -1,6 +1,6 @@
 """ukbb_cardiac_tpu — a TPU-native cardiac MR analysis framework.
 
-A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
+A from-scratch JAX/XLA rebuild of the capabilities of
 ``baiwenjia/ukbb_cardiac`` (reference mounted at /root/reference):
 
 * NIfTI cine ingestion and on-device image preprocessing (``io``, ``ops``)
@@ -8,7 +8,8 @@ A from-scratch JAX/XLA/Pallas rebuild of the capabilities of
   Temporal U-Net, (Bi)ConvLSTM — in JAX (``models``)
 * A batched, jitted deployment engine that pushes every (slice, frame) of a
   cine through the network in one device program (``infer``)
-* Training with optax, on-device augmentation and orbax checkpoints (``train``)
+* Training with optax, on-device augmentation and resumable native
+  checkpoints (``train``, ``ckpt``)
 * B-spline free-form-deformation registration on TPU replacing MIRTK
   (``reg``)
 * Clinical phenotypes: ventricular/atrial volumes, AHA-17 wall thickness,

@@ -44,7 +44,8 @@ def main(argv=None):
     deploy_dataset_ao(model_path, args.data_dir, seq_name=args.seq_name,
                       z_score=args.z_score, save_seg=args.save_seg,
                       window=args.window, weight_R=args.weight_R,
-                      weight_r=args.weight_r, time_step=args.time_step)
+                      weight_r=args.weight_r, time_step=args.time_step,
+                      process_seq=args.process_seq)
 
 
 if __name__ == "__main__":

@@ -34,8 +34,10 @@ def load_segmentation_model(model_path: str, compute_dtype=None) -> Segmentation
 
     dtype = compute_dtype or jnp.float32
     kind, cfg, names, params, state, _ = store.load_model(model_path)
-    if kind in ("fcn", "resnet"):
+    if kind == "fcn":
         return SegmentationModel.from_fcn(params, state, names, cfg, dtype)
+    if kind == "resnet":
+        return SegmentationModel.from_resnet(params, state, names, cfg, dtype)
     if kind == "unet":
         return SegmentationModel.from_unet(params, state, names, cfg, dtype)
     raise ValueError(f"model kind {kind!r} is not a slice-segmentation model")

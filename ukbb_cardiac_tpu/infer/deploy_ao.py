@@ -208,10 +208,54 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
     return seg_time
 
 
+def deploy_subject_ed_es_ao(engine: AorticEngine, data_dir: str,
+                            seq_name: str = "ao", z_score: bool = True,
+                            save_seg: bool = True) -> bool:
+    """ED/ES-only aortic segmentation (UNet mode,
+    ``deploy_network_ao.py:206-268``); the LSTM needs full sequences and
+    the reference refuses frame-wise mode for it (:202-205)."""
+    if engine.kind != "unet":
+        raise ValueError("UNet-LSTM does not support frame-wise segmentation. "
+                         "Please use the full-sequence mode.")
+    names = {fr: os.path.join(data_dir, f"{seq_name}_{fr}.nii.gz")
+             for fr in ("ED", "ES")}
+    if not all(os.path.exists(p) for p in names.values()):
+        print(f"  Directory {data_dir} does not contain an image with file "
+              f"name {os.path.basename(names['ED'])} or "
+              f"{os.path.basename(names['ES'])}. Skip.")
+        return False
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+
+    if not hasattr(engine, "_unet_engine"):
+        engine._unet_engine = InferenceEngine(SegmentationModel.from_unet(
+            engine._params, engine._state, engine.names, engine.cfg,
+            engine.compute_dtype))
+    for fr in ("ED", "ES"):
+        nim = nifti.load(names[fr])
+        image = np.asanyarray(nim.dataobj).astype(np.float32)
+        if image.ndim == 2:
+            image = image[..., None]
+        print(f"  Segmenting {fr} frame ...")
+        start = time.time()
+        if z_score:
+            image = normalise_intensity(image, 10.0)
+        else:
+            image = rescale_intensity(image, (1.0, 99.0))
+        pred = engine._unet_engine.segment_volume(image).astype(np.float64)
+        print(f"  Segmentation time = {time.time() - start:3f}s")
+        if save_seg:
+            nim2 = nifti.Nifti1Image(pred, nim.affine)
+            nim2.header["pixdim"] = nim.header["pixdim"]
+            nifti.save(nim2,
+                       os.path.join(data_dir, f"seg_{seq_name}_{fr}.nii.gz"))
+    return True
+
+
 def deploy_dataset_ao(model_path: str, data_dir: str, seq_name: str = "ao",
                       z_score: bool = True, save_seg: bool = True,
                       window: str = "full", weight_R: int = 5,
                       weight_r: float = 0.0, time_step: int = 1,
+                      process_seq: bool = True,
                       compute_dtype=jnp.float32) -> None:
     """Walk subject dirs and segment each aortic cine
     (``deploy_network_ao.py`` main loop)."""
@@ -224,10 +268,16 @@ def deploy_dataset_ao(model_path: str, data_dir: str, seq_name: str = "ao",
         if not os.path.isdir(subject_dir):
             continue
         print(data)
-        t = deploy_subject_ao(engine, subject_dir, seq_name, z_score, save_seg,
-                              window, weight_R, weight_r, time_step)
-        if t is not None:
-            processed.append(data)
+        if process_seq:
+            t = deploy_subject_ao(engine, subject_dir, seq_name, z_score,
+                                  save_seg, window, weight_R, weight_r,
+                                  time_step)
+            if t is not None:
+                processed.append(data)
+        else:
+            if deploy_subject_ed_es_ao(engine, subject_dir, seq_name, z_score,
+                                       save_seg):
+                processed.append(data)
     total = time.time() - start_time
     if processed:
         print("It took {0:.3f}s for processing {1:d} subjects "

@@ -56,6 +56,16 @@ class SegmentationModel:
         return SegmentationModel(forward, params, state, cfg.n_class, cfg.in_ch)
 
     @staticmethod
+    def from_resnet(params, state, names, cfg,
+                    compute_dtype=jnp.float32) -> "SegmentationModel":
+        def forward(p, s, images):
+            logits, _ = fcn_mod.apply_resnet(p, s, names, cfg, images,
+                                             train=False,
+                                             compute_dtype=compute_dtype)
+            return logits
+        return SegmentationModel(forward, params, state, cfg.n_class, cfg.in_ch)
+
+    @staticmethod
     def from_unet(params, state, names, cfg: unet_mod.UNetConfig,
                   compute_dtype=jnp.float32) -> "SegmentationModel":
         def forward(p, s, images):
