@@ -20,7 +20,7 @@ from scipy.ndimage import map_coordinates
 
 from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, resample_to_target
-from ukbb_cardiac_tpu.reg import RegConfig, make_register_pair, total_field
+from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch, total_field
 
 import jax
 import jax.numpy as jnp
@@ -119,7 +119,7 @@ def propagate_subject(data_dir: str, cfg: RegConfig = None,
     full = np.asanyarray(nim.dataobj)
     full_affine = nim.affine
 
-    register = jax.jit(make_register_pair((X, Y), cfg))
+    register_batch = make_register_batch((X, Y), cfg)
     plan = build_propagation_plan(T, t_anno)
 
     # full-grid voxel coords mapped into crop-voxel space (for warping the
@@ -144,8 +144,8 @@ def propagate_subject(data_dir: str, cfg: RegConfig = None,
 
                 target_im = crop_img[:, :, 0, target_t]
                 source_im = crop_img[:, :, 0, source_t]
-                controls = register(jnp.asarray(target_im),
-                                    jnp.asarray(source_im))
+                controls = register_batch(target_im[None], source_im[None])
+                controls = tuple(c[0] for c in controls)
                 disp = np.asarray(total_field(controls, (X, Y), cfg))
 
                 # pull-back on the FULL grid: the crop grid is a pure

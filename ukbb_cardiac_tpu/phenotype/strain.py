@@ -115,13 +115,11 @@ def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
     sources = jnp.asarray(np.concatenate([fwd_sources, bwd_sources]))
     controls = register_batch(targets, sources)
 
-    # densify per pair
-    n_pairs = 2 * (T - 1)
-    fields = np.zeros((n_pairs, X, Y, 2), dtype=np.float32)
-    for b in range(n_pairs):
-        ctl_b = tuple(np.asarray(c[b]) for c in controls)
-        fields[b] = np.asarray(total_field(
-            tuple(jnp.asarray(c) for c in ctl_b), (X, Y), cfg))
+    # densify the whole pair population in one vmapped program
+    import jax
+
+    dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
+    fields = np.asarray(dense(*controls))
 
     fwd_pair = fields[:T - 1]            # [fr-1 -> fr], index fr-1
     bwd_pair = fields[T - 1:][::-1]      # index fr-1 holds (fr+1)%T -> fr? re-order:
