@@ -15,6 +15,8 @@ Energy matches ``par/ffd_cine_2d_motion.cfg``: SSD + 1e-1 bending energy,
 
 from __future__ import annotations
 
+import math
+
 from dataclasses import dataclass, field
 from functools import partial
 from typing import Sequence, Tuple
@@ -214,25 +216,34 @@ def make_register_batch(image_shape: Tuple[int, int],
             sim = losses.ssd(tgt, warped)
         return sim + cfg.be_weight * losses.bending_energy(disp)
 
-    # one jitted (step, synth, blur) triple per level spacing
+    # one jitted (step-block, synth) pair per level spacing; each dispatch
+    # runs `steps_per_call` Adam steps through a fori_loop (the loop body
+    # is traced once, so the graph stays small while dispatch count drops
+    # ~10x — dispatches over the device tunnel are not free)
+    steps_per_call = max(1, math.gcd(cfg.iters, 10))
     steps, synths = {}, {}
     for s_l in set(spacings):
         def make(s_l):
             grad = jax.grad(one_loss)
 
             @jax.jit
-            def step(c, opt_state, base, tgt, src):
-                g = jax.vmap(grad, in_axes=(0, 0, 0, 0, None))(
-                    c, base, tgt, src, s_l)
-                updates, opt_state = opt.update(g, opt_state, c)
-                return optax.apply_updates(c, updates), opt_state
+            def step_block(c, opt_state, base, tgt, src):
+                def body(_, carry):
+                    c, opt_state = carry
+                    g = jax.vmap(grad, in_axes=(0, 0, 0, 0, None))(
+                        c, base, tgt, src, s_l)
+                    updates, opt_state2 = opt.update(g, opt_state, c)
+                    return optax.apply_updates(c, updates), opt_state2
+
+                return jax.lax.fori_loop(0, steps_per_call, body,
+                                         (c, opt_state))
 
             @jax.jit
             def synth(c):
                 return jax.vmap(
                     lambda ci: bspline.bspline_dense_field(ci, (X, Y), s_l))(c)
 
-            return step, synth
+            return step_block, synth
 
         steps[s_l], synths[s_l] = make(s_l)
 
@@ -268,7 +279,7 @@ def make_register_batch(image_shape: Tuple[int, int],
             c = jnp.zeros((B, Cx, Cy, 2))
             opt_state = opt.init(c)
             step = steps[s_l]
-            for _ in range(cfg.iters):
+            for _ in range(cfg.iters // steps_per_call):
                 c, opt_state = step(c, opt_state, base, tgt_l, src_l)
             controls.append(c)
             base = base + synths[s_l](c)
