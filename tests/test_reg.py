@@ -127,3 +127,20 @@ def test_transform_points_consistent_with_field():
     disp = np.asarray(total_field(controls, (X, Y), cfg))
     for k, (x, y) in enumerate(np.asarray(pts).astype(int)):
         np.testing.assert_allclose(moved[k], [x, y] + disp[x, y], atol=1e-3)
+
+
+def test_compose_chain_matches_sequential():
+    from ukbb_cardiac_tpu.reg.register import compose_chain
+
+    rng = np.random.RandomState(0)
+    K, X, Y = 4, 24, 24
+    # smooth small pair fields
+    pair = jnp.asarray(np.cumsum(rng.randn(K, X, Y, 2) * 0.02, axis=1),
+                       dtype=jnp.float32)
+    chain = np.asarray(compose_chain(pair))
+    assert chain.shape == (K + 1, X, Y, 2)
+    np.testing.assert_allclose(chain[0], 0.0)
+    acc = jnp.zeros((X, Y, 2))
+    for k in range(K):
+        acc = compose_fields(pair[k], acc)
+        np.testing.assert_allclose(chain[k + 1], np.asarray(acc), atol=1e-5)

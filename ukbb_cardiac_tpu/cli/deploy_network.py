@@ -32,6 +32,9 @@ def main(argv=None):
                   "Segment all the 4 chambers in long-axis 4 chamber view.")
     parser.add_argument("--chunk", type=int, default=64,
                         help="Slices per device program.")
+    parser.add_argument("--trace_dir", default="",
+                        help="Write a jax.profiler device trace here "
+                             "(view with TensorBoard/XProf).")
     args = parser.parse_args(argv)
 
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
@@ -42,9 +45,11 @@ def main(argv=None):
         from ukbb_cardiac_tpu.ckpt.tf_reader import convert_tf_checkpoint
         model_path = convert_tf_checkpoint(model_path)
 
-    deploy_dataset(model_path, args.data_dir, seq_name=args.seq_name,
-                   process_seq=args.process_seq, save_seg=args.save_seg,
-                   seg4=args.seg4, chunk=args.chunk)
+    from ukbb_cardiac_tpu.utils import device_trace
+    with device_trace(args.trace_dir):
+        deploy_dataset(model_path, args.data_dir, seq_name=args.seq_name,
+                       process_seq=args.process_seq, save_seg=args.save_seg,
+                       seg4=args.seg4, chunk=args.chunk)
 
 
 if __name__ == "__main__":

@@ -115,40 +115,32 @@ def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
     sources = jnp.asarray(np.concatenate([fwd_sources, bwd_sources]))
     controls = register_batch(targets, sources)
 
-    # densify the whole pair population in one vmapped program
+    # densify + compose + blend, all device-resident (5 dispatches total;
+    # the reference-style per-frame loop costs ~200 tunnel round-trips)
     import jax
 
+    from ukbb_cardiac_tpu.reg.register import compose_chain
+
     dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
-    fields = np.asarray(dense(*controls))
+    fields = dense(*controls)
 
-    fwd_pair = fields[:T - 1]            # [fr-1 -> fr], index fr-1
-    bwd_pair = fields[T - 1:][::-1]      # index fr-1 holds (fr+1)%T -> fr? re-order:
-    # after reversal, bwd_pair[i] is the pair registered for fr = i+1,
-    # i.e. transform (fr+1)%T -> fr.
+    fwd_pair = fields[:T - 1]            # entry fr-1 maps fr-1 -> fr
+    # backward pairs were registered for fr = T-1 .. 1; entry i maps
+    # (fr+1)%T -> fr with fr = T-1-i — already the chain order 0→T-1→…
+    bwd_pair = fields[T - 1:]
 
-    def compose_np(d1, d2):
-        return np.asarray(compose_fields(jnp.asarray(d1), jnp.asarray(d2)))
+    @jax.jit
+    def combine(fwd_pair, bwd_pair):
+        forward = compose_chain(fwd_pair)          # (T,...): 0→fr forward
+        backward_rev = compose_chain(bwd_pair)     # entry i: 0→(T-1-i) bwd
+        backward = jnp.concatenate(
+            [backward_rev[:1], backward_rev[1:][::-1]], axis=0)
+        wf = ((T - jnp.arange(T)) / T).reshape(T, 1, 1, 1)
+        wb = (jnp.arange(T) / T).reshape(T, 1, 1, 1)
+        combined = wf * forward + wb * backward
+        return combined.at[0].set(0.0)
 
-    forward = np.zeros((T, X, Y, 2), dtype=np.float32)
-    for fr in range(1, T):
-        if fr == 1:
-            forward[1] = fwd_pair[0]
-        else:
-            forward[fr] = compose_np(fwd_pair[fr - 1], forward[fr - 1])
-
-    backward = np.zeros((T, X, Y, 2), dtype=np.float32)
-    for fr in range(T - 1, 0, -1):
-        if fr == T - 1:
-            backward[fr] = bwd_pair[fr - 1]
-        else:
-            backward[fr] = compose_np(bwd_pair[fr - 1], backward[fr + 1])
-
-    combined = np.zeros((T, X, Y, 2), dtype=np.float32)
-    for fr in range(1, T):
-        wf = float(T - fr) / T
-        wb = float(fr) / T
-        combined[fr] = wf * forward[fr] + wb * backward[fr]
-    return combined
+    return np.asarray(combine(fwd_pair, bwd_pair), dtype=np.float32)
 
 
 def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,

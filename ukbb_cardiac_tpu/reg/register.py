@@ -180,6 +180,26 @@ def compose_fields(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     return d2 + jnp.stack([d1x, d1y], axis=-1)
 
 
+def compose_chain(pair_fields: jnp.ndarray) -> jnp.ndarray:
+    """Prefix-compose a chain of pull-back pair transforms in ONE program.
+
+    pair_fields: (K, X, Y, 2) where entry k maps frame k → k+1 (the
+    forward inter-frame chain, ``cardiac_utils.py:891-900``).  Returns
+    (K+1, X, Y, 2): entry t is the 0→t composition (entry 0 = identity).
+    A ``lax.scan`` replaces K sequential host-dispatched compositions —
+    each a full tunnel round-trip in the reference-style loop.
+    """
+    K, X, Y, _ = pair_fields.shape
+
+    def step(acc, d):
+        new = compose_fields(d, acc)
+        return new, new
+
+    init = jnp.zeros((X, Y, 2))
+    _, outs = jax.lax.scan(step, init, pair_fields)
+    return jnp.concatenate([init[None], outs], axis=0)
+
+
 def average_fields(fields: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     """Weighted average of displacement fields — the ``average_3d_ffd``
     C++ tool collapses to one weighted sum (``average_3d_ffd.cc:102-120``)."""
