@@ -36,7 +36,8 @@ def main():
     engine = InferenceEngine(model, chunk=50)
 
     rng = np.random.RandomState(0)
-    cine = (rng.rand(X, Y, Z, T) * 1000).astype(np.float32)
+    # int16 like the real UKB NIfTIs (deploy transfers the native dtype)
+    cine = (rng.rand(X, Y, Z, T) * 1000).astype(np.int16)
 
     # Warm-up: compile + first run (excluded, like the reference's session
     # startup is excluded from its per-sequence number).

@@ -23,7 +23,7 @@ N_SLICES = 3
 
 def main():
     from ukbb_cardiac_tpu.reg import RegConfig
-    from ukbb_cardiac_tpu.phenotype.strain import track_slice_fields
+    from ukbb_cardiac_tpu.phenotype.strain import track_multi_slice_fields
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
 
     enable_compilation_cache()
@@ -44,14 +44,15 @@ def main():
     from ukbb_cardiac_tpu.reg import make_register_batch
     register_batch = make_register_batch((X, Y), cfg)
 
-    # warm-up: compile the 2(T-1)-pair batched registration once
-    track_slice_fields(slices[0], cfg, register_batch=register_batch)
+    frames_zs = np.stack(slices)
+    # warm-up: compile the batched registration + composition once
+    track_multi_slice_fields(frames_zs, cfg, register_batch=register_batch)
 
     t0 = time.time()
-    for frames in slices:
-        fields = track_slice_fields(frames, cfg, register_batch=register_batch)
+    fields = track_multi_slice_fields(frames_zs, cfg,
+                                      register_batch=register_batch)
     value = time.time() - t0
-    assert fields.shape == (T, X, Y, 2)
+    assert fields.shape == (N_SLICES, T, X, Y, 2)
 
     print(json.dumps({
         "metric": f"sa_strain_motion_tracking_{N_SLICES}slices_T{T}",

@@ -183,3 +183,16 @@ def test_deploy_ao_ed_es_mode(tmp_path):
     for fr in ("ED", "ES"):
         seg = nifti.load(str(subj / f"seg_ao_{fr}.nii.gz"))
         assert seg.dataobj.shape == (48, 48, 1)
+
+
+def test_fused_path_int16_input(tiny_fcn):
+    """Native-dtype transfer path: int16 cine gives identical labels to
+    the same data as float32."""
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=8)
+    rng = np.random.RandomState(11)
+    cine16 = (rng.rand(48, 52, 3, 4) * 1000).astype(np.int16)
+    seg_a = engine.segment_sequence_fused(cine16)
+    seg_b = engine.segment_sequence_fused(cine16.astype(np.float32))
+    np.testing.assert_array_equal(seg_a, seg_b)

@@ -270,11 +270,16 @@ class InferenceEngine:
         (deploy_network_ao.py:94) or 'none' (already normalised).
         Returns seg (X, Y, Z, T) uint8.
         """
-        image = np.ascontiguousarray(image, dtype=np.float32)
+        # transfer in the array's own dtype (demo NIfTIs are int16 — half
+        # the bytes of f32); the device program casts to f32 first thing
+        if image.dtype not in (np.float32, np.int16, np.uint16, np.uint8,
+                               np.int8, np.int32):
+            image = image.astype(np.float32)
+        image = np.ascontiguousarray(image)
         X, Y, Z, T = image.shape
         # split along X (axis 0): slabs are contiguous views of the input,
         # so each transfer runs at full tunnel bandwidth with no host copy
-        row_bytes = Y * Z * T * 4
+        row_bytes = Y * Z * T * image.dtype.itemsize
         rows_per_piece = max(1, self._H2D_PIECE_BYTES // row_bytes)
         bounds = list(range(0, X, rows_per_piece)) + [X]
         pieces = [jnp.asarray(image[a:b])
