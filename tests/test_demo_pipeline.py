@@ -1,0 +1,59 @@
+"""End-to-end demo-pipeline orchestration on phantom data (no network)."""
+
+import os
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import jax
+
+from ukbb_cardiac_tpu.ckpt import store
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod, unet as unet_mod
+
+from phantom import write_subject
+
+
+def _tiny_models(model_dir):
+    os.makedirs(model_dir, exist_ok=True)
+    fcn_cfg = fcn_mod.FCNConfig(n_class=4, n_filter=(4, 4, 4, 4, 4),
+                                n_block=(1, 1, 1, 1, 1), same_dim=4, fc=4)
+    for name, n_class in (("FCN_sa", 4), ("FCN_la_2ch", 2),
+                          ("FCN_la_4ch", 3), ("FCN_la_4ch_seg4", 6)):
+        cfg = fcn_mod.FCNConfig(n_class=n_class, n_filter=(4, 4, 4, 4, 4),
+                                n_block=(1, 1, 1, 1, 1), same_dim=4, fc=4)
+        p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+        store.save_model(os.path.join(model_dir, f"{name}.npz"), "fcn",
+                         cfg, n, p, s)
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(4, 4, 4),
+                               n_block=(1, 1, 1))
+    p, s, n = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    p.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 4, 4, 3))
+    store.save_model(os.path.join(model_dir, "UNet-LSTM_ao.npz"), "unet_lstm",
+                     ucfg, n, p, s, extra_meta={"bidirectional": True})
+
+
+def test_demo_pipeline_end_to_end(tmp_path):
+    data_dir = tmp_path / "demo_image"
+    model_dir = tmp_path / "trained_model"
+    csv_dir = tmp_path / "demo_csv"
+    for i in (1, 2):
+        write_subject(str(data_dir / str(i)), seqs=("sa", "la_2ch", "la_4ch", "ao"),
+                      X=64, Y=64, Z=8, T=4)
+    _tiny_models(str(model_dir))
+
+    from ukbb_cardiac_tpu.cli import demo_pipeline
+    demo_pipeline.main(["--data_dir", str(data_dir),
+                        "--model_dir", str(model_dir),
+                        "--csv_dir", str(csv_dir), "--skip_strain"])
+
+    # segmentations for every sequence + the stage CSVs exist
+    for i in (1, 2):
+        for f in ("seg_sa.nii.gz", "seg_la_2ch.nii.gz", "seg_la_4ch.nii.gz",
+                  "seg4_la_4ch.nii.gz", "seg_ao.nii.gz"):
+            assert (data_dir / str(i) / f).exists(), f
+    df = pd.read_csv(csv_dir / "table_ventricular_volume.csv", index_col=0)
+    assert len(df) == 2
+    assert (csv_dir / "table_wall_thickness.csv").exists()
+    assert (csv_dir / "table_atrial_volume.csv").exists()

@@ -40,11 +40,13 @@ def ventricular_volume_measures(image_name: str, seg_name: str) -> Optional[Dict
     vol_t = np.sum(seg == 1, axis=(0, 1, 2)) * volume_per_pix
     frame["ES"] = int(np.argmin(vol_t))
 
+    # numpy float64 scalars: division by a zero volume yields inf/nan with
+    # a warning, like the reference's numpy arithmetic — not an exception
     val: Dict[str, float] = {}
     for fr_name, fr in frame.items():
-        val[f"LV{fr_name}V"] = float(np.sum(seg[:, :, :, fr] == 1) * volume_per_pix)
-        val[f"LV{fr_name}M"] = float(np.sum(seg[:, :, :, fr] == 2) * volume_per_pix * DENSITY)
-        val[f"RV{fr_name}V"] = float(np.sum(seg[:, :, :, fr] == 3) * volume_per_pix)
+        val[f"LV{fr_name}V"] = np.float64(np.sum(seg[:, :, :, fr] == 1) * volume_per_pix)
+        val[f"LV{fr_name}M"] = np.float64(np.sum(seg[:, :, :, fr] == 2) * volume_per_pix * DENSITY)
+        val[f"RV{fr_name}V"] = np.float64(np.sum(seg[:, :, :, fr] == 3) * volume_per_pix)
 
     val["LVSV"] = val["LVEDV"] - val["LVESV"]
     val["LVCO"] = val["LVSV"] * heart_rate * 1e-3
