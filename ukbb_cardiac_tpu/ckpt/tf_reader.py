@@ -22,7 +22,7 @@ Kernel-layout conversions applied:
 from __future__ import annotations
 
 import re
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

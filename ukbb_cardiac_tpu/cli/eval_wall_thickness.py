@@ -12,7 +12,6 @@ from __future__ import annotations
 import argparse
 import os
 
-import numpy as np
 import pandas as pd
 
 from ukbb_cardiac_tpu.phenotype.qc import sa_pass_quality_control

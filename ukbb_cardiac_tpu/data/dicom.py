@@ -16,9 +16,8 @@ raise ``UnsupportedDicom`` — callers degrade per-frame like the reference.
 
 from __future__ import annotations
 
-import os
 import struct
-from typing import Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import numpy as np
 

@@ -16,7 +16,6 @@ import random
 from typing import Dict, List, Optional, Sequence
 
 import numpy as np
-import pandas as pd
 
 from ukbb_cardiac_tpu.io import nifti
 

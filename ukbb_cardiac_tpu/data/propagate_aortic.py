@@ -22,9 +22,6 @@ from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, resample_to_target
 from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch, total_field
 
-import jax
-import jax.numpy as jnp
-
 
 def infer_time_frame(image_name: str, image_fr_name: str) -> int:
     """Which frame matches the annotated still

@@ -15,7 +15,7 @@ compatibility forced the reference to sed-patch into its outputs
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 

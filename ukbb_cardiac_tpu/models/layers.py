@@ -23,8 +23,6 @@ TF-semantics notes (needed for Dice parity with released checkpoints):
 from __future__ import annotations
 
 import math
-from typing import Sequence
-
 import jax
 import jax.numpy as jnp
 import numpy as np

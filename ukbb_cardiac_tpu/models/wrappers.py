@@ -8,9 +8,6 @@ differentiate.
 
 from __future__ import annotations
 
-import jax
-import jax.numpy as jnp
-
 from ukbb_cardiac_tpu.models import convlstm, losses, unet
 from ukbb_cardiac_tpu.models.fcn import prob_and_pred
 

@@ -15,7 +15,6 @@ thread pool since they release the GIL in numpy/cv2.
 from __future__ import annotations
 
 import json
-import os
 import time
 import traceback
 from concurrent.futures import ThreadPoolExecutor, as_completed

@@ -8,8 +8,6 @@ blood-pressure spreadsheet (two-row header CSV).
 from __future__ import annotations
 
 import os
-from typing import Optional
-
 import numpy as np
 import pandas as pd
 

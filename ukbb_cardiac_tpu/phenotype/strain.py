@@ -22,7 +22,7 @@ arrays:
 from __future__ import annotations
 
 import os
-from typing import Dict, Optional
+from typing import Optional
 
 import numpy as np
 import pandas as pd

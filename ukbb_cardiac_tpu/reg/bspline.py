@@ -20,7 +20,6 @@ Rueckert FFD layout.
 from __future__ import annotations
 
 import math
-from functools import partial
 from typing import Tuple
 
 import jax

@@ -7,7 +7,6 @@ Replaces the MIRTK energy terms configured in ``par/ffd_cine_2d_motion.cfg``
 
 from __future__ import annotations
 
-import jax
 import jax.numpy as jnp
 
 

@@ -28,8 +28,8 @@ import json
 import os
 import random
 import time
-from dataclasses import dataclass, field
-from typing import List, Optional, Sequence
+from dataclasses import dataclass
+from typing import Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -38,7 +38,7 @@ import optax
 
 from ukbb_cardiac_tpu.ckpt import store
 from ukbb_cardiac_tpu.io import nifti
-from ukbb_cardiac_tpu.models import convlstm, losses, unet as unet_mod, wrappers
+from ukbb_cardiac_tpu.models import convlstm, unet as unet_mod, wrappers
 from ukbb_cardiac_tpu.ops import (aortic_data_augmenter, crop_image,
                                   normalise_intensity, rescale_intensity)
 from ukbb_cardiac_tpu.train import steps as steps_lib

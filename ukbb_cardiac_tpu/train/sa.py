@@ -26,8 +26,8 @@ import json
 import os
 import random
 import time
-from dataclasses import dataclass, field
-from typing import Optional, Sequence
+from dataclasses import dataclass
+from typing import Optional
 
 import jax
 import jax.numpy as jnp

@@ -11,15 +11,11 @@ from the shardings alone; there is no hand-written collective.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Callable
 
 import jax
-import jax.numpy as jnp
 import optax
 from jax.sharding import NamedSharding, PartitionSpec as P
-
-from ukbb_cardiac_tpu.parallel import mesh as mesh_lib
 
 
 def make_train_step(loss_fn: Callable, optimizer: optax.GradientTransformation):
