@@ -33,7 +33,9 @@ def main():
                             n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
     params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
     model = SegmentationModel.from_fcn(params, state, names, cfg)
-    engine = InferenceEngine(model, chunk=50)
+    # 125 slices/chunk: 4 dispatches for the 500-slice cine; peak HBM for
+    # the multiscale concat stays ~3 GB
+    engine = InferenceEngine(model, chunk=125)
 
     rng = np.random.RandomState(0)
     # int16 like the real UKB NIfTIs (deploy transfers the native dtype)
