@@ -163,3 +163,30 @@ def test_sa_training_resume(tmp_path):
     restored = store.load_opt_state(ckpt, template)
     assert restored is not None
     assert int(jax.tree_util.tree_leaves(restored)[0].shape == ()) or True
+
+
+def test_sa_device_augment_loss():
+    """Device-side augmentation path produces a finite loss and gradients."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.train.sa import make_fcn_loss
+    from ukbb_cardiac_tpu.train import steps as steps_lib
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_fcn_loss(names, cfg, device_augment=True)
+    step = steps_lib.make_train_step(loss_fn, optax.adam(1e-3))
+    opt_state = optax.adam(1e-3).init(params)
+    rng = np.random.RandomState(0)
+    batch = {"image": jnp.asarray(rng.rand(2, 32, 32, 1), dtype=jnp.float32),
+             "label": jnp.asarray(rng.randint(0, 4, (2, 32, 32)),
+                                  dtype=jnp.int32)}
+    p2, s2, o2, loss, aux = step(params, state, opt_state, batch,
+                                 jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    k0 = names["levels"][0][0][0]
+    assert not np.allclose(np.asarray(p2[k0]["kernel"]),
+                           np.asarray(params[k0]["kernel"]))

@@ -92,9 +92,14 @@ def main(argv=None):
     manhattan_plot(df_log_p, category, ukb_catname, p_bonf, p_fdr,
                    out("manhattan.png"))
 
-    # Step 7: top hits (:415-536 — tidy CSV instead of LaTeX)
-    top_hits_table(df_corr, df_p, field_names, p_bonf).to_csv(
-        out("top_hits.csv"), index=None)
+    # Step 7: top hits (:415-536) — tidy CSV + the reference's LaTeX form
+    hits = top_hits_table(df_corr, df_p, field_names, p_bonf)
+    hits.to_csv(out("top_hits.csv"), index=None)
+    try:
+        with open(out("top_hits.tex"), "w") as f:
+            f.write(hits.to_latex(index=False, float_format="%.3g"))
+    except ImportError:  # pandas' to_latex needs jinja2 on some versions
+        pass
 
 
 if __name__ == "__main__":

@@ -61,6 +61,7 @@ class SATrainConfig:
     checkpoint_every: int = 1000
     seed: int = 0
     mesh_devices: int = 0  # 0 = single device; >0 = data-parallel mesh
+    device_augment: bool = False  # augment inside the jitted step (TPU path)
 
     @property
     def n_class(self) -> int:
@@ -140,20 +141,32 @@ def get_random_batch(filename_list, batch_size, image_size=192,
     return images, labels
 
 
-def make_fcn_loss(names, cfg: fcn_mod.FCNConfig):
+def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
+                  shift=0.0, rotate=10.0, scale=0.2, intensity=0.0,
+                  flip=False):
     """Loss closure for the train step: softmax CE + accuracy/Dice aux
-    (``train_network.py:204-214``)."""
+    (``train_network.py:204-214``).
+
+    ``device_augment``: apply the random affine augmentation *inside* the
+    jitted step (``ops.data_augmenter_jax``) — the TPU-native data path;
+    the reference does cv2/scipy warps on the host per iteration
+    (``train_network.py:259-264``)."""
 
     def loss_fn(params, state, batch, key):
+        image, label = batch["image"], batch["label"]
+        if device_augment:
+            from ukbb_cardiac_tpu.ops import data_augmenter_jax
+            image, label = data_augmenter_jax(key, image, label, shift,
+                                              rotate, scale, intensity, flip)
         logits, new_state = fcn_mod.apply_fcn(params, state, names, cfg,
-                                              batch["image"], train=True)
-        loss = losses.softmax_cross_entropy(logits, batch["label"], cfg.n_class)
+                                              image, train=True)
+        loss = losses.softmax_cross_entropy(logits, label, cfg.n_class)
         pred = jnp.argmax(logits, axis=-1)
-        acc = jnp.mean((pred == batch["label"]).astype(jnp.float32))
+        acc = jnp.mean((pred == label).astype(jnp.float32))
         aux = {"accuracy": acc}
         for k in range(1, cfg.n_class):
             a = pred == k
-            b = batch["label"] == k
+            b = label == k
             aux[f"dice_{k}"] = (2 * jnp.sum(a & b) /
                                 jnp.maximum(jnp.sum(a) + jnp.sum(b), 1e-7))
         return loss, (aux, new_state)
@@ -191,7 +204,8 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
         start_iteration = int(extra.get("iteration", 0))
         print(f"Resumed from {resume_from} at iteration {start_iteration}.")
 
-    loss_fn = make_fcn_loss(names, model_cfg)
+    loss_fn = make_fcn_loss(names, model_cfg,
+                            device_augment=cfg.device_augment)
     if cfg.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_devices)
