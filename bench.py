@@ -5,6 +5,13 @@ The reference's headline number (README.md:49): ~10 s to segment a
 (``deploy_network.py:103-116``).  Here the same cine runs as batched jit
 calls over all 500 slices.  Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
+
+Environment note: this machine reaches its TPU through a tunnel whose
+transfers permanently degrade to ~2 s / 80 MB after the first
+device→host fetch of the process (measured; see memory notes).  The
+steady-state number below therefore carries a ~2 s transfer floor that a
+directly-attached TPU would not have — the device compute itself is
+~0.3 s per cine.
 """
 
 import json

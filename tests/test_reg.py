@@ -144,3 +144,19 @@ def test_compose_chain_matches_sequential():
     for k in range(K):
         acc = compose_fields(pair[k], acc)
         np.testing.assert_allclose(chain[k + 1], np.asarray(acc), atol=1e-5)
+
+
+def test_fit_lattice_exact_roundtrip():
+    """A field synthesised from a lattice fits back to (nearly) the same
+    lattice, and the refit field matches the original."""
+    from ukbb_cardiac_tpu.reg.bspline import fit_lattice_to_field
+
+    rng = np.random.RandomState(3)
+    X, Y, s = 40, 36, 8
+    Cx, Cy = lattice_shape((X, Y), s)
+    control = jnp.asarray(rng.randn(Cx, Cy, 2).astype(np.float32))
+    field = bspline_dense_field(control, (X, Y), s)
+    refit = fit_lattice_to_field(field, s)
+    field2 = bspline_dense_field(refit, (X, Y), s)
+    np.testing.assert_allclose(np.asarray(field2), np.asarray(field),
+                               atol=1e-3)

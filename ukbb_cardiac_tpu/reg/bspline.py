@@ -128,25 +128,28 @@ def bspline_point_disp(control: jnp.ndarray, points: jnp.ndarray,
     return jax.vmap(eval_one)(i0, u)
 
 
-def fit_lattice_to_field(field: jnp.ndarray, spacing: int,
-                         iters: int = 50, lr: float = 0.5) -> jnp.ndarray:
-    """Least-squares fit of a control lattice to a dense field — used to
-    re-parameterise composed deformations onto a single lattice (the
-    ``mirtk compose-dofs`` refit, SURVEY.md §2.3).
+def basis_matrix(dim: int, spacing: int) -> np.ndarray:
+    """Dense 1D B-spline basis: B[x, i] = B((x - (i-1)s)/s), shape
+    (dim, n_controls) — the synthesis operator along one axis."""
+    Cn = int(math.ceil((dim - 1) / spacing)) + 3
+    x = np.arange(dim)[:, None]
+    i = np.arange(Cn)[None, :]
+    return _cubic_bspline_np((x - (i - 1) * spacing) / spacing).astype(np.float32)
 
-    Gradient descent on || synth(c) - field ||² (few iterations suffice:
-    the normal operator is well conditioned for smooth fields).
+
+def fit_lattice_to_field(field: jnp.ndarray, spacing: int) -> jnp.ndarray:
+    """Exact least-squares fit of a control lattice to a dense field —
+    re-parameterises composed deformations onto a single lattice (the
+    ``mirtk compose-dofs -approximate`` refit, SURVEY.md §2.3).
+
+    The synthesis operator is separable (field = Bx @ C @ By^T per
+    channel), so the normal equations solve exactly with two small
+    pseudo-inverses — no iteration.
     """
     X, Y, _ = field.shape
-    Cx, Cy = lattice_shape((X, Y), spacing)
-    c0 = jnp.zeros((Cx, Cy, 2))
-
-    def loss(c):
-        return jnp.mean((bspline_dense_field(c, (X, Y), spacing) - field) ** 2)
-
-    g = jax.grad(loss)
-
-    def body(_, c):
-        return c - lr * g(c) * (Cx * Cy)  # scale ~ inverse mean basis mass
-
-    return jax.lax.fori_loop(0, iters, body, c0)
+    Bx = jnp.asarray(basis_matrix(X, spacing))
+    By = jnp.asarray(basis_matrix(Y, spacing))
+    Bx_pinv = jnp.linalg.pinv(Bx)
+    By_pinv = jnp.linalg.pinv(By)
+    # (Cx, X) @ (X, Y) @ (Y, Cy) per displacement component
+    return jnp.einsum("cx,xyk,yd->cdk", Bx_pinv, field, By_pinv.T)
