@@ -101,9 +101,8 @@ def test_propagate_subject(tmp_path):
         nifti.save(nifti.Nifti1Image(seg[:, :, :, t].astype(np.float64), affine),
                    str(d / f"label_ao_{fr}.nii.gz"))
 
-    cfg = RegConfig(spacing=8, levels=1, iters=40, lr=0.5, be_weight=1e-3,
-                    metric="ssd")
-    out = propagate_subject(str(d), cfg)
+    # default config = the NMI aortic operating point (ffd_aortic_motion.cfg)
+    out = propagate_subject(str(d))
     prop = np.asanyarray(nifti.load(out).dataobj)
     assert prop.shape == seg.shape
     # every frame has labels, and they roughly match the ground truth

@@ -160,3 +160,20 @@ def test_fit_lattice_exact_roundtrip():
     field2 = bspline_dense_field(refit, (X, Y), s)
     np.testing.assert_allclose(np.asarray(field2), np.asarray(field),
                                atol=1e-3)
+
+
+def test_nmi_registration_recovers_translation():
+    """NMI metric (the aortic propagation config) also recovers motion —
+    multimodal-style: source has a different intensity mapping."""
+    X = Y = 48
+    target = _gaussian_blob(X, Y, 24, 24, 6)
+    src_geom = _gaussian_blob(X, Y, 27, 22, 6)
+    source = 1.0 - 0.8 * src_geom  # inverted/offset intensities
+    from ukbb_cardiac_tpu.reg import make_register_batch
+
+    cfg = RegConfig(spacing=8, levels=1, iters=60, lr=0.5, be_weight=1e-4,
+                    metric="nmi", n_bins=16)
+    controls = make_register_batch((X, Y), cfg)(target[None], source[None])
+    disp = np.asarray(total_field(tuple(c[0] for c in controls), (X, Y), cfg))
+    centre = disp[24, 24]
+    assert abs(centre[0] - 3) < 1.5 and abs(centre[1] + 2) < 1.5, centre

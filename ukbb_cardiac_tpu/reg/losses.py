@@ -58,6 +58,9 @@ def nmi(a: jnp.ndarray, b: jnp.ndarray, n_bins: int = 32) -> jnp.ndarray:
     pb = jnp.sum(joint, axis=0)
 
     def entropy(p):
-        return -jnp.sum(jnp.where(p > 1e-12, p * jnp.log(p), 0.0))
+        # double-where: keep log's argument strictly positive on the dead
+        # branch so the gradient stays finite (NaN otherwise)
+        safe_p = jnp.where(p > 1e-12, p, 1.0)
+        return -jnp.sum(jnp.where(p > 1e-12, p * jnp.log(safe_p), 0.0))
 
     return (entropy(pa) + entropy(pb)) / jnp.maximum(entropy(joint), 1e-8)
