@@ -97,3 +97,26 @@ def test_run_fleet_isolation_and_resume(tmp_path):
     assert "bad" in result.failed and "boom" in result.failed["bad"]
     assert result.skipped == ["c"]
     assert os.path.exists(manifest)
+
+
+def test_sharded_inference_matches_single_device(eight_devices):
+    """Fleet-mode inference: slice batch sharded over the mesh produces
+    the same labels as the single-device engine."""
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    model = SegmentationModel.from_fcn(params, state, names, cfg)
+    engine = InferenceEngine(model, chunk=16)
+
+    rng = np.random.RandomState(0)
+    slices = rng.rand(16, 32, 32, 1).astype(np.float32)
+
+    mesh = make_mesh(8)
+    sharded = engine.make_sharded_forward(mesh)
+    with mesh:
+        pred_mesh = np.asarray(sharded(engine._params, engine._state,
+                                       jnp.asarray(slices)))
+    pred_single = engine.run_slices(slices[:, :, :, 0])
+    np.testing.assert_array_equal(pred_mesh, pred_single)

@@ -295,6 +295,27 @@ class InferenceEngine:
         flat = unpacked.reshape(-1)[:X * Y * Z * T]
         return flat.reshape(X, Y, Z, T).astype(np.uint8)
 
+    def make_sharded_forward(self, mesh, axis: str = "data"):
+        """Build a mesh-sharded slice forward: (N, X, Y, 1) with N sharded
+        over ``axis``, params replicated — fleet-mode inference where the
+        slice batch of many subjects spans chips (SURVEY.md §2.4(a)).
+        XLA partitions the convs; no collectives are needed in the forward
+        so scaling is embarrassingly parallel over ICI-attached chips.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(axis))
+        forward = self.model.forward
+
+        @partial(jax.jit, in_shardings=(repl, repl, shard),
+                 out_shardings=shard)
+        def run(params, state, images):
+            logits = forward(params, state, images)
+            return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+
+        return run
+
     def segment_volume(self, volume: np.ndarray, want_prob: bool = False):
         """Segment a 3D volume (X, Y, Z) slice-wise. Returns (X, Y, Z)."""
         X, Y, Z = volume.shape

@@ -50,7 +50,7 @@ def normalise_intensity_jax(image, thres_roi=10.0):
     image = jnp.asarray(image).astype(jnp.float32)
     val_l = jnp.percentile(image, thres_roi)
     roi = (image >= val_l).astype(jnp.float32)
-    n = jnp.sum(roi)
+    n = jnp.maximum(jnp.sum(roi), 1.0)
     mu = jnp.sum(image * roi) / n
     var = jnp.sum(roi * (image - mu) ** 2) / n
     sigma = jnp.sqrt(var)
