@@ -1,28 +1,28 @@
-"""Benchmark: short-axis full-sequence segmentation on one TPU chip.
+"""Benchmark: full per-subject segmentation on one TPU chip.
 
-The reference's headline number (README.md:49): ~10 s to segment a
-192 x 208 x 10 x 50 SAX cine on an Nvidia K80 — a per-frame feed_dict loop
-(``deploy_network.py:103-116``).  Here the same cine runs as batched jit
-calls over all 500 slices.  Prints ONE JSON line:
+BASELINE metric (BASELINE.json / README.md:49): the reference segments a
+full subject — short-axis (192x208x10x50), three long-axis views
+(192x208x1x50) and the aortic cine (a 100-frame UNet-LSTM sliding-window
+deploy) — in ~25 s on an Nvidia K80, one sess.run per frame.  Here every
+cine runs as a fused batched device pipeline and the aortic LSTM scans
+the whole sequence in one program.  Prints ONE JSON line:
   {"metric": ..., "value": seconds, "unit": "s", "vs_baseline": speedup}
 
 Environment note: this machine reaches its TPU through a tunnel whose
 transfers permanently degrade to ~2 s / 80 MB after the first
 device→host fetch of the process (measured; see memory notes).  The
-steady-state number below therefore carries a ~2 s transfer floor that a
-directly-attached TPU would not have — the device compute itself is
-~0.3 s per cine.
+steady-state number below therefore carries a per-cine transfer floor
+that a directly-attached TPU would not have — the device compute is a
+small fraction of it.
 """
 
 import json
-import sys
 import time
 
 import numpy as np
 
-BASELINE_SECONDS = 10.0  # reference README.md:49, K80
-X, Y, Z, T = 192, 208, 10, 50
-REPEATS = 5
+BASELINE_SECONDS = 25.0  # reference README.md:49 per subject, K80
+REPEATS = 3
 
 
 def main():
@@ -31,38 +31,60 @@ def main():
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
-    from ukbb_cardiac_tpu.models import fcn as fcn_mod
-    from ukbb_cardiac_tpu.ops import rescale_intensity
+    import jax.numpy as jnp
 
-    cfg = fcn_mod.FCNConfig(n_class=4, n_level=5,
-                            n_filter=(16, 32, 64, 128, 256),
-                            n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
-    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
-    model = SegmentationModel.from_fcn(params, state, names, cfg)
-    # 125 slices/chunk: 4 dispatches for the 500-slice cine; peak HBM for
-    # the multiscale concat stays ~3 GB
-    engine = InferenceEngine(model, chunk=125)
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod, unet as unet_mod
 
     rng = np.random.RandomState(0)
-    # int16 like the real UKB NIfTIs (deploy transfers the native dtype)
-    cine = (rng.rand(X, Y, Z, T) * 1000).astype(np.int16)
 
-    # Warm-up: compile + first run (excluded, like the reference's session
-    # startup is excluded from its per-sequence number).
-    engine.segment_sequence_fused(cine)
+    # --- models (released-architecture configs, random weights) ---------
+    def fcn_engine(n_class):
+        cfg = fcn_mod.FCNConfig(n_class=n_class, n_level=5,
+                                n_filter=(16, 32, 64, 128, 256),
+                                n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
+        p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+        return InferenceEngine(SegmentationModel.from_fcn(p, s, n, cfg),
+                               chunk=125)
+
+    sa_engine = fcn_engine(4)
+    la_engines = {"la_2ch": fcn_engine(2), "la_4ch": fcn_engine(3),
+                  "seg4": fcn_engine(6)}
+
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=5,
+                               n_filter=(16, 32, 64, 128, 256),
+                               n_block=(2, 2, 2, 2, 2))
+    up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    up.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 16, 16, 3))
+    ao_engine = AorticEngine("unet_lstm", ucfg, un, up, us, bidirectional=True)
+
+    # --- a subject's cines (reference demo shapes; int16 like real data) -
+    sa = (rng.rand(192, 208, 10, 50) * 1000).astype(np.int16)
+    la = {k: (rng.rand(192, 208, 1, 50) * 1000).astype(np.int16)
+          for k in la_engines}
+    ao = (rng.rand(240, 196, 1, 100) * 1000).astype(np.float32)
+    ao_padded = np.pad(ao, ((8, 8), (30, 30), (0, 0), (0, 0)))  # 256x256
+
+    def segment_subject():
+        sa_engine.segment_sequence_fused(sa)
+        for k, eng in la_engines.items():
+            eng.segment_sequence_fused(la[k])
+        prob = ao_engine.prob_sequence(ao_padded, window="full")
+        np.argmax(prob, axis=-1)
+
+    segment_subject()  # warm-up: compile + first-fetch penalty
 
     times = []
     for _ in range(REPEATS):
         t0 = time.time()
-        seg = engine.segment_sequence_fused(cine)  # includes rescale on device
+        segment_subject()
         times.append(time.time() - t0)
-    assert seg.shape == (X, Y, Z, T)
 
     value = float(np.median(times))
     print(json.dumps({
-        "metric": "sa_cine_segmentation_192x208x10x50",
-        "value": round(value, 4),
+        "metric": "full_subject_segmentation_sa_3xla_ao",
+        "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 2),
     }))

@@ -104,7 +104,6 @@ def main(argv=None):
     for seq, model, seg4 in (("la_2ch", "FCN_la_2ch", False),
                              ("la_4ch", "FCN_la_4ch", False),
                              ("la_4ch", "FCN_la_4ch_seg4", True)):
-        argv_extra = ["--seg4"] if seg4 else []
         deploy_dataset(resolve_model(args.model_dir, model), args.data_dir,
                        seq_name=seq, seg4=seg4)
     print("Evaluating atrial volumes ...")

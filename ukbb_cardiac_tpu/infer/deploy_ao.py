@@ -103,6 +103,34 @@ class AorticEngine:
         return self._compiled[key]
 
     # -- public ------------------------------------------------------------
+    def pred_sequence(self, image: np.ndarray, weight_R: int = 5,
+                      weight_r: float = 0.0, time_step: int = 1,
+                      window: str = "full") -> np.ndarray:
+        """Argmax labels for a padded cine (X, Y, Z, T) → (X, Y, Z, T) uint8.
+
+        In full-scan mode the argmax happens ON DEVICE and only uint8
+        labels come back — the probability volume of a 100-frame 256²
+        cine is ~78 MB, a multi-second readback on this host's tunnel,
+        while the labels are 6.5 MB.
+        """
+        if self.kind != "unet" and window == "full":
+            key = ("lstm_pred", image.shape)
+            if key not in self._compiled:
+                lstm_full = self._lstm_full(None)
+
+                @jax.jit
+                def run(params, state, seq):
+                    prob = lstm_full(params, state, seq)
+                    return jnp.argmax(prob, axis=-1).astype(jnp.uint8)
+
+                self._compiled[key] = run
+            seq = np.transpose(image, (2, 3, 0, 1)).astype(np.float32)[..., None]
+            pred = np.asarray(self._compiled[key](self._params, self._state,
+                                                  jnp.asarray(seq)))
+            return np.transpose(pred, (2, 3, 0, 1))
+        prob = self.prob_sequence(image, window, weight_R, weight_r, time_step)
+        return np.argmax(prob, axis=-1).astype(np.uint8)
+
     def prob_sequence(self, image: np.ndarray, window: str = "full",
                       weight_R: int = 5, weight_r: float = 0.0,
                       time_step: int = 1) -> np.ndarray:
@@ -193,9 +221,8 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
     x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
     padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post), (0, 0), (0, 0)))
 
-    prob = engine.prob_sequence(padded, window, weight_R, weight_r, time_step)
-    prob = prob[x_pre:x_pre + X, y_pre:y_pre + Y]
-    pred = np.argmax(prob, axis=-1).astype(np.int32)
+    pred = engine.pred_sequence(padded, weight_R, weight_r, time_step, window)
+    pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y].astype(np.int32)
     seg_time = time.time() - start
 
     if save_seg:

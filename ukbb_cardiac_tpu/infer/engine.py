@@ -203,8 +203,11 @@ class InferenceEngine:
         if key not in self._compiled:
             X, Y, Z, T = cine_shape
             (x_pre, x_post), (y_pre, y_post) = pad_to_factor(X, Y, self.pad_factor)
-            chunk = self.chunk
             N = T * Z
+            # don't pad a short cine up to a full chunk (a 50-slice LA cine
+            # would waste 60% of the compute at chunk=125); cap at the next
+            # multiple of 8 for TPU sublane alignment
+            chunk = min(self.chunk, -(-N // 8) * 8)
             nc = -(-N // chunk)
             forward = self.model.forward
             bits = self._pack_bits()
