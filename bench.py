@@ -63,15 +63,13 @@ def main():
     sa = (rng.rand(192, 208, 10, 50) * 1000).astype(np.int16)
     la = {k: (rng.rand(192, 208, 1, 50) * 1000).astype(np.int16)
           for k in la_engines}
-    ao = (rng.rand(240, 196, 1, 100) * 1000).astype(np.float32)
-    ao_padded = np.pad(ao, ((8, 8), (30, 30), (0, 0), (0, 0)))  # 256x256
+    ao = (rng.rand(240, 196, 1, 100) * 1000).astype(np.int16)
 
     def segment_subject():
         sa_engine.segment_sequence_fused(sa)
         for k, eng in la_engines.items():
             eng.segment_sequence_fused(la[k])
-        prob = ao_engine.prob_sequence(ao_padded, window="full")
-        np.argmax(prob, axis=-1)
+        ao_engine.segment_cine(ao, z_score=True)
 
     segment_subject()  # warm-up: compile + first-fetch penalty
 

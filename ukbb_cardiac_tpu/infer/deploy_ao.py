@@ -103,6 +103,45 @@ class AorticEngine:
         return self._compiled[key]
 
     # -- public ------------------------------------------------------------
+    def segment_cine(self, image: np.ndarray, z_score: bool = True,
+                     pad_to: int = AO_SIZE) -> np.ndarray:
+        """Fused full-scan deploy for a RAW cine (X, Y, Z, T): device-side
+        z-score/rescale (``deploy_network_ao.py:92-96``), centred pad to
+        ``pad_to`` (:104-108), UNet+LSTM scan, argmax, crop — one native-
+        dtype transfer in, uint8 labels out."""
+        if self.kind == "unet":
+            raise ValueError("segment_cine is the LSTM/temporal full-scan "
+                             "path; use prob_sequence for the UNet model")
+        X, Y, Z, T = image.shape
+        key = ("seg_cine", image.shape, image.dtype.str, z_score, pad_to)
+        if key not in self._compiled:
+            from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
+                                              rescale_intensity_jax)
+
+            x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
+            x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
+            lstm_full = self._lstm_full(None)
+
+            @jax.jit
+            def run(params, state, raw):
+                x = raw.astype(jnp.float32)
+                if z_score:
+                    x = normalise_intensity_jax(x, 10.0)
+                else:
+                    x = rescale_intensity_jax(x, (1.0, 99.0))
+                x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
+                                (0, 0), (0, 0)))
+                seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]
+                prob = lstm_full(params, state, seq)
+                pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
+                pred = jnp.transpose(pred, (2, 3, 0, 1))
+                return pred[x_pre:x_pre + X, y_pre:y_pre + Y]
+
+            self._compiled[key] = run
+        raw = np.ascontiguousarray(image)
+        return np.asarray(self._compiled[key](self._params, self._state,
+                                              jnp.asarray(raw)))
+
     def pred_sequence(self, image: np.ndarray, weight_R: int = 5,
                       weight_r: float = 0.0, time_step: int = 1,
                       window: str = "full") -> np.ndarray:
@@ -207,22 +246,28 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
 
     print(f"  Reading {image_name} ...")
     nim = nifti.load(image_name)
-    image = np.asarray(nim.dataobj).astype(np.float32)
+    image = np.asarray(nim.dataobj)
     X, Y, Z, T = image.shape
 
     print("  Segmenting full sequence ...")
     start = time.time()
-    if z_score:
-        image = normalise_intensity(image, 10.0)
+    if engine.kind != "unet" and window == "full":
+        # fused device path: native-dtype transfer, then normalise / pad /
+        # UNet / LSTM scan / argmax / crop all in one device program
+        pred = engine.segment_cine(image, z_score=z_score).astype(np.int32)
     else:
-        image = rescale_intensity(image, (1.0, 99.0))
-
-    x_pre, y_pre = (AO_SIZE - X) // 2, (AO_SIZE - Y) // 2
-    x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
-    padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post), (0, 0), (0, 0)))
-
-    pred = engine.pred_sequence(padded, weight_R, weight_r, time_step, window)
-    pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y].astype(np.int32)
+        image = image.astype(np.float32)
+        if z_score:
+            image = normalise_intensity(image, 10.0)
+        else:
+            image = rescale_intensity(image, (1.0, 99.0))
+        x_pre, y_pre = (AO_SIZE - X) // 2, (AO_SIZE - Y) // 2
+        x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
+        padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post),
+                                (0, 0), (0, 0)))
+        pred = engine.pred_sequence(padded, weight_R, weight_r, time_step,
+                                    window)
+        pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y].astype(np.int32)
     seg_time = time.time() - start
 
     if save_seg:

@@ -268,7 +268,11 @@ def make_ao_optimizer(cfg: AoTrainConfig, params):
 
 def restore_pretrained_unet(params, state, model_path: str):
     """Load the ``UNet/`` scope (incl. BN moving stats) from a bundle —
-    the two-phase restore (``train_network_ao.py:407-414``)."""
+    the two-phase restore (``train_network_ao.py:407-414``).  A TF
+    checkpoint prefix is converted on the fly."""
+    if not model_path.endswith(".npz"):
+        from ukbb_cardiac_tpu.ckpt.tf_reader import convert_tf_checkpoint
+        model_path = convert_tf_checkpoint(model_path)
     _, _, _, p2, s2, _ = store.load_model(model_path)
     params = dict(params)
     state = dict(state)
