@@ -117,3 +117,31 @@ def test_full_sa_strain_driver(sax_subject, tmp_path):
     assert df is not None
     dice = df.values
     assert np.nanmean(dice[:, 0]) > 0.7, np.nanmean(dice, axis=0)
+
+
+def test_eval_strain_sax_cli(tmp_path):
+    """The strain CLI aggregates per-subject tables with the reference's
+    Ecc/Err column schema (eval_strain_sax.py:72-86)."""
+    import pandas as pd
+    from ukbb_cardiac_tpu.cli import eval_strain_sax
+
+    data_dir = tmp_path / "data"
+    write_subject(str(data_dir / "77"), seqs=("sa",), X=96, Y=96, Z=8, T=4,
+                  with_seg=True)
+    subj = data_dir / "77"
+    for name in ("sa", "seg_sa"):
+        nim = nifti.load(str(subj / f"{name}.nii.gz"))
+        nifti.save(nifti.Nifti1Image(np.asanyarray(nim.dataobj)[:, :, :, 0],
+                                     nim.affine),
+                   str(subj / f"{name}_ED.nii.gz"))
+
+    out_csv = tmp_path / "strain.csv"
+    eval_strain_sax.main(["--data_dir", str(data_dir),
+                          "--output_csv", str(out_csv)])
+    df = pd.read_csv(out_csv, index_col=0)
+    assert len(df) == 1
+    assert "Ecc_Global (%)" in df.columns and "Err_Global (%)" in df.columns
+    assert len(df.columns) == 34
+    # intermediate dir removed, per-subject tables kept
+    assert not (subj / "cine_motion").exists()
+    assert (subj / "strain_sa_radial.csv").exists()
