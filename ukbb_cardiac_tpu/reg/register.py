@@ -222,51 +222,67 @@ def make_register_batch(image_shape: Tuple[int, int],
     (dispatch overhead ~1 ms against ~10 ms steps).
     """
     X, Y = image_shape
-    spacings = [cfg.spacing * (2 ** (cfg.levels - 1 - l))
-                for l in range(cfg.levels)]
-    sigmas = [cfg.smooth_sigma * (2 ** (cfg.levels - 1 - l))
-              for l in range(cfg.levels)]
+    factors = [2 ** (cfg.levels - 1 - l) for l in range(cfg.levels)]
+    # pad once so every pyramid level divides exactly (edge replicate —
+    # introduces no new intensity extremes)
+    f0 = factors[0]
+    Xp = -(-X // f0) * f0
+    Yp = -(-Y // f0) * f0
+    level_shapes = [(Xp // f, Yp // f) for f in factors]
+    sigmas = [cfg.smooth_sigma * (f - 1) for f in factors]  # anti-alias blur
     opt = optax.adam(cfg.lr)
 
-    def one_loss(c_l, base_disp, tgt, src, spacing):
-        disp = base_disp + bspline.bspline_dense_field(c_l, (X, Y), spacing)
-        warped = _warp(src, disp)
-        if cfg.metric == "nmi":
-            sim = -losses.nmi(tgt, warped, cfg.n_bins)
-        else:
-            sim = losses.ssd(tgt, warped)
-        return sim + cfg.be_weight * losses.bending_energy(disp)
+    def make_level(l):
+        """Jitted (step-block, cross-synth) for pyramid level l.
 
-    # one jitted (step-block, synth) pair per level spacing; each dispatch
-    # runs `steps_per_call` Adam steps through a fori_loop (the loop body
-    # is traced once, so the graph stays small while dispatch count drops
-    # ~10x — dispatches over the device tunnel are not free)
-    steps_per_call = max(1, math.gcd(cfg.iters, 10))
-    steps, synths = {}, {}
-    for s_l in set(spacings):
-        def make(s_l):
-            grad = jax.grad(one_loss)
+        The level optimises a lattice of spacing ``cfg.spacing`` on images
+        downsampled by ``factors[l]`` — MIRTK's actual multi-resolution
+        scheme.  A coarse lattice c at factor f is EXACTLY the full-res
+        lattice (f*c) at spacing f*spacing (the B-spline basis rescales),
+        so the public consumers (total_field / transform_points) stay
+        unchanged.
+        """
+        Xl, Yl = level_shapes[l]
+        f_l = factors[l]
 
-            @jax.jit
-            def step_block(c, opt_state, base, tgt, src):
-                def body(_, carry):
-                    c, opt_state = carry
-                    g = jax.vmap(grad, in_axes=(0, 0, 0, 0, None))(
-                        c, base, tgt, src, s_l)
-                    updates, opt_state2 = opt.update(g, opt_state, c)
-                    return optax.apply_updates(c, updates), opt_state2
+        def one_loss(c_l, base_disp, tgt, src):
+            disp = base_disp + bspline.bspline_dense_field(
+                c_l, (Xl, Yl), cfg.spacing)
+            warped = _warp(src, disp)
+            if cfg.metric == "nmi":
+                sim = -losses.nmi(tgt, warped, cfg.n_bins)
+            else:
+                sim = losses.ssd(tgt, warped)
+            return sim + cfg.be_weight * losses.bending_energy(disp)
 
-                return jax.lax.fori_loop(0, steps_per_call, body,
-                                         (c, opt_state))
+        grad = jax.grad(one_loss)
+        steps_per_call = max(1, math.gcd(cfg.iters, 10))
 
-            @jax.jit
-            def synth(c):
-                return jax.vmap(
-                    lambda ci: bspline.bspline_dense_field(ci, (X, Y), s_l))(c)
+        @jax.jit
+        def step_block(c, opt_state, base, tgt, src):
+            def body(_, carry):
+                c, opt_state = carry
+                g = jax.vmap(grad)(c, base, tgt, src)
+                updates, opt_state2 = opt.update(g, opt_state, c)
+                return optax.apply_updates(c, updates), opt_state2
 
-            return step_block, synth
+            return jax.lax.fori_loop(0, steps_per_call, body, (c, opt_state))
 
-        steps[s_l], synths[s_l] = make(s_l)
+        @jax.jit
+        def synth_prev_levels(prev_controls):
+            """Displacement of all finished levels, evaluated at THIS
+            level's resolution in this level's pixel units."""
+            base = jnp.zeros((Xl, Yl, 2))
+            for m, c_m in enumerate(prev_controls):
+                ratio = factors[m] // f_l          # ≥ 2, integer
+                base = base + ratio * bspline.bspline_dense_field(
+                    c_m, (Xl, Yl), cfg.spacing * ratio)
+            return base
+
+        return (step_block, jax.jit(jax.vmap(synth_prev_levels)),
+                steps_per_call)
+
+    levels = [make_level(l) for l in range(cfg.levels)]
 
     @jax.jit
     def normalise_pair(targets, sources):
@@ -278,32 +294,43 @@ def make_register_batch(image_shape: Tuple[int, int],
         return (t32 - lo) / scale, (s32 - lo) / scale
 
     blurs = {}
-    for sig in {s - cfg.smooth_sigma for s in sigmas}:
+    for l, sig in enumerate(sigmas):
         if sig > 0:
-            blurs[sig] = jax.jit(
-                jax.vmap(partial(gaussian_blur, sigma=sig)))
+            f = factors[l]
+            blurs[l] = jax.jit(jax.vmap(
+                lambda x, sig=sig, f=f: gaussian_blur(x, sig)[::f, ::f]))
+        elif factors[l] > 1:
+            f = factors[l]
+            blurs[l] = jax.jit(jax.vmap(lambda x, f=f: x[::f, ::f]))
 
     def register(targets, sources):
         targets = jnp.asarray(targets)
         sources = jnp.asarray(sources)
         B = targets.shape[0]
         tgt_n, src_n = normalise_pair(targets, sources)
+        if (Xp, Yp) != (X, Y):
+            tgt_n = jnp.pad(tgt_n, ((0, 0), (0, Xp - X), (0, Yp - Y)),
+                            mode="edge")
+            src_n = jnp.pad(src_n, ((0, 0), (0, Xp - X), (0, Yp - Y)),
+                            mode="edge")
 
-        base = jnp.zeros((B, X, Y, 2))
         controls = []
         for l in range(cfg.levels):
-            s_l = spacings[l]
-            sig = sigmas[l] - cfg.smooth_sigma
-            tgt_l = blurs[sig](tgt_n) if sig > 0 else tgt_n
-            src_l = blurs[sig](src_n) if sig > 0 else src_n
-            Cx, Cy = bspline.lattice_shape((X, Y), s_l)
+            step, synth_prev, steps_per_call = levels[l]
+            Xl, Yl = level_shapes[l]
+            tgt_l = blurs[l](tgt_n) if l in blurs else tgt_n
+            src_l = blurs[l](src_n) if l in blurs else src_n
+            base = (synth_prev(tuple(controls)) if controls
+                    else jnp.zeros((B, Xl, Yl, 2)))
+            Cx, Cy = bspline.lattice_shape((Xl, Yl), cfg.spacing)
             c = jnp.zeros((B, Cx, Cy, 2))
             opt_state = opt.init(c)
-            step = steps[s_l]
             for _ in range(cfg.iters // steps_per_call):
                 c, opt_state = step(c, opt_state, base, tgt_l, src_l)
             controls.append(c)
-            base = base + synths[s_l](c)
-        return tuple(controls)
+
+        # rescale to full-resolution lattices: values in full-res pixels,
+        # spacing cfg.spacing * factor (what total_field expects)
+        return tuple(c * f for c, f in zip(controls, factors))
 
     return register
