@@ -25,8 +25,7 @@ def main(argv=None):
     subjects = [os.path.join(args.data_dir, d)
                 for d in data_list[args.start_idx:end_idx]
                 if os.path.isdir(os.path.join(args.data_dir, d))]
-    cfg = RegConfig(spacing=10, levels=1, iters=100, lr=0.5, be_weight=1e-4,
-                    metric="nmi")
+    cfg = RegConfig.aortic_motion()
     run_fleet(subjects, lambda d: propagate_subject(d, cfg),
               done_check=lambda d: os.path.exists(
                   os.path.join(d, "label_ao_prop.nii.gz")))

@@ -79,8 +79,7 @@ def propagate_subject(data_dir: str, cfg: RegConfig = None,
     Expects ``<data_dir>/{ao,ao_ED,ao_ES,label_ao,label_ao_ED,
     label_ao_ES}.nii.gz``; writes ``label_ao_prop.nii.gz``.
     """
-    cfg = cfg or RegConfig(spacing=10, levels=1, iters=100, lr=0.5,
-                           be_weight=1e-4, metric="nmi")
+    cfg = cfg or RegConfig.aortic_motion()
     motion_dir = os.path.join(data_dir, "motion")
     os.makedirs(motion_dir, exist_ok=True)
 

@@ -43,6 +43,20 @@ class RegConfig:
     smooth_sigma: float = 1.0    # per-level Gaussian blur factor
     padding_value: float | None = None  # ignore-below mask (cfg:12 "Padding value = -1")
 
+    @staticmethod
+    def cine_2d_motion() -> "RegConfig":
+        """The ``par/ffd_cine_2d_motion.cfg`` operating point (also
+        ``par/ffd_cine_la_2d_motion.cfg``): 3 levels, SSD + 1e-1 bending
+        energy, control spacing 10 px."""
+        return RegConfig(spacing=10, levels=3, be_weight=1e-1, metric="ssd")
+
+    @staticmethod
+    def aortic_motion() -> "RegConfig":
+        """The ``par/ffd_aortic_motion.cfg`` operating point: 1 level,
+        NMI + 1e-4 bending energy, control spacing 10 px."""
+        return RegConfig(spacing=10, levels=1, iters=100, be_weight=1e-4,
+                         metric="nmi")
+
 
 def _gaussian_kernel(sigma: float, radius: int) -> jnp.ndarray:
     x = jnp.arange(-radius, radius + 1, dtype=jnp.float32)
