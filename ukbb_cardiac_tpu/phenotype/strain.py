@@ -89,7 +89,8 @@ def _sample_field(field: np.ndarray, pts_xy: np.ndarray) -> np.ndarray:
 
 
 def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
-                             register_batch=None) -> np.ndarray:
+                             register_batch=None,
+                             inverse_consistent: bool = True) -> np.ndarray:
     """Per-frame ED→fr displacement fields for MULTIPLE slices at once.
 
     frames_zs: (Z, T, X, Y).  Returns (Z, T, X, Y, 2): combined
@@ -101,10 +102,16 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
     Every slice's every pair joins ONE batched registration (the
     reference runs Z x 2(T-1) sequential MIRTK subprocesses), and
     densify+compose+blend run as a handful of device programs.
+
+    ``inverse_consistent`` (default): each adjacent pair is registered
+    once and the reverse transform comes from a fixed-point field
+    inversion — half the registrations of the reference's two-direction
+    scheme at equivalent quality (see QUIRKS.md).  Set False for the
+    reference's exact both-directions behaviour.
     """
     import jax
 
-    from ukbb_cardiac_tpu.reg.register import compose_chain
+    from ukbb_cardiac_tpu.reg.register import compose_chain, invert_field
 
     Z, T, X, Y = frames_zs.shape
     if register_batch is None:
@@ -113,26 +120,40 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
     tgt_list, src_list = [], []
     for z in range(Z):
         frames = frames_zs[z]
-        tgt_list.append(frames[:-1])                     # fwd: fr-1
-        src_list.append(frames[1:])                      # fwd: fr
-        tgt_list.append(np.stack([frames[(fr + 1) % T]
-                                  for fr in range(T - 1, 0, -1)]))
-        src_list.append(np.stack([frames[fr]
-                                  for fr in range(T - 1, 0, -1)]))
+        tgt_list.append(frames[:-1])                     # fwd: fr-1 -> fr
+        src_list.append(frames[1:])
+        if inverse_consistent:
+            # only the wrap pair 0 -> T-1 is new; the rest invert
+            tgt_list.append(frames[0:1])
+            src_list.append(frames[T - 1:T])
+        else:
+            # bwd: (fr+1)%T -> fr for fr = T-1 .. 1
+            tgt_list.append(np.stack([frames[(fr + 1) % T]
+                                      for fr in range(T - 1, 0, -1)]))
+            src_list.append(np.stack([frames[fr]
+                                      for fr in range(T - 1, 0, -1)]))
     targets = jnp.asarray(np.concatenate(tgt_list))
     sources = jnp.asarray(np.concatenate(src_list))
     controls = register_batch(targets, sources)
 
     dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
-    fields = dense(*controls)  # (Z * 2(T-1), X, Y, 2)
+    fields = dense(*controls)
+    per = T if inverse_consistent else 2 * (T - 1)
 
     @jax.jit
     def combine(fields):
-        per_slice = fields.reshape(Z, 2 * (T - 1), X, Y, 2)
+        per_slice = fields.reshape(Z, per, X, Y, 2)
 
         def one(slice_fields):
             fwd_pair = slice_fields[:T - 1]   # entry fr-1 maps fr-1 -> fr
-            bwd_pair = slice_fields[T - 1:]   # entry i maps (T-i)%T -> T-1-i
+            if inverse_consistent:
+                wrap = slice_fields[T - 1]    # 0 -> T-1
+                # backward chain pairs: (0->T-1), then (fr+1->fr) =
+                # inverse of the forward pair (fr->fr+1), fr = T-2 .. 1
+                inv = jax.vmap(invert_field)(fwd_pair[1:][::-1])
+                bwd_pair = jnp.concatenate([wrap[None], inv], axis=0)
+            else:
+                bwd_pair = slice_fields[T - 1:]
             forward = compose_chain(fwd_pair)
             backward_rev = compose_chain(bwd_pair)
             backward = jnp.concatenate(

@@ -195,6 +195,27 @@ def compose_fields(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
     return d2 + jnp.stack([d1x, d1y], axis=-1)
 
 
+def invert_field(disp: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+    """Invert a pull-back displacement field by fixed-point iteration:
+    v = -u(x + v(x)).  Converges fast for the smooth, small inter-frame
+    deformations of cine tracking; lets the motion driver register each
+    adjacent frame pair ONCE and derive the reverse transform (the
+    reference registers every pair in both directions,
+    ``cardiac_utils.py:882-910``)."""
+    X, Y, _ = disp.shape
+    gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
+                          jnp.arange(Y, dtype=jnp.float32), indexing="ij")
+
+    def body(_, v):
+        px = gx + v[..., 0]
+        py = gy + v[..., 1]
+        ux = sample_2d(disp[..., 0], px, py)
+        uy = sample_2d(disp[..., 1], px, py)
+        return -jnp.stack([ux, uy], axis=-1)
+
+    return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(disp))
+
+
 def compose_chain(pair_fields: jnp.ndarray) -> jnp.ndarray:
     """Prefix-compose a chain of pull-back pair transforms in ONE program.
 
