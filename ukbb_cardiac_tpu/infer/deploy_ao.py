@@ -135,12 +135,21 @@ class AorticEngine:
                 prob = lstm_full(params, state, seq)
                 pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
                 pred = jnp.transpose(pred, (2, 3, 0, 1))
-                return pred[x_pre:x_pre + X, y_pre:y_pre + Y]
+                pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y]
+                # 2-bit pack (3 classes) for the slow d2h direction
+                flat = pred.reshape(-1)
+                pad_n = (-flat.shape[0]) % 4
+                flat = jnp.pad(flat, (0, pad_n)).reshape(-1, 4)
+                shifts = (jnp.arange(4, dtype=jnp.uint32) * 2)
+                return jnp.sum(flat.astype(jnp.uint32) << shifts,
+                               axis=-1).astype(jnp.uint8)
 
             self._compiled[key] = run
         raw = np.ascontiguousarray(image)
-        return np.asarray(self._compiled[key](self._params, self._state,
-                                              jnp.asarray(raw)))
+        packed = np.asarray(self._compiled[key](self._params, self._state,
+                                                jnp.asarray(raw)))
+        unpacked = (packed[:, None] >> (np.arange(4, dtype=np.uint8) * 2)) & 3
+        return unpacked.reshape(-1)[:X * Y * Z * T].reshape(X, Y, Z, T)
 
     def pred_sequence(self, image: np.ndarray, weight_R: int = 5,
                       weight_r: float = 0.0, time_step: int = 1,
