@@ -1,0 +1,27 @@
+# Developer entry points for ukbb_cardiac_tpu.
+
+PYTHON ?= python
+
+.PHONY: test test-fast bench bench-strain native clean
+
+test:
+	$(PYTHON) -m pytest tests/ -q
+
+test-fast:
+	$(PYTHON) -m pytest tests/ -q -x -k "not training and not two_phase and not demo"
+
+bench:
+	$(PYTHON) bench.py
+
+bench-strain:
+	$(PYTHON) bench_strain.py
+
+native:
+	g++ -O3 -march=native -shared -fPIC \
+	    ukbb_cardiac_tpu/native/hostops.cc \
+	    -o ukbb_cardiac_tpu/native/libhostops.so
+
+clean:
+	rm -rf .pytest_cache .jax_cache
+	find . -name __pycache__ -type d -exec rm -rf {} +
+	rm -f ukbb_cardiac_tpu/native/libhostops.so
