@@ -186,7 +186,10 @@ class InferenceEngine:
     # bottleneck on this setup (~25 MB/s), so packing 4 voxels/byte is a
     # direct 4x on the dominant cost.
 
-    _H2D_PIECE_BYTES = 32 * 1024 * 1024  # stay under the h2d throughput cliff
+    # One piece per cine when possible: in the tunnel's degraded mode
+    # (see DESIGN.md) each additional transfer costs ~0.25 s of fixed
+    # overhead, dominating any size effect.
+    _H2D_PIECE_BYTES = 128 * 1024 * 1024
 
     def _pack_bits(self):
         n = self.model.n_class
