@@ -22,7 +22,7 @@ import time
 import numpy as np
 
 BASELINE_SECONDS = 25.0  # reference README.md:49 per subject, K80
-REPEATS = 3
+REPEATS = 5
 
 
 def main():
