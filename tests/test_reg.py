@@ -177,3 +177,22 @@ def test_nmi_registration_recovers_translation():
     disp = np.asarray(total_field(tuple(c[0] for c in controls), (X, Y), cfg))
     centre = disp[24, 24]
     assert abs(centre[0] - 3) < 1.5 and abs(centre[1] + 2) < 1.5, centre
+
+
+def test_padding_value_mask_ignores_padded_region():
+    """With padding_value set, padded (-1) target regions don't drag the
+    registration: a shifted blob plus a big -1 region still registers."""
+    from ukbb_cardiac_tpu.reg import make_register_batch
+
+    X = Y = 48
+    target = _gaussian_blob(X, Y, 24, 24, 6)
+    source = _gaussian_blob(X, Y, 27, 22, 6)
+    target_pad = target.copy()
+    target_pad[:, :12] = -1.0  # padded strip in the target only
+
+    cfg = RegConfig(spacing=8, levels=2, iters=40, lr=0.5, be_weight=1e-2,
+                    padding_value=-1.0)
+    controls = make_register_batch((X, Y), cfg)(target_pad[None], source[None])
+    disp = np.asarray(total_field(tuple(c[0] for c in controls), (X, Y), cfg))
+    centre = disp[24, 24]
+    assert abs(centre[0] - 3) < 1.5 and abs(centre[1] + 2) < 1.5, centre

@@ -280,24 +280,25 @@ def make_register_batch(image_shape: Tuple[int, int],
         Xl, Yl = level_shapes[l]
         f_l = factors[l]
 
-        def one_loss(c_l, base_disp, tgt, src):
+        def one_loss(c_l, base_disp, tgt, src, mask):
             disp = base_disp + bspline.bspline_dense_field(
                 c_l, (Xl, Yl), cfg.spacing)
             warped = _warp(src, disp)
             if cfg.metric == "nmi":
                 sim = -losses.nmi(tgt, warped, cfg.n_bins)
             else:
-                sim = losses.ssd(tgt, warped)
+                sim = losses.ssd(tgt, warped, mask if cfg.padding_value
+                                 is not None else None)
             return sim + cfg.be_weight * losses.bending_energy(disp)
 
         grad = jax.grad(one_loss)
         steps_per_call = max(1, math.gcd(cfg.iters, 10))
 
         @jax.jit
-        def step_block(c, opt_state, base, tgt, src):
+        def step_block(c, opt_state, base, tgt, src, mask):
             def body(_, carry):
                 c, opt_state = carry
-                g = jax.vmap(grad)(c, base, tgt, src)
+                g = jax.vmap(grad)(c, base, tgt, src, mask)
                 updates, opt_state2 = opt.update(g, opt_state, c)
                 return optax.apply_updates(c, updates), opt_state2
 
@@ -342,12 +343,19 @@ def make_register_batch(image_shape: Tuple[int, int],
         targets = jnp.asarray(targets)
         sources = jnp.asarray(sources)
         B = targets.shape[0]
+        # MIRTK's "Padding value": voxels at/below it in the TARGET are
+        # excluded from the similarity (par/ffd_cine_2d_motion.cfg:12)
+        mask_full = (targets.astype(jnp.float32)
+                     > (cfg.padding_value if cfg.padding_value is not None
+                        else -jnp.inf)).astype(jnp.float32)
         tgt_n, src_n = normalise_pair(targets, sources)
         if (Xp, Yp) != (X, Y):
             tgt_n = jnp.pad(tgt_n, ((0, 0), (0, Xp - X), (0, Yp - Y)),
                             mode="edge")
             src_n = jnp.pad(src_n, ((0, 0), (0, Xp - X), (0, Yp - Y)),
                             mode="edge")
+            mask_full = jnp.pad(mask_full, ((0, 0), (0, Xp - X), (0, Yp - Y)),
+                                mode="edge")
 
         controls = []
         for l in range(cfg.levels):
@@ -355,13 +363,15 @@ def make_register_batch(image_shape: Tuple[int, int],
             Xl, Yl = level_shapes[l]
             tgt_l = blurs[l](tgt_n) if l in blurs else tgt_n
             src_l = blurs[l](src_n) if l in blurs else src_n
+            f = factors[l]
+            mask_l = mask_full[:, ::f, ::f] if f > 1 else mask_full
             base = (synth_prev(tuple(controls)) if controls
                     else jnp.zeros((B, Xl, Yl, 2)))
             Cx, Cy = bspline.lattice_shape((Xl, Yl), cfg.spacing)
             c = jnp.zeros((B, Cx, Cy, 2))
             opt_state = opt.init(c)
             for _ in range(cfg.iters // steps_per_call):
-                c, opt_state = step(c, opt_state, base, tgt_l, src_l)
+                c, opt_state = step(c, opt_state, base, tgt_l, src_l, mask_l)
             controls.append(c)
 
         # rescale to full-resolution lattices: values in full-res pixels,
