@@ -190,3 +190,34 @@ def test_sa_device_augment_loss():
     k0 = names["levels"][0][0][0]
     assert not np.allclose(np.asarray(p2[k0]["kernel"]),
                            np.asarray(params[k0]["kernel"]))
+
+
+def test_sa_training_converges_on_phantom(tmp_path):
+    """60 iterations on the phantom dataset reaches useful LV Dice —
+    an actual learning check, not just plumbing."""
+    _make_sa_dataset(str(tmp_path), n_subj=3)
+    cfg = SATrainConfig(seq_name="sa", image_size=48, train_batch_size=2,
+                        num_filter=4, num_level=3, learning_rate=1e-3,
+                        dataset_dir=str(tmp_path),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        validation_every=1000, checkpoint_every=1000)
+    params, state, names, model_cfg = train_sa(cfg, max_iterations=60,
+                                               progress_every=1000)
+
+    # evaluate on a validation volume
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.train.sa import get_random_batch, scan_dataset
+
+    data_list = scan_dataset(str(tmp_path), "sa")
+    images, labels = get_random_batch(data_list["validation"], 2,
+                                      image_size=48)
+    # train=True → batch statistics: BN moving stats (momentum 0.99, as
+    # in the reference) need ~500 iterations to calibrate, so eval-mode
+    # predictions are meaningless this early — the learning signal isn't.
+    logits, _ = fcn_mod.apply_fcn(params, state, names, model_cfg,
+                                  jnp.asarray(images), train=True)
+    pred = np.asarray(jnp.argmax(logits, axis=-1))
+    a, b = pred == 1, labels == 1
+    dice_lv = 2 * np.sum(a & b) / max(np.sum(a) + np.sum(b), 1)
+    assert dice_lv > 0.5, dice_lv
