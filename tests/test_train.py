@@ -221,3 +221,32 @@ def test_sa_training_converges_on_phantom(tmp_path):
     a, b = pred == 1, labels == 1
     dice_lv = 2 * np.sum(a & b) / max(np.sum(a) + np.sum(b), 1)
     assert dice_lv > 0.5, dice_lv
+
+
+def test_adam_schedule_multiple_boundaries():
+    import jax.numpy as jnp
+    import optax
+    from ukbb_cardiac_tpu.train.steps import adam_with_schedule
+
+    opt = adam_with_schedule(1e-2, reduce_after=[10, 20])
+    params = {"w": jnp.ones(3)}
+    state = opt.init(params)
+    g = {"w": jnp.ones(3)}
+
+    def step_size(state, count_target):
+        # run until count reaches target, return |update| magnitude
+        s = state
+        p = params
+        last = None
+        for _ in range(count_target):
+            upd, s = opt.update(g, s, p)
+            last = float(jnp.abs(upd["w"][0]))
+            p = optax.apply_updates(p, upd)
+        return last
+
+    early = step_size(state, 5)
+    mid = step_size(state, 15)
+    late = step_size(state, 25)
+    assert early > mid > late
+    assert mid == pytest.approx(early * 0.1, rel=0.3)
+    assert late == pytest.approx(early * 0.01, rel=0.3)

@@ -254,10 +254,8 @@ def make_ao_loss(cfg: AoTrainConfig, ucfg, names):
 def make_ao_optimizer(cfg: AoTrainConfig, params):
     """Adam with optional lr decay; LSTM-only updates unless joint_train
     (``train_network_ao.py:341-362``)."""
-    opt = steps_lib.adam_with_schedule(
-        cfg.learning_rate,
-        reduce_after=(sorted(cfg.reduce_lr_after)[0]
-                      if cfg.reduce_lr_after else 0))
+    opt = steps_lib.adam_with_schedule(cfg.learning_rate,
+                                       reduce_after=cfg.reduce_lr_after)
     if cfg.model == "UNet-LSTM" and not cfg.joint_train:
         def label_fn(tree):
             return {k: ("train" if k == "LSTM" else "freeze") for k in tree}

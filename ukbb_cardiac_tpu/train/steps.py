@@ -70,13 +70,17 @@ def make_eval_step(metric_fn: Callable):
     return jax.jit(metric_fn)
 
 
-def adam_with_schedule(lr: float = 1e-3, reduce_after: int = 0,
-                       total_iters: int = 0, reduce_factor: float = 0.1):
-    """Adam with the reference's optional piecewise-constant decay
-    (``train_network_ao.py:329-339``: lr -> lr*factor after
-    ``reduce_after`` iterations)."""
-    if reduce_after and reduce_after > 0:
+def adam_with_schedule(lr: float = 1e-3, reduce_after=(),
+                       reduce_factor: float = 0.1):
+    """Adam with the reference's piecewise-constant decay
+    (``train_network_ao.py:329-339``): the learning rate multiplies by
+    ``reduce_factor`` after EACH boundary in ``reduce_after`` (the
+    reference's ``--reduce_lr_after`` may be given several times)."""
+    if isinstance(reduce_after, int):
+        reduce_after = [reduce_after] if reduce_after > 0 else []
+    boundaries = sorted(int(b) for b in reduce_after if int(b) > 0)
+    if boundaries:
         sched = optax.piecewise_constant_schedule(
-            lr, {reduce_after: reduce_factor})
+            lr, {b: reduce_factor for b in boundaries})
         return optax.adam(sched)
     return optax.adam(lr)
