@@ -196,3 +196,27 @@ def test_fused_path_int16_input(tiny_fcn):
     seg_a = engine.segment_sequence_fused(cine16)
     seg_b = engine.segment_sequence_fused(cine16.astype(np.float32))
     np.testing.assert_array_equal(seg_a, seg_b)
+
+
+def test_deploy_ed_es_mode_sa(tmp_path, tiny_fcn):
+    """ED/ES-only SA mode (deploy_network.py:152-216): segments the two
+    still frames and writes seg_<seq>_{ED,ES}."""
+    params, state, names = tiny_fcn
+    bundle = str(tmp_path / "fcn_sa.npz")
+    store.save_model(bundle, "fcn", TINY, names, params, state)
+
+    from ukbb_cardiac_tpu.io import nifti
+    data_dir = tmp_path / "data"
+    data = write_subject(str(data_dir / "8"), seqs=("sa",), X=48, Y=48, Z=2, T=3)
+    subj = data_dir / "8"
+    image, _ = data["sa"]
+    affine = nifti.load(str(subj / "sa.nii.gz")).affine
+    for fr, t in (("ED", 0), ("ES", 1)):
+        nifti.save(nifti.Nifti1Image(image[:, :, :, t], affine),
+                   str(subj / f"sa_{fr}.nii.gz"))
+
+    deploy_dataset(bundle, str(data_dir), seq_name="sa", process_seq=False,
+                   chunk=4)
+    for fr in ("ED", "ES"):
+        seg = nifti.load(str(subj / f"seg_sa_{fr}.nii.gz"))
+        assert seg.dataobj.shape == (48, 48, 2)
