@@ -101,7 +101,7 @@ def test_register_recovers_translation():
     source = _gaussian_blob(X, Y, 27, 22, 6)  # shifted by (+3, -2)
 
     cfg = RegConfig(spacing=8, levels=2, iters=60, lr=0.5, be_weight=1e-2)
-    register = jax.jit(make_register_pair((X, Y), cfg))
+    register = make_register_pair((X, Y), cfg)
     controls = register(jnp.asarray(target), jnp.asarray(source))
 
     disp = total_field(controls, (X, Y), cfg)
@@ -120,7 +120,7 @@ def test_transform_points_consistent_with_field():
     target = _gaussian_blob(X, Y, 24, 24, 6)
     source = _gaussian_blob(X, Y, 27, 22, 6)
     cfg = RegConfig(spacing=8, levels=2, iters=40, lr=0.5, be_weight=1e-2)
-    controls = jax.jit(make_register_pair((X, Y), cfg))(
+    controls = make_register_pair((X, Y), cfg)(
         jnp.asarray(target), jnp.asarray(source))
     pts = jnp.asarray([[24.0, 24.0], [20.0, 28.0]])
     moved = np.asarray(transform_points(controls, pts, cfg))

@@ -90,61 +90,20 @@ def _warp(source: jnp.ndarray, disp: jnp.ndarray, order: int = 1) -> jnp.ndarray
 
 
 def make_register_pair(image_shape: Tuple[int, int], cfg: RegConfig = RegConfig()):
-    """Build the jitted single-pair registration.
+    """Single-pair registration: ``register(target, source) -> controls``.
 
-    Returns ``register(target, source) -> controls`` where ``controls`` is
-    a tuple of per-level lattices; use :func:`total_field` /
-    :func:`transform_points` to consume them.  The returned transform maps
-    target coordinates to source coordinates (pull-back), the same
-    convention as ``mirtk register -dofout`` used for frame-to-frame
-    tracking (``cardiac_utils.py:882-890``).
+    Thin wrapper over :func:`make_register_batch` with batch size 1 (same
+    pyramid optimiser, same compile-friendly step structure).  The
+    returned transform maps target coordinates to source coordinates
+    (pull-back), the convention of ``mirtk register -dofout`` in the
+    frame-to-frame tracking (``cardiac_utils.py:882-890``); consume the
+    per-level lattices with :func:`total_field` / :func:`transform_points`.
     """
-    X, Y = image_shape
-    spacings = [cfg.spacing * (2 ** (cfg.levels - 1 - l)) for l in range(cfg.levels)]
-    sigmas = [cfg.smooth_sigma * (2 ** (cfg.levels - 1 - l)) for l in range(cfg.levels)]
-
-    def level_loss(c_l, base_disp, spacing, tgt, src, mask):
-        disp = base_disp + bspline.bspline_dense_field(c_l, (X, Y), spacing)
-        warped = _warp(src, disp)
-        if cfg.metric == "nmi":
-            sim = -losses.nmi(tgt, warped, cfg.n_bins)
-        else:
-            sim = losses.ssd(tgt, warped, mask)
-        return sim + cfg.be_weight * losses.bending_energy(disp)
+    batch = make_register_batch(image_shape, cfg)
 
     def register(target, source):
-        target = target.astype(jnp.float32)
-        source = source.astype(jnp.float32)
-        scale = jnp.maximum(jnp.max(target) - jnp.min(target), 1e-6)
-        tgt_n = (target - jnp.min(target)) / scale
-        src_n = (source - jnp.min(source)) / scale
-        mask = None
-        if cfg.padding_value is not None:
-            mask = (target > cfg.padding_value).astype(jnp.float32)
-
-        base = jnp.zeros((X, Y, 2))
-        controls = []
-        for l in range(cfg.levels):
-            s_l = spacings[l]
-            Cx, Cy = bspline.lattice_shape((X, Y), s_l)
-            tgt_l = gaussian_blur(tgt_n, sigmas[l] - cfg.smooth_sigma)
-            src_l = gaussian_blur(src_n, sigmas[l] - cfg.smooth_sigma)
-
-            c = jnp.zeros((Cx, Cy, 2))
-            opt = optax.adam(cfg.lr)
-            opt_state = opt.init(c)
-            g = jax.grad(level_loss)
-
-            def body(_, carry):
-                c, opt_state = carry
-                grads = g(c, base, s_l, tgt_l, src_l, mask)
-                updates, opt_state = opt.update(grads, opt_state, c)
-                return optax.apply_updates(c, updates), opt_state
-
-            c, _ = jax.lax.fori_loop(0, cfg.iters, body, (c, opt_state))
-            controls.append(c)
-            base = base + bspline.bspline_dense_field(c, (X, Y), s_l)
-        return tuple(controls)
+        controls = batch(jnp.asarray(target)[None], jnp.asarray(source)[None])
+        return tuple(c[0] for c in controls)
 
     return register
 
