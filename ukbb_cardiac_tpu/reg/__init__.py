@@ -11,7 +11,9 @@ from ukbb_cardiac_tpu.reg.losses import bending_energy, nmi, ssd
 from ukbb_cardiac_tpu.reg.register import (
     RegConfig,
     average_fields,
+    compose_chain,
     compose_fields,
+    invert_field,
     gaussian_blur,
     make_register_batch,
     make_register_pair,
