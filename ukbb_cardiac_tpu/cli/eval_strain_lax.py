@@ -20,6 +20,10 @@ def main(argv=None):
     parser.add_argument("--output_csv", metavar="csv_name", required=True)
     parser.add_argument("--par_dir", metavar="dir_name", default="",
                         help="Unused; kept for reference-CLI compatibility.")
+    parser.add_argument("--eval_dice", action="store_true",
+                        help="Warp each frame's segmentation to ED and "
+                             "record the Dice (the reference's dormant "
+                             "self-check, cardiac_utils.py:944-967).")
     parser.add_argument("--start_idx", type=int, default=0)
     parser.add_argument("--end_idx", type=int, default=0)
     args = parser.parse_args(argv)
@@ -39,7 +43,13 @@ def main(argv=None):
         motion_dir = os.path.join(data_dir, "cine_motion")
         os.makedirs(motion_dir, exist_ok=True)
         cine_2d_la_motion_and_strain_analysis(
-            data_dir, motion_dir, os.path.join(data_dir, "strain_la_4ch"))
+            data_dir, motion_dir, os.path.join(data_dir, "strain_la_4ch"),
+            eval_dice=args.eval_dice)
+        if args.eval_dice:
+            # keep the self-check table (the intermediate dir is removed)
+            dice_src = os.path.join(motion_dir, "dice_cine_la_4ch_warp_ffd.csv")
+            if os.path.exists(dice_src):
+                shutil.move(dice_src, os.path.join(data_dir, "dice_cine_la_4ch_warp_ffd.csv"))
         shutil.rmtree(motion_dir, ignore_errors=True)
 
         longit_csv = os.path.join(data_dir, "strain_la_4ch_longit.csv")
