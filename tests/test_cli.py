@@ -142,3 +142,13 @@ def test_phewas_cli(tmp_path):
         assert (out_dir / f).exists(), f
     corr = pd.read_csv(out_dir / "table_corr.csv", header=[0, 1], index_col=0)
     assert corr.shape[0] == 1 and corr.shape[1] >= 1
+
+
+def test_eval_wall_thickness_bullseye(subject_tree, tmp_path):
+    root, data_dir = subject_tree
+    from ukbb_cardiac_tpu.cli import eval_wall_thickness
+    png = tmp_path / "bullseye.png"
+    eval_wall_thickness.main(["--data_dir", str(data_dir),
+                              "--output_csv", str(tmp_path / "wt.csv"),
+                              "--bullseye_png", str(png)])
+    assert png.exists() and png.stat().st_size > 1000

@@ -26,6 +26,9 @@ def main(argv=None):
     parser.add_argument("--data_dir", metavar="dir_name", required=True)
     parser.add_argument("--output_csv", metavar="csv_name", required=True)
     parser.add_argument("--output_max_csv", metavar="max_csv_name", default="")
+    parser.add_argument("--bullseye_png", default="",
+                        help="Also render the mean-thickness AHA bull's-eye "
+                             "averaged over subjects (phenotype/bullseye.py).")
     args = parser.parse_args(argv)
     output_max_csv = args.output_max_csv
     if not output_max_csv:
@@ -55,9 +58,24 @@ def main(argv=None):
             table_max.append(df["Thickness_Max"].values)
             processed_max.append(data)
 
-    pd.DataFrame(table, index=processed, columns=MEAN_COLUMNS).to_csv(args.output_csv)
+    df_mean = pd.DataFrame(table, index=processed, columns=MEAN_COLUMNS)
+    df_mean.to_csv(args.output_csv)
     pd.DataFrame(table_max, index=processed_max,
                  columns=MAX_COLUMNS).to_csv(output_max_csv)
+
+    if args.bullseye_png and len(df_mean):
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+
+        from ukbb_cardiac_tpu.phenotype.bullseye import plot_bulls_eye
+
+        seg16 = df_mean.iloc[:, :16].mean(axis=0).values
+        plt.figure(figsize=(5, 5))
+        plot_bulls_eye(seg16, vmin=float(seg16.min()), vmax=float(seg16.max()))
+        plt.title("Mean wall thickness (mm)")
+        plt.savefig(args.bullseye_png, dpi=150, bbox_inches="tight")
+        plt.close()
 
 
 if __name__ == "__main__":
