@@ -170,3 +170,72 @@ def test_rasterise_contours():
     assert lab_up[20, 20] == 1   # inside endo
     assert lab_up[5, 20] == 2    # between epi and endo
     assert lab_up[0, 0] == 0
+
+
+def test_sort_dicoms_by_manifest(tmp_path):
+    from ukbb_cardiac_tpu.data.download import sort_dicoms_by_manifest
+
+    d = tmp_path / "dicom"
+    d.mkdir()
+    # two files, manifest routes them into series subdirectories
+    for name in ("f1.dcm", "f2.dcm"):
+        _write_series(str(d), 0, T=1)  # creates img_00_00.dcm
+    (d / "a.dcm").write_bytes((d / "img_00_00.dcm").read_bytes())
+    (d / "b.dcm").write_bytes((d / "img_00_00.dcm").read_bytes())
+    manifest = d / "manifest.csv"
+    manifest.write_text(
+        "filename,series discription\n"
+        "a.dcm,CINE_segmented_SAX_b0\n"
+        "b.dcm,CINE_segmented_LAX_4Ch\n")
+    sort_dicoms_by_manifest(str(d))
+    assert (d / "CINE_segmented_SAX_b0" / "a.dcm").exists()
+    assert (d / "CINE_segmented_LAX_4Ch" / "b.dcm").exists()
+
+
+def _write_series_uid_names(dir_path, z, T=2):
+    """Series whose filenames are the SOP UIDs — the UK Biobank layout
+    the cvi42-pickle lookup keys on (biobank_utils.py:367)."""
+    os.makedirs(dir_path, exist_ok=True)
+    rng = np.random.RandomState(z)
+    for t in range(T):
+        pixel = (rng.rand(16, 20) * 1000).astype(np.uint16)
+        uid = f"9.8.7.{z}.{t}"
+        dcmwrite_minimal(
+            os.path.join(dir_path, f"{uid}.dcm"),
+            {"SOPInstanceUID": uid, "SeriesInstanceUID": "1.2.3.4",
+             "CardiacNumberOfImages": T, "Rows": 16, "Columns": 20,
+             "PixelSpacing": [1.9, 1.8], "SpacingBetweenSlices": 10.0,
+             "SliceThickness": 8.0, "TriggerTime": 30.0 * t,
+             "InstanceNumber": t + 1,
+             "ImagePositionPatient": [10.0, 20.0, 30.0 + z * 10.0],
+             "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+             "BitsAllocated": 16, "PixelRepresentation": 0}, pixel)
+
+
+def test_convert_subject_with_cvi42(tmp_path):
+    from ukbb_cardiac_tpu.data.download import convert_subject
+
+    subject = tmp_path / "dicom"
+    _write_series_uid_names(str(subject / "CINE_segmented_SAX_b0"), 0, T=2)
+    _write_series_uid_names(str(subject / "CINE_segmented_SAX_b1"), 1, T=2)
+    # annotate the first frame of slice 0 (UID 9.8.7.0.0); contour points
+    # are in cvi42's 4x-subpixel units and must land inside the 16x20 frame
+    xml = tmp_path / "ws.cvi42wsx"
+    xml_text = (CVI42_XML.replace("1.2.3.4.5", "9.8.7.0.0")
+                .replace("<Point:x>40</Point:x><Point:y>80</Point:y>",
+                         "<Point:x>16</Point:x><Point:y>12</Point:y>")
+                .replace("<Point:x>44</Point:x><Point:y>80</Point:y>",
+                         "<Point:x>40</Point:x><Point:y>12</Point:y>")
+                .replace("<Point:x>44</Point:x><Point:y>84</Point:y>",
+                         "<Point:x>40</Point:x><Point:y>36</Point:y>"))
+    xml.write_text(xml_text)
+
+    out = tmp_path / "out"
+    convert_subject(str(subject), str(out), cvi42_xml=str(xml))
+    assert (out / "sa.nii.gz").exists()
+    assert (out / "label_sa.nii.gz").exists()
+    assert (out / "label_up_sa.nii.gz").exists()
+    lab = nifti.load(str(out / "label_sa.nii.gz"))
+    assert np.sum(np.asanyarray(lab.dataobj) == 1) > 0
+    up = nifti.load(str(out / "label_up_sa.nii.gz"))
+    assert up.dataobj.shape[0] == 4 * lab.dataobj.shape[0]
