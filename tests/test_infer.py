@@ -220,3 +220,20 @@ def test_deploy_ed_es_mode_sa(tmp_path, tiny_fcn):
     for fr in ("ED", "ES"):
         seg = nifti.load(str(subj / f"seg_sa_{fr}.nii.gz"))
         assert seg.dataobj.shape == (48, 48, 2)
+
+
+def test_deploy_ao_temporal_unet(tmp_path):
+    """Temporal-UNet bundles route through the 3D-conv path, not the LSTM."""
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from phantom import ao_phantom
+
+    cfg3 = unet_mod.UNetConfig(n_class=3, n_level=2, n_filter=(4, 4),
+                               n_block=(1, 1))
+    params, state, names = unet_mod.init_unet(jax.random.PRNGKey(0), cfg3,
+                                              conv3d_=True)
+    eng = AorticEngine("temporal_unet", cfg3, names, params, state)
+    image, _ = ao_phantom(48, 48, 4)
+    seg = eng.segment_cine(image.astype(np.int16), z_score=True, pad_to=48)
+    assert seg.shape == (48, 48, 1, 4)
+    assert set(np.unique(seg)) <= {0, 1, 2}

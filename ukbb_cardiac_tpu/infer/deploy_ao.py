@@ -120,7 +120,9 @@ class AorticEngine:
 
             x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
             x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
-            lstm_full = self._lstm_full(None)
+            full_prob = (self._temporal_unet(None)
+                         if self.kind == "temporal_unet"
+                         else self._lstm_full(None))
 
             @jax.jit
             def run(params, state, raw):
@@ -132,7 +134,7 @@ class AorticEngine:
                 x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
                                 (0, 0), (0, 0)))
                 seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]
-                prob = lstm_full(params, state, seq)
+                prob = full_prob(params, state, seq)
                 pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
                 pred = jnp.transpose(pred, (2, 3, 0, 1))
                 pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y]
@@ -162,13 +164,15 @@ class AorticEngine:
         while the labels are 6.5 MB.
         """
         if self.kind != "unet" and window == "full":
-            key = ("lstm_pred", image.shape)
+            key = ("full_pred", self.kind, image.shape)
             if key not in self._compiled:
-                lstm_full = self._lstm_full(None)
+                full_prob = (self._temporal_unet(None)
+                             if self.kind == "temporal_unet"
+                             else self._lstm_full(None))
 
                 @jax.jit
                 def run(params, state, seq):
-                    prob = lstm_full(params, state, seq)
+                    prob = full_prob(params, state, seq)
                     return jnp.argmax(prob, axis=-1).astype(jnp.uint8)
 
                 self._compiled[key] = run
