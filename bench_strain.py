@@ -48,10 +48,13 @@ def main():
     # warm-up: compile the batched registration + composition once
     track_multi_slice_fields(frames_zs, cfg, register_batch=register_batch)
 
-    t0 = time.time()
-    fields = track_multi_slice_fields(frames_zs, cfg,
-                                      register_batch=register_batch)
-    value = time.time() - t0
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        fields = track_multi_slice_fields(frames_zs, cfg,
+                                          register_batch=register_batch)
+        times.append(time.time() - t0)
+    value = float(min(times))  # tunnel noise is additive; see bench.py
     assert fields.shape == (N_SLICES, T, X, Y, 2)
 
     print(json.dumps({
