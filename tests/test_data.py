@@ -239,3 +239,28 @@ def test_convert_subject_with_cvi42(tmp_path):
     assert np.sum(np.asanyarray(lab.dataobj) == 1) > 0
     up = nifti.load(str(out / "label_up_sa.nii.gz"))
     assert up.dataobj.shape[0] == 4 * lab.dataobj.shape[0]
+
+
+def test_dicom_implicit_vr_integer_strings(tmp_path):
+    """Implicit-VR files carry IS tags as ASCII; a 2-byte '50' must parse
+    as the integer 50, not as a little-endian uint16 of its bytes."""
+    import struct
+
+    path = str(tmp_path / "implicit.dcm")
+    body = bytearray()
+
+    def put(group, elem, raw):
+        if len(raw) % 2:
+            raw += b"\x00"
+        body.extend(struct.pack("<HHI", group, elem, len(raw)))
+        body.extend(raw)
+
+    put(0x0018, 0x1090, b"50")                 # CardiacNumberOfImages (IS)
+    put(0x0028, 0x0010, struct.pack("<H", 16))  # Rows (US)
+    put(0x0028, 0x0011, struct.pack("<H", 20))  # Columns (US)
+    with open(path, "wb") as f:
+        f.write(bytes(body))  # raw dataset, no preamble -> implicit VR
+
+    d = dcmread(path)
+    assert int(d.CardiacNumberOfImages) == 50
+    assert int(d.Rows) == 16 and int(d.Columns) == 20

@@ -51,6 +51,11 @@ _TAGS = {
 _INT_ATTRS = {"Rows", "Columns", "CardiacNumberOfImages", "InstanceNumber",
               "BitsAllocated", "PixelRepresentation", "SamplesPerPixel",
               "NumberOfFrames"}
+# tags whose standard VR is binary US — only these may be decoded as
+# 16-bit ints in implicit-VR files (IS tags like CardiacNumberOfImages are
+# ASCII there; a 2-byte "50" must NOT be unpacked as uint16)
+_US_ATTRS = {"Rows", "Columns", "BitsAllocated", "PixelRepresentation",
+             "SamplesPerPixel"}
 _FLOAT_ATTRS = {"SliceThickness", "SpacingBetweenSlices", "TriggerTime",
                 "RescaleIntercept", "RescaleSlope"}
 _FLOAT_LIST_ATTRS = {"PixelSpacing", "ImagePositionPatient",
@@ -102,7 +107,7 @@ class DicomImage:
 def _decode_value(name: str, vr: Optional[str], raw: bytes):
     if name == "PixelData":
         return raw
-    if vr == "US" or (vr is None and name in _INT_ATTRS and len(raw) == 2):
+    if vr == "US" or (vr is None and name in _US_ATTRS and len(raw) == 2):
         return struct.unpack("<H", raw[:2])[0]
     if vr == "UL":
         return struct.unpack("<I", raw[:4])[0]
