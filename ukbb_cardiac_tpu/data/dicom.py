@@ -181,22 +181,32 @@ def _skip_undefined(buf: bytes, pos: int, explicit: bool) -> int:
     n = len(buf)
     while pos + 8 <= n and depth > 0:
         group, elem = struct.unpack_from("<HH", buf, pos)
-        length = struct.unpack_from("<I", buf, pos + 4)[0]
-        pos += 8
-        if (group, elem) == (0xFFFE, 0xE000):      # item
-            if length == 0xFFFFFFFF:
-                continue  # delimited item: keep scanning
-            pos += length
-        elif (group, elem) == (0xFFFE, 0xE00D):    # item delimiter
+        if (group, elem) in ((0xFFFE, 0xE000), (0xFFFE, 0xE00D),
+                             (0xFFFE, 0xE0DD)):
+            # item / delimiter tags always use a 4-byte length, no VR
+            length = struct.unpack_from("<I", buf, pos + 4)[0]
+            pos += 8
+            if (group, elem) == (0xFFFE, 0xE0DD):      # sequence delimiter
+                depth -= 1
+            elif (group, elem) == (0xFFFE, 0xE000) and length != 0xFFFFFFFF:
+                pos += length                           # defined-length item
             continue
-        elif (group, elem) == (0xFFFE, 0xE0DD):    # sequence delimiter
-            depth -= 1
-        else:
-            # nested element inside a delimited item
-            if length == 0xFFFFFFFF:
-                depth += 1
+        # nested element inside a delimited item: honour the transfer syntax
+        if explicit:
+            vr = buf[pos + 4:pos + 6]
+            if vr in _EXPLICIT_LONG_VRS:
+                length = struct.unpack_from("<I", buf, pos + 8)[0]
+                pos += 12
             else:
-                pos += length
+                length = struct.unpack_from("<H", buf, pos + 6)[0]
+                pos += 8
+        else:
+            length = struct.unpack_from("<I", buf, pos + 4)[0]
+            pos += 8
+        if length == 0xFFFFFFFF:
+            depth += 1
+        else:
+            pos += length
     return pos
 
 
