@@ -250,3 +250,27 @@ def test_adam_schedule_multiple_boundaries():
     assert early > mid > late
     assert mid == pytest.approx(early * 0.1, rel=0.3)
     assert late == pytest.approx(early * 0.01, rel=0.3)
+
+
+def test_batch_prefetcher():
+    from ukbb_cardiac_tpu.train.prefetch import BatchPrefetcher
+
+    counter = {"n": 0}
+
+    def make():
+        counter["n"] += 1
+        return counter["n"]
+
+    with BatchPrefetcher(make, depth=2) as pf:
+        got = [pf.next() for _ in range(5)]
+    assert got == [1, 2, 3, 4, 5]
+
+    # errors surface to the consumer
+    def boom():
+        raise ValueError("nope")
+
+    pf2 = BatchPrefetcher(boom)
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        pf2.next()
+    pf2.close()

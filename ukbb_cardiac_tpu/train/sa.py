@@ -222,13 +222,20 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     total = max_iterations or cfg.train_iteration
     print("Start training...")
     start_time = time.time()
-    for iteration in range(1 + start_iteration, 1 + total):
-        t0 = time.time()
+
+    from ukbb_cardiac_tpu.train.prefetch import BatchPrefetcher
+
+    def make_batch():
         images, labels = get_random_batch(
             data_list["train"], cfg.train_batch_size, image_size=cfg.image_size,
-            data_augmentation=True, shift=0, rotate=10, scale=0.2,
-            intensity=0, flip=False, rng=rng)
-        batch = {"image": images, "label": labels}
+            data_augmentation=not cfg.device_augment, shift=0, rotate=10,
+            scale=0.2, intensity=0, flip=False, rng=rng)
+        return {"image": images, "label": labels}
+
+    prefetcher = BatchPrefetcher(make_batch, depth=2)
+    for iteration in range(1 + start_iteration, 1 + total):
+        t0 = time.time()
+        batch = prefetcher.next()
         params, state, opt_state, loss, aux = step(
             params, state, opt_state, batch, jax.random.PRNGKey(iteration))
 
@@ -262,6 +269,7 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
                                          "seq_name": cfg.seq_name},
                              opt_state=jax.device_get(opt_state))
 
+    prefetcher.close()
     log_f.close()
     print(f"Training took {time.time() - start_time:.3f}s.")
     return params, state, names, model_cfg
