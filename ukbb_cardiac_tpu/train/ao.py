@@ -308,14 +308,21 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     total = max_iterations or cfg.train_iteration
     print("Start training...")
     start_time = time.time()
-    for iteration in range(1, 1 + total):
-        t0 = time.time()
+
+    from ukbb_cardiac_tpu.train.prefetch import BatchPrefetcher
+
+    def make_batch():
         images, labels_arr = get_random_batch_ao(
             data_list["train"], cfg.train_batch_size,
             image_size=cfg.image_size, time_window=cfg.time_window,
             z_score=cfg.z_score, flatten=flatten, data_augmentation=True,
             shift=0, rotate=10, scale=0.2, intensity=0, flip=False, rng=rng)
-        batch = {"image": images, "label": labels_arr}
+        return {"image": images, "label": labels_arr}
+
+    prefetcher = BatchPrefetcher(make_batch, depth=2)
+    for iteration in range(1, 1 + total):
+        t0 = time.time()
+        batch = prefetcher.next()
         params, state, opt_state, loss, aux = step(
             params, state, opt_state, batch, jax.random.PRNGKey(iteration))
 
@@ -340,6 +347,7 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
                 extra_meta={"iteration": iteration,
                             "bidirectional": cfg.bidirectional})
 
+    prefetcher.close()
     log_f.close()
     print(f"Training took {time.time() - start_time:.3f}s.")
     return params, state, names, ucfg
