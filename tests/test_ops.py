@@ -243,3 +243,16 @@ class TestSequenceFiles:
         img = nifti.load(out)
         assert img.shape == (9, 8, 5)  # bbox+2 margin, clipped in z
         np.testing.assert_allclose(img.affine[:3, 3], [3, 6, 0], atol=1e-5)
+
+
+def test_get_trusted_mask_erodes_boundary():
+    from ukbb_cardiac_tpu.ops import get_trusted_mask
+    lbl = np.zeros((40, 40), np.int32)
+    lbl[10:30, 10:30] = 2  # any positive label counts as foreground
+    m = get_trusted_mask(lbl, radius=5)
+    assert m.dtype == np.int8
+    # deep interior of both phases survives; the boundary band is zeroed
+    assert m[20, 20] == 1 and m[0, 0] == 1
+    assert m[10, 10] == 0 and m[9, 20] == 0 and m[29, 20] == 0
+    # radius=1 -> 1x1 kernel, erosion is identity, everything trusted
+    assert get_trusted_mask(lbl, radius=1).all()

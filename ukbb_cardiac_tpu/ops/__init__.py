@@ -19,7 +19,11 @@ from ukbb_cardiac_tpu.ops.metrics import (
     distance_metric,
     np_categorical_dice,
 )
-from ukbb_cardiac_tpu.ops.cc import get_largest_cc, remove_small_cc
+from ukbb_cardiac_tpu.ops.cc import (
+    get_largest_cc,
+    get_trusted_mask,
+    remove_small_cc,
+)
 from ukbb_cardiac_tpu.ops.augment import (
     aortic_data_augmenter,
     aortic_data_augmenter_jax,

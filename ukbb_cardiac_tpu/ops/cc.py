@@ -73,3 +73,32 @@ def remove_small_cc(binary, thres=10):
     out = np.copy(binary)
     out[small[cc]] = 0
     return out
+
+
+def get_trusted_mask(label_map, radius=5):
+    """Trusted-region mask: union of eroded foreground and eroded
+    background (``train_network_ao.py:81-95``).
+
+    Pixels near the foreground/background boundary — where a propagated
+    label from another time frame is least reliable — are zeroed; the
+    erosion uses an elliptical structuring element of size
+    ``2*radius - 1``, matching cv2's MORPH_ELLIPSE.
+    """
+    label_map = np.asarray(label_map)
+    fg = (label_map > 0).astype(np.uint8)
+    size = radius * 2 - 1
+    try:
+        import cv2
+        kernel = cv2.getStructuringElement(cv2.MORPH_ELLIPSE, (size, size))
+        fg2 = cv2.erode(fg, kernel)
+        bg2 = cv2.erode(1 - fg, kernel)
+    except ImportError:
+        # cv2's MORPH_ELLIPSE: row i keeps |dx| <= r*sqrt(1-(dy/r)^2)
+        r = (size - 1) / 2.0
+        dy, dx = np.mgrid[-r:r + 1, -r:r + 1]
+        with np.errstate(invalid="ignore"):
+            kernel = (np.abs(dx) <= r * np.sqrt(
+                np.maximum(0.0, 1.0 - (dy / r) ** 2)) + 1e-9)
+        fg2 = ndimage.binary_erosion(fg, structure=kernel, border_value=1)
+        bg2 = ndimage.binary_erosion(1 - fg, structure=kernel, border_value=1)
+    return np.logical_or(fg2, bg2).astype(np.int8)
