@@ -66,10 +66,16 @@ def main():
     ao = (rng.rand(240, 196, 1, 100) * 1000).astype(np.int16)
 
     def segment_subject():
-        sa_engine.segment_sequence_fused(sa)
-        for k, eng in la_engines.items():
-            eng.segment_sequence_fused(la[k])
-        ao_engine.segment_cine(ao, z_score=True)
+        # dispatch every cine before resolving any: H2D, compute and D2H
+        # of the five sequences overlap (JAX async dispatch), so the
+        # subject's wall-clock approaches the max of the three pipes
+        # instead of their sum
+        handles = [sa_engine.segment_sequence_dispatch(sa)]
+        handles += [eng.segment_sequence_dispatch(la[k])
+                    for k, eng in la_engines.items()]
+        handles.append(ao_engine.segment_cine_dispatch(ao, z_score=True))
+        for h in handles:
+            h.result()
 
     segment_subject()  # warm-up: compile + first-fetch penalty
 

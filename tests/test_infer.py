@@ -237,3 +237,57 @@ def test_deploy_ao_temporal_unet(tmp_path):
     seg = eng.segment_cine(image.astype(np.int16), z_score=True, pad_to=48)
     assert seg.shape == (48, 48, 1, 4)
     assert set(np.unique(seg)) <= {0, 1, 2}
+
+
+def test_dispatch_matches_fused_and_overlaps(tiny_fcn):
+    """Async dispatch handles resolve to exactly the fused result, and
+    several can be in flight at once."""
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=8)
+    rng = np.random.RandomState(11)
+    cines = [(rng.rand(48, 52, 2, 4) * 1000).astype(np.int16)
+             for _ in range(3)]
+    handles = [engine.segment_sequence_dispatch(c) for c in cines]
+    fused = [engine.segment_sequence_fused(c) for c in cines]
+    for h, f in zip(handles, fused):
+        np.testing.assert_array_equal(h.result(), f)
+
+
+def test_deploy_dataset_pipelined_multi_subject(tmp_path, tiny_fcn):
+    """The one-deep deploy pipeline writes every subject's outputs
+    (including the last, which drains after the loop)."""
+    params, state, names = tiny_fcn
+    bundle = str(tmp_path / "fcn_sa.npz")
+    store.save_model(bundle, "fcn", TINY, names, params, state)
+
+    data_dir = tmp_path / "data"
+    eids = ["1000000", "1000001", "1000002"]
+    for eid in eids:
+        write_subject(str(data_dir / eid), seqs=("sa",), X=64, Y=72, Z=2, T=3)
+    # middle subject already segmented -> skipped, pipeline must not stall
+    (data_dir / "1000001" / "seg_sa.nii.gz").write_bytes(b"")
+    deploy_dataset(bundle, str(data_dir), seq_name="sa", chunk=8)
+    for eid in ("1000000", "1000002"):
+        for f in ("seg_sa.nii.gz", "sa_ED.nii.gz", "seg_sa_ES.nii.gz"):
+            assert (data_dir / eid / f).exists(), (eid, f)
+    assert (data_dir / "1000001" / "seg_sa.nii.gz").stat().st_size == 0
+
+
+def test_deploy_dataset_ao_pipelined_multi_subject(tmp_path):
+    """Aortic fused deploy pipeline covers all subjects incl. skips."""
+    cfg = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(4, 8, 16),
+                              n_block=(1, 1, 1))
+    params, state, names = unet_mod.init_unet(jax.random.PRNGKey(0), cfg)
+    params.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 4, 4, 3))
+    bundle = str(tmp_path / "unet_lstm_ao.npz")
+    store.save_model(bundle, "unet_lstm", cfg, names, params, state,
+                     extra_meta={"bidirectional": True})
+    data_dir = tmp_path / "data"
+    for eid in ("2000000", "2000001"):
+        write_subject(str(data_dir / eid), seqs=("ao",), X=40, Y=44, Z=1, T=4)
+    deploy_dataset_ao(bundle, str(data_dir), window="full")
+    from ukbb_cardiac_tpu.io import nifti
+    for eid in ("2000000", "2000001"):
+        seg = nifti.load(str(data_dir / eid / "seg_ao.nii.gz"))
+        assert seg.dataobj.shape == (40, 44, 1, 4)

@@ -56,10 +56,13 @@ def es_frame(pred: np.ndarray, seq_name: str, seg4: bool) -> int:
     return int(np.argmax(counts))
 
 
-def deploy_subject_sequence(engine: InferenceEngine, data_dir: str, seq_name: str,
-                            seg4: bool = False, save_seg: bool = True) -> Optional[float]:
-    """Segment one subject's full cine. Returns segmentation seconds, or
-    None if skipped."""
+def _start_subject_sequence(engine: InferenceEngine, data_dir: str,
+                            seq_name: str, seg4: bool) -> Optional[dict]:
+    """Read one subject's cine and dispatch its segmentation.
+
+    Returns an in-flight context (finish with
+    :func:`_finish_subject_sequence`) or None if skipped — same skip
+    rules as the reference (``deploy_network.py:62-71``)."""
     prefix = seg_prefix(seq_name, seg4)
     seg_name = os.path.join(data_dir, f"{prefix}_{seq_name}.nii.gz")
     if os.path.exists(seg_name):
@@ -77,12 +80,22 @@ def deploy_subject_sequence(engine: InferenceEngine, data_dir: str, seq_name: st
         orig_image = orig_image[..., None]
 
     print("  Segmenting full sequence ...")
-    start = time.time()
     # One fused device program: rescale (deploy_network.py:89), pad,
     # batched forward, argmax, packed readback.
-    pred = engine.segment_sequence_fused(orig_image,
-                                         rescale="percentile").astype(np.float64)
-    seg_time = time.time() - start
+    start = time.time()
+    pending = engine.segment_sequence_dispatch(orig_image,
+                                               rescale="percentile")
+    return {"data_dir": data_dir, "nim": nim, "image": orig_image,
+            "pending": pending, "start": start}
+
+
+def _finish_subject_sequence(ctx: dict, seq_name: str, seg4: bool,
+                             save_seg: bool) -> float:
+    """Block on an in-flight subject and write its outputs."""
+    prefix = seg_prefix(seq_name, seg4)
+    data_dir, nim, orig_image = ctx["data_dir"], ctx["nim"], ctx["image"]
+    pred = ctx["pending"].result().astype(np.float64)
+    seg_time = time.time() - ctx["start"]
     print(f"  Segmentation time = {seg_time:3f}s")
 
     k = {"ED": 0, "ES": es_frame(pred, seq_name, seg4)}
@@ -92,13 +105,23 @@ def deploy_subject_sequence(engine: InferenceEngine, data_dir: str, seq_name: st
         print("  Saving segmentation ...")
         nim2 = nifti.Nifti1Image(pred, nim.affine)
         nim2.header["pixdim"] = nim.header["pixdim"]
-        nifti.save(nim2, seg_name)
+        nifti.save(nim2, os.path.join(data_dir, f"{prefix}_{seq_name}.nii.gz"))
         for fr in ("ED", "ES"):
             nifti.save(nifti.Nifti1Image(orig_image[:, :, :, k[fr]], nim.affine),
                        os.path.join(data_dir, f"{seq_name}_{fr}.nii.gz"))
             nifti.save(nifti.Nifti1Image(pred[:, :, :, k[fr]], nim.affine),
                        os.path.join(data_dir, f"{prefix}_{seq_name}_{fr}.nii.gz"))
     return seg_time
+
+
+def deploy_subject_sequence(engine: InferenceEngine, data_dir: str, seq_name: str,
+                            seg4: bool = False, save_seg: bool = True) -> Optional[float]:
+    """Segment one subject's full cine. Returns segmentation seconds, or
+    None if skipped."""
+    ctx = _start_subject_sequence(engine, data_dir, seq_name, seg4)
+    if ctx is None:
+        return None
+    return _finish_subject_sequence(ctx, seq_name, seg4, save_seg)
 
 
 def deploy_subject_ed_es(engine: InferenceEngine, data_dir: str, seq_name: str,
@@ -143,21 +166,33 @@ def deploy_dataset(model_path: str, data_dir: str, seq_name: str = "sa",
     print("Start deployment on the data set ...")
     start_time = time.time()
     table_time, processed = [], []
+    # full-sequence mode runs a one-deep software pipeline: subject N's
+    # NIfTI read + H2D + dispatch overlap subject N-1's readback + saves
+    # (the reference loop is fully synchronous per frame)
+    in_flight = None  # (data, ctx)
     for data in sorted(os.listdir(data_dir)):
         subject_dir = os.path.join(data_dir, data)
         if not os.path.isdir(subject_dir):
             continue
         print(data)
         if process_seq:
-            t = deploy_subject_sequence(engine, subject_dir, seq_name, seg4, save_seg)
-            if t is not None:
-                table_time.append(t)
-                processed.append(data)
+            ctx = _start_subject_sequence(engine, subject_dir, seq_name, seg4)
+            if in_flight is not None:
+                prev_data, prev_ctx = in_flight
+                table_time.append(_finish_subject_sequence(
+                    prev_ctx, seq_name, seg4, save_seg))
+                processed.append(prev_data)
+            in_flight = (data, ctx) if ctx is not None else None
         else:
             ts = deploy_subject_ed_es(engine, subject_dir, seq_name, seg4, save_seg)
             if ts:
                 table_time.extend(ts)
                 processed.append(data)
+    if in_flight is not None:
+        prev_data, prev_ctx = in_flight
+        table_time.append(_finish_subject_sequence(
+            prev_ctx, seq_name, seg4, save_seg))
+        processed.append(prev_data)
 
     if table_time:
         unit = "sequence" if process_seq else "frame"

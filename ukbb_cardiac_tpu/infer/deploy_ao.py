@@ -103,12 +103,14 @@ class AorticEngine:
         return self._compiled[key]
 
     # -- public ------------------------------------------------------------
-    def segment_cine(self, image: np.ndarray, z_score: bool = True,
-                     pad_to: int = AO_SIZE) -> np.ndarray:
-        """Fused full-scan deploy for a RAW cine (X, Y, Z, T): device-side
-        z-score/rescale (``deploy_network_ao.py:92-96``), centred pad to
-        ``pad_to`` (:104-108), UNet+LSTM scan, argmax, crop — one native-
-        dtype transfer in, uint8 labels out."""
+    def segment_cine_dispatch(self, image: np.ndarray, z_score: bool = True,
+                              pad_to: int = AO_SIZE):
+        """Asynchronously dispatch a fused full-scan deploy for a RAW cine
+        (X, Y, Z, T): device-side z-score/rescale
+        (``deploy_network_ao.py:92-96``), centred pad to ``pad_to``
+        (:104-108), UNet+LSTM scan, argmax, crop.  Returns a
+        :class:`~ukbb_cardiac_tpu.infer.engine.PendingSegmentation`; its
+        ``result()`` blocks on the packed-label readback."""
         if self.kind == "unet":
             raise ValueError("segment_cine is the LSTM/temporal full-scan "
                              "path; use prob_sequence for the UNet model")
@@ -147,11 +149,18 @@ class AorticEngine:
                                axis=-1).astype(jnp.uint8)
 
             self._compiled[key] = run
+        from ukbb_cardiac_tpu.infer.engine import PendingSegmentation
         raw = np.ascontiguousarray(image)
-        packed = np.asarray(self._compiled[key](self._params, self._state,
-                                                jnp.asarray(raw)))
-        unpacked = (packed[:, None] >> (np.arange(4, dtype=np.uint8) * 2)) & 3
-        return unpacked.reshape(-1)[:X * Y * Z * T].reshape(X, Y, Z, T)
+        packed = self._compiled[key](self._params, self._state,
+                                     jnp.asarray(raw))
+        return PendingSegmentation(packed, (X, Y, Z, T), bits=2)
+
+    def segment_cine(self, image: np.ndarray, z_score: bool = True,
+                     pad_to: int = AO_SIZE) -> np.ndarray:
+        """Fused full-scan deploy for a RAW cine (X, Y, Z, T) — one
+        native-dtype transfer in, uint8 labels out.  Blocking wrapper
+        around :meth:`segment_cine_dispatch`."""
+        return self.segment_cine_dispatch(image, z_score, pad_to).result()
 
     def pred_sequence(self, image: np.ndarray, weight_R: int = 5,
                       weight_r: float = 0.0, time_step: int = 1,
@@ -243,11 +252,56 @@ def load_aortic_engine(model_path: str, compute_dtype=jnp.float32) -> AorticEngi
                         compute_dtype=compute_dtype)
 
 
+def _start_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str,
+                      z_score: bool) -> Optional[dict]:
+    """Read one subject's aortic cine and dispatch the fused full-scan
+    segmentation; None if skipped (same rules as ``deploy_network_ao.py``)."""
+    seg_name = os.path.join(data_dir, f"seg_{seq_name}.nii.gz")
+    if os.path.exists(seg_name):
+        return None
+    image_name = os.path.join(data_dir, f"{seq_name}.nii.gz")
+    if not os.path.exists(image_name):
+        print(f"  Directory {data_dir} does not contain an image with "
+              f"file name {os.path.basename(image_name)}. Skip.")
+        return None
+    print(f"  Reading {image_name} ...")
+    nim = nifti.load(image_name)
+    image = np.asarray(nim.dataobj)
+    print("  Segmenting full sequence ...")
+    start = time.time()
+    pending = engine.segment_cine_dispatch(image, z_score=z_score)
+    return {"data_dir": data_dir, "nim": nim, "pending": pending,
+            "start": start}
+
+
+def _finish_subject_ao(ctx: dict, seq_name: str, save_seg: bool) -> float:
+    """Block on an in-flight aortic subject and write its segmentation."""
+    nim = ctx["nim"]
+    pred = ctx["pending"].result().astype(np.int32)
+    seg_time = time.time() - ctx["start"]
+    if save_seg:
+        print("  Saving segmentation ...")
+        nim2 = nifti.Nifti1Image(pred.astype(np.float64), nim.affine)
+        nim2.header["pixdim"] = nim.header["pixdim"]
+        nifti.save(nim2, os.path.join(ctx["data_dir"],
+                                      f"seg_{seq_name}.nii.gz"))
+    print(f"  Segmentation time = {seg_time:3f}s")
+    return seg_time
+
+
 def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
                       z_score: bool = True, save_seg: bool = True,
                       window: str = "full", weight_R: int = 5,
                       weight_r: float = 0.0, time_step: int = 1) -> Optional[float]:
     """Segment one subject's aortic cine. Returns seconds or None if skipped."""
+    if engine.kind != "unet" and window == "full":
+        # fused device path: native-dtype transfer, then normalise / pad /
+        # UNet / LSTM scan / argmax / crop all in one device program
+        ctx = _start_subject_ao(engine, data_dir, seq_name, z_score)
+        if ctx is None:
+            return None
+        return _finish_subject_ao(ctx, seq_name, save_seg)
+
     seg_name = os.path.join(data_dir, f"seg_{seq_name}.nii.gz")
     if os.path.exists(seg_name):
         return None
@@ -264,23 +318,18 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
 
     print("  Segmenting full sequence ...")
     start = time.time()
-    if engine.kind != "unet" and window == "full":
-        # fused device path: native-dtype transfer, then normalise / pad /
-        # UNet / LSTM scan / argmax / crop all in one device program
-        pred = engine.segment_cine(image, z_score=z_score).astype(np.int32)
+    image = image.astype(np.float32)
+    if z_score:
+        image = normalise_intensity(image, 10.0)
     else:
-        image = image.astype(np.float32)
-        if z_score:
-            image = normalise_intensity(image, 10.0)
-        else:
-            image = rescale_intensity(image, (1.0, 99.0))
-        x_pre, y_pre = (AO_SIZE - X) // 2, (AO_SIZE - Y) // 2
-        x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
-        padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post),
-                                (0, 0), (0, 0)))
-        pred = engine.pred_sequence(padded, weight_R, weight_r, time_step,
-                                    window)
-        pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y].astype(np.int32)
+        image = rescale_intensity(image, (1.0, 99.0))
+    x_pre, y_pre = (AO_SIZE - X) // 2, (AO_SIZE - Y) // 2
+    x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
+    padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post),
+                            (0, 0), (0, 0)))
+    pred = engine.pred_sequence(padded, weight_R, weight_r, time_step,
+                                window)
+    pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y].astype(np.int32)
     seg_time = time.time() - start
 
     if save_seg:
@@ -347,12 +396,23 @@ def deploy_dataset_ao(model_path: str, data_dir: str, seq_name: str = "ao",
     print("Start deployment on the data set ...")
     start_time = time.time()
     processed = []
+    # the fused full-scan path pipelines one subject deep, like
+    # infer/deploy.py: read + dispatch of subject N overlaps the
+    # readback + save of subject N-1
+    pipelined = process_seq and engine.kind != "unet" and window == "full"
+    in_flight = None  # (data, ctx)
     for data in sorted(os.listdir(data_dir)):
         subject_dir = os.path.join(data_dir, data)
         if not os.path.isdir(subject_dir):
             continue
         print(data)
-        if process_seq:
+        if pipelined:
+            ctx = _start_subject_ao(engine, subject_dir, seq_name, z_score)
+            if in_flight is not None:
+                _finish_subject_ao(in_flight[1], seq_name, save_seg)
+                processed.append(in_flight[0])
+            in_flight = (data, ctx) if ctx is not None else None
+        elif process_seq:
             t = deploy_subject_ao(engine, subject_dir, seq_name, z_score,
                                   save_seg, window, weight_R, weight_r,
                                   time_step)
@@ -362,6 +422,9 @@ def deploy_dataset_ao(model_path: str, data_dir: str, seq_name: str = "ao",
             if deploy_subject_ed_es_ao(engine, subject_dir, seq_name, z_score,
                                        save_seg):
                 processed.append(data)
+    if in_flight is not None:
+        _finish_subject_ao(in_flight[1], seq_name, save_seg)
+        processed.append(in_flight[0])
     total = time.time() - start_time
     if processed:
         print("It took {0:.3f}s for processing {1:d} subjects "

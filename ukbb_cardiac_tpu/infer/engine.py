@@ -75,6 +75,33 @@ class SegmentationModel:
         return SegmentationModel(forward, params, state, cfg.n_class, cfg.in_ch)
 
 
+class PendingSegmentation:
+    """Handle for an in-flight fused cine segmentation.
+
+    Dispatch is asynchronous: the device owns a packed-label array that
+    may still be computing/transferring.  ``result()`` blocks on the
+    device→host fetch and unpacks to (X, Y, Z, T) uint8 labels.  Keeping
+    several handles in flight pipelines H2D, compute and D2H of
+    different cines — the deploy loop reads and dispatches the next
+    subject while the previous one drains (the reference's per-frame
+    ``sess.run`` loop is fully synchronous, ``deploy_network.py:103-116``).
+    """
+
+    def __init__(self, packed_dev, out_shape, bits: int):
+        self._packed = packed_dev
+        self._shape = tuple(out_shape)
+        self._bits = bits
+
+    def result(self) -> np.ndarray:
+        packed = np.asarray(self._packed)  # blocks until ready
+        per_byte = 8 // self._bits
+        mask = (1 << self._bits) - 1
+        shifts = np.arange(per_byte, dtype=np.uint8) * self._bits
+        unpacked = (packed[:, None] >> shifts) & mask
+        n = int(np.prod(self._shape))
+        return unpacked.reshape(-1)[:n].reshape(self._shape).astype(np.uint8)
+
+
 def pad_to_factor(X: int, Y: int, factor: int = 16):
     """Centred padding amounts to make X, Y multiples of ``factor``
     (mirrors ``deploy_network.py:97-100`` exactly)."""
@@ -268,13 +295,14 @@ class InferenceEngine:
             self._compiled[key] = run
         return self._compiled[key]
 
-    def segment_sequence_fused(self, image: np.ndarray,
-                               rescale: str = "percentile") -> np.ndarray:
-        """Rescale + segment a raw cine (X, Y, Z, T) as one device program.
+    def segment_sequence_dispatch(self, image: np.ndarray,
+                                  rescale: str = "percentile"
+                                  ) -> PendingSegmentation:
+        """Asynchronously dispatch a fused cine segmentation.
 
-        ``rescale``: 'percentile' (deploy_network.py:89), 'zscore'
-        (deploy_network_ao.py:94) or 'none' (already normalised).
-        Returns seg (X, Y, Z, T) uint8.
+        Returns a :class:`PendingSegmentation`; call ``result()`` for the
+        labels.  Dispatching several cines before resolving any lets the
+        runtime overlap their transfers and compute.
         """
         # transfer in the array's own dtype (demo NIfTIs are int16 — half
         # the bytes of f32); the device program casts to f32 first thing
@@ -291,15 +319,18 @@ class InferenceEngine:
         pieces = [jnp.asarray(image[a:b])
                   for a, b in zip(bounds[:-1], bounds[1:])]
         fn = self._cine_fns((X, Y, Z, T), len(pieces), rescale)
-        packed = np.asarray(fn(self._params, self._state, *pieces))
+        packed = fn(self._params, self._state, *pieces)
+        return PendingSegmentation(packed, (X, Y, Z, T), self._pack_bits())
 
-        bits = self._pack_bits()
-        per_byte = 8 // bits
-        mask = (1 << bits) - 1
-        unpacked = (packed[:, None] >> (np.arange(per_byte, dtype=np.uint8)
-                                        * bits)) & mask
-        flat = unpacked.reshape(-1)[:X * Y * Z * T]
-        return flat.reshape(X, Y, Z, T).astype(np.uint8)
+    def segment_sequence_fused(self, image: np.ndarray,
+                               rescale: str = "percentile") -> np.ndarray:
+        """Rescale + segment a raw cine (X, Y, Z, T) as one device program.
+
+        ``rescale``: 'percentile' (deploy_network.py:89), 'zscore'
+        (deploy_network_ao.py:94) or 'none' (already normalised).
+        Returns seg (X, Y, Z, T) uint8.
+        """
+        return self.segment_sequence_dispatch(image, rescale).result()
 
     def make_sharded_forward(self, mesh, axis: str = "data"):
         """Build a mesh-sharded slice forward: (N, X, Y, 1) with N sharded
