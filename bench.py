@@ -31,8 +31,6 @@ def main():
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    import jax.numpy as jnp
-
     from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
     from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
     from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod, unet as unet_mod

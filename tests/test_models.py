@@ -307,3 +307,61 @@ class TestWrappers:
         )
         assert np.isfinite(float(loss))
         assert pred.shape == (1, 5, 16, 16)
+
+
+def test_bf16_compute_dtype_carries_through_fcn():
+    """bf16 compute must survive past the first conv unit (the composite
+    units cast back to their input dtype) and agree closely with f32."""
+    import jax
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.models import layers as L
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(4, 8, 16),
+                            n_block=(1, 1, 1), same_dim=4, fc=8)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    x = jax.random.normal(jax.random.PRNGKey(1), (2, 32, 32, 1))
+
+    # unit-level: output dtype equals input dtype
+    y, _ = L.conv2d_bn_relu(x.astype(jnp.bfloat16), params, state,
+                            names["levels"][0][0], train=False)
+    assert y.dtype == jnp.bfloat16
+
+    logits32, _ = fcn_mod.apply_fcn(params, state, names, cfg, x,
+                                    train=False)
+    logits16, _ = fcn_mod.apply_fcn(params, state, names, cfg, x,
+                                    train=False,
+                                    compute_dtype=jnp.bfloat16)
+    assert logits16.dtype == jnp.float32  # logits always come back f32
+    agree = float(np.mean(np.argmax(np.asarray(logits32), -1)
+                          == np.argmax(np.asarray(logits16), -1)))
+    assert agree > 0.98, agree
+
+
+def test_bf16_training_loss_finite_and_learns():
+    """bf16 mixed-precision train step: finite loss, params move."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.train.sa import make_fcn_loss
+    from ukbb_cardiac_tpu.train import steps as steps_lib
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_fcn_loss(names, cfg, compute_dtype=jnp.bfloat16)
+    opt = optax.adam(1e-3)
+    step = steps_lib.make_train_step(loss_fn, opt)
+    rng = np.random.RandomState(0)
+    batch = {"image": jnp.asarray(rng.rand(2, 32, 32, 1),
+                                  dtype=jnp.float32),
+             "label": jnp.asarray(rng.randint(0, 4, (2, 32, 32)),
+                                  dtype=jnp.int32)}
+    p2, _, _, loss, _ = step(params, state, opt.init(params), batch,
+                             jax.random.PRNGKey(1))
+    assert np.isfinite(float(loss))
+    k0 = names["levels"][0][0][0]
+    assert p2[k0]["kernel"].dtype == jnp.float32  # params stay f32
+    assert not np.allclose(np.asarray(p2[k0]["kernel"]),
+                           np.asarray(params[k0]["kernel"]))

@@ -274,3 +274,48 @@ def test_batch_prefetcher():
     with _pytest.raises(ValueError):
         pf2.next()
     pf2.close()
+
+
+def test_multi_step_matches_sequential_steps():
+    """K scanned steps == K sequential single steps (same batches/keys)."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.train.sa import make_fcn_loss
+    from ukbb_cardiac_tpu.train import steps as steps_lib
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_fcn_loss(names, cfg)
+    opt = optax.adam(1e-3)
+    opt_state = opt.init(params)
+
+    K = 3
+    rng = np.random.RandomState(0)
+    batches = {"image": jnp.asarray(rng.rand(K, 2, 32, 32, 1),
+                                    dtype=jnp.float32),
+               "label": jnp.asarray(rng.randint(0, 4, (K, 2, 32, 32)),
+                                    dtype=jnp.int32)}
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(K))
+
+    single = steps_lib.make_train_step(loss_fn, opt)
+    p1, s1, o1 = params, state, opt_state
+    losses_seq = []
+    for i in range(K):
+        b = jax.tree.map(lambda a, i=i: a[i], batches)
+        p1, s1, o1, loss, _ = single(p1, s1, o1, b, keys[i])
+        losses_seq.append(float(loss))
+
+    multi = steps_lib.make_multi_train_step(loss_fn, opt)
+    pK, sK, oK, losses, aux = multi(params, state, opt_state, batches, keys)
+
+    np.testing.assert_allclose(np.asarray(losses), losses_seq, rtol=2e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(pK)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(sK)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-6)
+    assert np.isfinite(float(aux["accuracy"]))

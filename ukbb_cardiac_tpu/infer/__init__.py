@@ -2,6 +2,7 @@
 
 from ukbb_cardiac_tpu.infer.engine import (
     InferenceEngine,
+    PendingSegmentation,
     SegmentationModel,
     pad_to_factor,
 )

@@ -63,7 +63,10 @@ def glorot_uniform(key, shape, dtype=jnp.float32):
 def conv2d(x, kernel, strides=(1, 1), padding="SAME", bias=None):
     """NHWC 2D convolution (HWIO kernel), MXU-targeted.
 
-    Accumulates in float32 regardless of compute dtype (bf16-safe).
+    The TPU MXU accumulates bf16 operands in f32 natively (rounding only
+    at the output), so no explicit upcast is needed — and an explicit
+    ``preferred_element_type`` upcast would break AD dtype consistency
+    for bf16 training (f32 cotangent against bf16 primals).
     """
     out = jax.lax.conv_general_dilated(
         x,
@@ -71,7 +74,6 @@ def conv2d(x, kernel, strides=(1, 1), padding="SAME", bias=None):
         window_strides=tuple(strides),
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -86,7 +88,6 @@ def conv3d(x, kernel, strides=(1, 1, 1), padding="SAME", bias=None):
         window_strides=tuple(strides),
         padding=padding,
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -123,7 +124,6 @@ def conv2d_transpose(x, kernel, stride=2, bias=None, feature_group_count=1):
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=feature_group_count,
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -141,7 +141,6 @@ def conv3d_transpose(x, kernel, strides=(1, 2, 2), bias=None):
         padding=pads,
         lhs_dilation=tuple(strides),
         dimension_numbers=("NDHWC", "DHWIO", "NDHWC"),
-        preferred_element_type=jnp.float32,
     )
     if bias is not None:
         out = out + bias.astype(out.dtype)
@@ -201,35 +200,44 @@ def init_conv_bn(key, namer: Namer, in_ch, out_ch, kernel_size=3, conv3d_=False,
 
 
 def conv2d_bn_relu(x, params, state, names, train, strides=(1, 1)):
-    """conv2d (no bias) → BN → ReLU (``network.py:19-25``)."""
+    """conv2d (no bias) → BN → ReLU (``network.py:19-25``).
+
+    The conv accumulates and BN normalises in f32; the unit's output is
+    cast back to its INPUT dtype so a bf16 compute dtype carries through
+    the whole network instead of decaying to f32 after the first conv.
+    """
     cname, bname = names
+    dtype = x.dtype
     x = conv2d(x, params[cname]["kernel"], strides=strides)
     x, new_bn = batch_norm(x, params[bname], state[bname], train)
-    return jax.nn.relu(x), {bname: new_bn}
+    return jax.nn.relu(x).astype(dtype), {bname: new_bn}
 
 
 def conv2d_transpose_bn_relu(x, params, state, names, train, stride=2):
     """conv2d_transpose (no bias) → BN → ReLU (``network.py:28-34``)."""
     cname, bname = names
+    dtype = x.dtype
     x = conv2d_transpose(x, params[cname]["kernel"], stride=stride)
     x, new_bn = batch_norm(x, params[bname], state[bname], train)
-    return jax.nn.relu(x), {bname: new_bn}
+    return jax.nn.relu(x).astype(dtype), {bname: new_bn}
 
 
 def conv3d_bn_relu(x, params, state, names, train, strides=(1, 1, 1)):
     """conv3d (no bias) → BN → ReLU (``network.py:37-43``)."""
     cname, bname = names
+    dtype = x.dtype
     x = conv3d(x, params[cname]["kernel"], strides=strides)
     x, new_bn = batch_norm(x, params[bname], state[bname], train)
-    return jax.nn.relu(x), {bname: new_bn}
+    return jax.nn.relu(x).astype(dtype), {bname: new_bn}
 
 
 def conv3d_transpose_bn_relu(x, params, state, names, train, strides=(1, 2, 2)):
     """conv3d_transpose (no bias) → BN → ReLU (``network.py:46-52``)."""
     cname, bname = names
+    dtype = x.dtype
     x = conv3d_transpose(x, params[cname]["kernel"], strides=strides)
     x, new_bn = batch_norm(x, params[bname], state[bname], train)
-    return jax.nn.relu(x), {bname: new_bn}
+    return jax.nn.relu(x).astype(dtype), {bname: new_bn}
 
 
 # ---------------------------------------------------------------------------
@@ -293,11 +301,9 @@ def transpose_upsample2d(x, factor: int):
     Ax = jnp.asarray(_upsample_matrix(X, factor), dtype=x.dtype)
     Ay = jnp.asarray(_upsample_matrix(Y, factor), dtype=x.dtype)
     # (N, X, Y, C): upsample X then Y via tensordot (MXU)
-    out = jnp.einsum("ax,nxyc->nayc", Ax, x,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    out = jnp.einsum("by,nayc->nabc", Ay, out,
-                     preferred_element_type=jnp.float32).astype(x.dtype)
-    return out.astype(jnp.float32) if x.dtype == jnp.float32 else out
+    out = jnp.einsum("ax,nxyc->nayc", Ax, x)
+    out = jnp.einsum("by,nayc->nabc", Ay, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -344,17 +350,18 @@ def init_residual_unit(key, namer: Namer, in_ch, out_ch, strides=1, bottleneck=F
 def residual_unit(x, params, state, names, train):
     """Pre-activation residual/bottleneck unit (``network.py:55-114``)."""
     orig_x = x
+    dtype = x.dtype
     new_state = {}
     strides = names["strides"]
     stride_list = [strides] + [1] * (len(names["convs"]) - 1)
     for i, (cname, bname) in enumerate(zip(names["convs"], names["bns"])):
         x, new_bn = batch_norm(x, params[bname], state[bname], train)
         new_state[bname] = new_bn
-        x = jax.nn.relu(x)
+        x = jax.nn.relu(x).astype(dtype)
         s = stride_list[i]
         x = conv2d(x, params[cname]["kernel"], strides=(s, s))
     if names["shortcut"] is not None:
         shortcut = conv2d(orig_x, params[names["shortcut"]]["kernel"], strides=(strides, strides))
     else:
         shortcut = orig_x
-    return shortcut + x, new_state
+    return (shortcut + x).astype(dtype), new_state

@@ -143,14 +143,20 @@ def get_random_batch(filename_list, batch_size, image_size=192,
 
 def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
                   shift=0.0, rotate=10.0, scale=0.2, intensity=0.0,
-                  flip=False):
+                  flip=False, compute_dtype=None):
     """Loss closure for the train step: softmax CE + accuracy/Dice aux
     (``train_network.py:204-214``).
 
     ``device_augment``: apply the random affine augmentation *inside* the
     jitted step (``ops.data_augmenter_jax``) — the TPU-native data path;
     the reference does cv2/scipy warps on the host per iteration
-    (``train_network.py:259-264``)."""
+    (``train_network.py:259-264``).
+
+    ``compute_dtype``: activation dtype for the forward/backward pass
+    (default f32). ``jnp.bfloat16`` is the TPU mixed-precision mode:
+    params, BN statistics, logits and the loss stay f32; convs accumulate
+    f32 (``models/layers.py``)."""
+    dtype = compute_dtype or jnp.float32
 
     def loss_fn(params, state, batch, key):
         image, label = batch["image"], batch["label"]
@@ -159,7 +165,8 @@ def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
             image, label = data_augmenter_jax(key, image, label, shift,
                                               rotate, scale, intensity, flip)
         logits, new_state = fcn_mod.apply_fcn(params, state, names, cfg,
-                                              image, train=True)
+                                              image, train=True,
+                                              compute_dtype=dtype)
         loss = losses.softmax_cross_entropy(logits, label, cfg.n_class)
         pred = jnp.argmax(logits, axis=-1)
         acc = jnp.mean((pred == label).astype(jnp.float32))

@@ -65,6 +65,44 @@ def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformatio
     )
 
 
+def make_multi_train_step(loss_fn: Callable,
+                          optimizer: optax.GradientTransformation):
+    """K optimizer steps per device dispatch via ``lax.scan``.
+
+    Each host→device dispatch of a train step ships the whole params /
+    opt-state arg pytree (hundreds of leaves); on a host with expensive
+    dispatch (this machine's TPU tunnel) that overhead rivals the step's
+    compute.  Scanning K steps inside one jit amortizes it K× — params
+    never leave HBM between steps.
+
+    batches: a pytree whose leaves carry a leading axis K (one slot per
+    step); keys: (K, 2) PRNG keys.  Returns
+    ``step(params, state, opt_state, batches, keys)
+      -> (params, state, opt_state, losses[K], last_aux)``.
+
+    Semantically identical to K calls of :func:`make_train_step` with the
+    same batches/keys (asserted in tests).
+    """
+
+    @jax.jit
+    def multi_step(params, state, opt_state, batches, keys):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            batch, key = xs
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return multi_step
+
+
 def make_eval_step(metric_fn: Callable):
     """Jitted eval step: metric_fn(params, state, batch) -> aux dict."""
     return jax.jit(metric_fn)
