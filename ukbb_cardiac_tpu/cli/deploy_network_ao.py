@@ -31,6 +31,8 @@ def main(argv=None):
     parser.add_argument("--window", choices=["full", "compat"], default="full",
                         help="'full': one lax.scan over the whole cine; "
                              "'compat': the reference's sliding window.")
+    add_bool_flag(parser, "bf16", False,
+                  "bf16 activations (params/BN/logits stay f32).")
     args = parser.parse_args(argv)
 
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
@@ -41,11 +43,15 @@ def main(argv=None):
         from ukbb_cardiac_tpu.ckpt.tf_reader import convert_tf_checkpoint
         model_path = convert_tf_checkpoint(model_path)
 
+    import jax.numpy as jnp
+    compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+
     deploy_dataset_ao(model_path, args.data_dir, seq_name=args.seq_name,
                       z_score=args.z_score, save_seg=args.save_seg,
                       window=args.window, weight_R=args.weight_R,
                       weight_r=args.weight_r, time_step=args.time_step,
-                      process_seq=args.process_seq)
+                      process_seq=args.process_seq,
+                      compute_dtype=compute_dtype)
 
 
 if __name__ == "__main__":
