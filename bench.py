@@ -26,7 +26,10 @@ REPEATS = 7
 
 
 def main():
+    import os
+
     import jax
+    import jax.numpy as jnp
 
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
@@ -36,6 +39,11 @@ def main():
     from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod, unet as unet_mod
 
     rng = np.random.RandomState(0)
+    # bf16 mixed precision is the TPU production configuration (~0.998
+    # label agreement with f32, measured); BENCH_BF16=0 gives the f32
+    # variant (f32 2.19 s vs bf16 1.98 s best-window on this host)
+    dtype = (jnp.float32 if os.environ.get("BENCH_BF16") == "0"
+             else jnp.bfloat16)
 
     # --- models (released-architecture configs, random weights) ---------
     def fcn_engine(n_class):
@@ -43,7 +51,7 @@ def main():
                                 n_filter=(16, 32, 64, 128, 256),
                                 n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
         p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
-        return InferenceEngine(SegmentationModel.from_fcn(p, s, n, cfg),
+        return InferenceEngine(SegmentationModel.from_fcn(p, s, n, cfg, dtype),
                                chunk=125)
 
     sa_engine = fcn_engine(4)
@@ -55,7 +63,8 @@ def main():
                                n_block=(2, 2, 2, 2, 2))
     up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
     up.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 16, 16, 3))
-    ao_engine = AorticEngine("unet_lstm", ucfg, un, up, us, bidirectional=True)
+    ao_engine = AorticEngine("unet_lstm", ucfg, un, up, us, bidirectional=True,
+                             compute_dtype=dtype)
 
     # --- a subject's cines (reference demo shapes; int16 like real data) -
     sa = (rng.rand(192, 208, 10, 50) * 1000).astype(np.int16)

@@ -152,3 +152,24 @@ def test_eval_wall_thickness_bullseye(subject_tree, tmp_path):
                               "--output_csv", str(tmp_path / "wt.csv"),
                               "--bullseye_png", str(png)])
     assert png.exists() and png.stat().st_size > 1000
+
+
+def test_deploy_cli_bf16(tmp_path):
+    """--bf16 deploy runs end-to-end and closely agrees with f32."""
+    cfg = fcn_mod.FCNConfig(n_class=4, n_filter=(4, 4, 4, 4, 4),
+                            n_block=(1, 1, 1, 1, 1), same_dim=4, fc=4)
+    p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    bundle = str(tmp_path / "fcn.npz")
+    store.save_model(bundle, "fcn", cfg, n, p, s)
+    from ukbb_cardiac_tpu.cli import deploy_network
+    from ukbb_cardiac_tpu.io import nifti
+    segs = {}
+    for flag, d in (("--bf16", "d16"), ("--nobf16", "d32")):
+        data_dir = tmp_path / d
+        write_subject(str(data_dir / "5"), seqs=("sa",), X=48, Y=48,
+                      Z=2, T=2, rng=np.random.RandomState(7))
+        deploy_network.main(["--seq_name", "sa", "--data_dir", str(data_dir),
+                             "--model_path", bundle, "--chunk", "4", flag])
+        segs[d] = np.asanyarray(nifti.load(
+            str(data_dir / "5" / "seg_sa.nii.gz")).dataobj)
+    assert float(np.mean(segs["d16"] == segs["d32"])) > 0.98
