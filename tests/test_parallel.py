@@ -120,3 +120,26 @@ def test_sharded_inference_matches_single_device(eight_devices):
                                        jnp.asarray(slices)))
     pred_single = engine.run_slices(slices[:, :, :, 0])
     np.testing.assert_array_equal(pred_mesh, pred_single)
+
+
+def test_sharded_cine_fleet_matches_fused_path(eight_devices):
+    """Whole-subject fleet inference: 8 raw cines sharded one-per-chip
+    through the FULL fused pipeline (device rescale + pad + forward +
+    argmax) equal the single-device fused path subject by subject."""
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(
+        SegmentationModel.from_fcn(params, state, names, cfg), chunk=16)
+
+    rng = np.random.RandomState(1)
+    cines = (rng.rand(8, 32, 36, 2, 3) * 1000).astype(np.int16)
+
+    mesh = make_mesh(8)
+    segs = engine.segment_subjects_sharded(cines, mesh)
+    assert segs.shape == cines.shape and segs.dtype == np.uint8
+    for i in range(8):
+        single = engine.segment_sequence_fused(cines[i])
+        np.testing.assert_array_equal(segs[i], single)

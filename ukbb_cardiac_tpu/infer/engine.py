@@ -353,6 +353,65 @@ class InferenceEngine:
 
         return run
 
+    def make_sharded_cine_forward(self, mesh, cine_shape, rescale="percentile",
+                                  axis: str = "data"):
+        """Fused fleet inference: S same-shape raw cines sharded over chips.
+
+        The full deploy pipeline (per-subject percentile/z-score rescale,
+        centred pad, batched forward, argmax) runs as ONE sharded program
+        with the subject axis partitioned on ``axis`` — each chip owns
+        whole subjects, so there are no halo exchanges and scaling over
+        ICI is embarrassingly parallel (SURVEY.md §2.4(a): the reference's
+        scale-out story is the user hand-sharding subject ranges over
+        processes, ``eval_strain_sax.py:26-34``).
+
+        Returns ``run(params, state, cines)`` mapping (S, X, Y, Z, T) raw
+        cines to (S, X, Y, Z, T) uint8 labels; S must divide by the mesh
+        axis size.  Use :meth:`segment_subjects_sharded` for the
+        host-array convenience wrapper.
+        """
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        X, Y, Z, T = cine_shape
+        (x_pre, x_post), (y_pre, y_post) = pad_to_factor(X, Y, self.pad_factor)
+        Xp, Yp = X + x_pre + x_post, Y + y_pre + y_post
+        forward = self.model.forward
+        repl = NamedSharding(mesh, P())
+        shard = NamedSharding(mesh, P(axis))
+        from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
+                                          rescale_intensity_jax)
+
+        @partial(jax.jit, in_shardings=(repl, repl, shard),
+                 out_shardings=shard)
+        def run(params, state, cines):
+            x = cines.astype(jnp.float32)
+            if rescale == "percentile":
+                x = jax.vmap(lambda c: rescale_intensity_jax(c, (1.0, 99.0)))(x)
+            elif rescale == "zscore":
+                x = jax.vmap(lambda c: normalise_intensity_jax(c, 10.0))(x)
+            x = jnp.pad(x, ((0, 0), (x_pre, x_post), (y_pre, y_post),
+                            (0, 0), (0, 0)))
+            S = x.shape[0]
+            slices = jnp.transpose(x, (0, 4, 3, 1, 2)).reshape(
+                S * T * Z, Xp, Yp, 1)
+            logits = forward(params, state, slices)
+            pred = jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            pred = pred[:, x_pre:x_pre + X, y_pre:y_pre + Y]
+            return jnp.transpose(pred.reshape(S, T, Z, X, Y),
+                                 (0, 3, 4, 2, 1))
+
+        return run
+
+    def segment_subjects_sharded(self, images: np.ndarray, mesh,
+                                 rescale: str = "percentile",
+                                 axis: str = "data") -> np.ndarray:
+        """Segment a stack of S same-shape raw cines (S, X, Y, Z, T) with
+        subjects sharded over the mesh.  Returns (S, X, Y, Z, T) uint8."""
+        images = np.asarray(images)
+        run = self.make_sharded_cine_forward(mesh, images.shape[1:], rescale,
+                                             axis)
+        return np.asarray(run(self._params, self._state, jnp.asarray(images)))
+
     def segment_volume(self, volume: np.ndarray, want_prob: bool = False):
         """Segment a 3D volume (X, Y, Z) slice-wise. Returns (X, Y, Z)."""
         X, Y, Z = volume.shape
