@@ -60,3 +60,92 @@ def test_label_areas_per_frame():
     for t in range(5):
         for k in range(4):
             assert counts[t, k] == np.sum(vol[:, :, :, t] == k)
+
+
+def test_dicom_scan_matches_pure_python(tmp_path):
+    """Native DICOM scanner parity with the pure-Python parser on an
+    explicit-VR file (with a nested undefined-length SQ), an implicit-VR
+    raw dataset, and pixel-data round-trip."""
+    import struct
+
+    from ukbb_cardiac_tpu import native
+    from ukbb_cardiac_tpu.data.dicom import (_dcmread_pure, dcmread,
+                                             dcmwrite_minimal)
+
+    if not native.available():
+        import pytest
+        pytest.skip("native toolchain unavailable")
+
+    # explicit-VR file through the writer
+    pixel = (np.arange(16 * 20) % 251).astype(np.int16).reshape(16, 20)
+    attrs = {"Rows": 16, "Columns": 20, "BitsAllocated": 16,
+             "PixelRepresentation": 1, "PixelSpacing": [1.8, 1.8],
+             "ImagePositionPatient": [1.0, 2.0, 3.0],
+             "ImageOrientationPatient": [1, 0, 0, 0, 1, 0],
+             "TriggerTime": 123.5, "CardiacNumberOfImages": 50,
+             "InstanceNumber": 7, "SeriesInstanceUID": "1.2.3.4",
+             "SeriesDescription": "CINE_segmented_SAX_b1"}
+    p1 = str(tmp_path / "explicit.dcm")
+    dcmwrite_minimal(p1, attrs, pixel)
+    # inject an undefined-length SQ before the dataset body to exercise
+    # the skip logic in both parsers
+    raw = open(p1, "rb").read()
+    meta_end = raw.index(b"DICM") + 4
+    # find end of group-0002 meta (first tag with group != 0x0002)
+    pos = meta_end
+    while pos + 8 <= len(raw):
+        group, = struct.unpack_from("<H", raw, pos)
+        if group != 0x0002:
+            break
+        vr = raw[pos + 4:pos + 6]
+        if vr in (b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"):
+            ln, = struct.unpack_from("<I", raw, pos + 8)
+            pos += 12 + ln
+        else:
+            ln, = struct.unpack_from("<H", raw, pos + 6)
+            pos += 8 + ln
+    sq = bytearray()
+    sq.extend(struct.pack("<HH", 0x0008, 0x1140))       # ReferencedImageSeq
+    sq.extend(b"SQ\x00\x00")
+    sq.extend(struct.pack("<I", 0xFFFFFFFF))            # undefined length
+    sq.extend(struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF))  # item, undef
+    sq.extend(struct.pack("<HH", 0x0008, 0x1155))       # nested UI element
+    sq.extend(b"UI")
+    sq.extend(struct.pack("<H", 4))
+    sq.extend(b"9.9\x00")
+    sq.extend(struct.pack("<HHI", 0xFFFE, 0xE00D, 0))   # item delimiter
+    sq.extend(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))   # sequence delimiter
+    patched = raw[:pos] + bytes(sq) + raw[pos:]
+    p2 = str(tmp_path / "explicit_sq.dcm")
+    open(p2, "wb").write(patched)
+
+    for path in (p1, p2):
+        buf = open(path, "rb").read()
+        via_native = dcmread(path)          # native path (available)
+        via_pure = _dcmread_pure(buf)
+        assert via_native._attrs.keys() == via_pure._attrs.keys()
+        for k in via_pure._attrs:
+            if k == "PixelData":
+                assert via_native._attrs[k] == via_pure._attrs[k]
+            else:
+                assert via_native._attrs[k] == via_pure._attrs[k], k
+        np.testing.assert_array_equal(via_native.pixel_array, pixel)
+
+    # implicit-VR raw dataset (no preamble)
+    body = bytearray()
+
+    def put(group, elem, raw_v):
+        if len(raw_v) % 2:
+            raw_v += b"\x00"
+        body.extend(struct.pack("<HHI", group, elem, len(raw_v)))
+        body.extend(raw_v)
+
+    put(0x0018, 0x1090, b"50")
+    put(0x0028, 0x0010, struct.pack("<H", 16))
+    put(0x0028, 0x0011, struct.pack("<H", 20))
+    p3 = str(tmp_path / "implicit.dcm")
+    open(p3, "wb").write(bytes(body))
+    d_native = dcmread(p3)
+    d_pure = _dcmread_pure(bytes(body))
+    assert d_native._attrs == d_pure._attrs
+    assert int(d_native.CardiacNumberOfImages) == 50

@@ -210,10 +210,36 @@ def _skip_undefined(buf: bytes, pos: int, explicit: bool) -> int:
     return pos
 
 
+# _TAGS in ascending (group, element) order — MUST match kDicomWanted in
+# native/hostops.cc (asserted by tests/test_native.py)
+_SCAN_NAMES = [_TAGS[k] for k in sorted(_TAGS)]
+
+
 def dcmread(path: str) -> DicomImage:
-    """Read a DICOM file — the ``pydicom.dcmread`` twin for our subset."""
+    """Read a DICOM file — the ``pydicom.dcmread`` twin for our subset.
+
+    Uses the native C++ element scanner (``native/hostops.cc:dicom_scan``)
+    when available — the per-element walk dominates converting a UKB
+    subject (thousands of files); value decoding stays here.  Falls back
+    to the pure-Python parser on any stream the scanner declines."""
     with open(path, "rb") as f:
         buf = f.read()
+
+    from ukbb_cardiac_tpu import native
+    rows = native.dicom_scan(buf)
+    if rows is not None:
+        attrs: Dict[str, object] = {}
+        for idx, off, ln, vr_code in rows.tolist():
+            name = _SCAN_NAMES[idx]
+            vr = (None if vr_code == 0 else
+                  bytes((vr_code & 0xFF, vr_code >> 8)).decode("ascii",
+                                                               "replace"))
+            attrs[name] = _decode_value(name, vr, buf[off:off + ln])
+        return DicomImage(attrs)
+    return _dcmread_pure(buf)
+
+
+def _dcmread_pure(buf: bytes) -> DicomImage:
     attrs: Dict[str, object] = {}
     if buf[128:132] == b"DICM":
         # file meta group: always explicit VR LE; read until group != 0002

@@ -72,6 +72,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
     lib.label_areas_per_frame.argtypes = [i16p, ctypes.c_int64,
                                           ctypes.c_int32, ctypes.c_int32,
                                           i64p]
+    lib.dicom_scan.restype = ctypes.c_int64
+    lib.dicom_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64, i64p,
+                               ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -128,3 +131,19 @@ def label_areas_per_frame(volume: np.ndarray, n_labels: int) -> np.ndarray:
                               np.int32(T), np.int32(n_labels),
                               counts.reshape(-1))
     return counts
+
+
+def dicom_scan(buf: bytes):
+    """Walk a DICOM byte stream natively; rows (tag_index, offset, length,
+    vr_code) for the Biobank attribute subset.  Returns the (k, 4) int64
+    array, or None if the stream needs the pure-Python path (unsupported
+    transfer syntax / encapsulated pixels / malformed)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    out = np.empty((64, 4), dtype=np.int64)
+    k = lib.dicom_scan(buf, np.int64(len(buf)), out.reshape(-1),
+                       np.int64(out.shape[0]))
+    if k < 0:
+        return None
+    return out[:k]

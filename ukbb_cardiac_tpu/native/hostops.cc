@@ -170,4 +170,198 @@ void label_areas_per_frame(const int16_t* volume, int64_t frame_voxels,
   }
 }
 
+
+// ---------------------------------------------------------------------------
+// DICOM element scanner (data-loader fast path).
+//
+// Mirrors data/dicom.py::_parse_dataset exactly: walks an implicit- or
+// explicit-VR little-endian dataset, records (tag_index, value_offset,
+// value_length, vr_code) for the attribute subset Biobank_Dataset
+// consumes, and skips items / undefined-length sequences.  Value decoding
+// (ASCII numerics, backslash lists) stays in Python — the hot cost is the
+// per-element walk over thousands of files, not the ~20 tiny decodes.
+//
+// Returns: number of entries written (>= 0); -1 for an unsupported
+// transfer syntax or encapsulated (compressed) pixel data; -2 for a
+// truncated / malformed stream.  vr_code is the two ASCII VR bytes packed
+// little-endian, 0 in implicit-VR files.
+// ---------------------------------------------------------------------------
+
+// (group << 16) | element, ascending — MUST match _SCAN_NAMES in
+// ukbb_cardiac_tpu/data/dicom.py.
+static const uint32_t kDicomWanted[] = {
+    0x00080018u,  // SOPInstanceUID
+    0x0008103Eu,  // SeriesDescription
+    0x00180050u,  // SliceThickness
+    0x00180088u,  // SpacingBetweenSlices
+    0x00181060u,  // TriggerTime
+    0x00181090u,  // CardiacNumberOfImages
+    0x0020000Eu,  // SeriesInstanceUID
+    0x00200013u,  // InstanceNumber
+    0x00200032u,  // ImagePositionPatient
+    0x00200037u,  // ImageOrientationPatient
+    0x00280002u,  // SamplesPerPixel
+    0x00280008u,  // NumberOfFrames
+    0x00280010u,  // Rows
+    0x00280011u,  // Columns
+    0x00280030u,  // PixelSpacing
+    0x00280100u,  // BitsAllocated
+    0x00280103u,  // PixelRepresentation
+    0x00281052u,  // RescaleIntercept
+    0x00281053u,  // RescaleSlope
+    0x7FE00010u,  // PixelData
+};
+static const int kDicomWantedN =
+    sizeof(kDicomWanted) / sizeof(kDicomWanted[0]);
+
+static inline uint16_t rd16(const uint8_t* b, int64_t p) {
+  return (uint16_t)(b[p] | (b[p + 1] << 8));
+}
+static inline uint32_t rd32(const uint8_t* b, int64_t p) {
+  return (uint32_t)(b[p] | (b[p + 1] << 8) | (b[p + 2] << 16) |
+                    ((uint32_t)b[p + 3] << 24));
+}
+
+static inline int dicom_tag_index(uint32_t key) {
+  int lo = 0, hi = kDicomWantedN - 1;
+  while (lo <= hi) {
+    int mid = (lo + hi) / 2;
+    if (kDicomWanted[mid] == key) return mid;
+    if (kDicomWanted[mid] < key) lo = mid + 1; else hi = mid - 1;
+  }
+  return -1;
+}
+
+static inline bool dicom_long_vr(uint8_t a, uint8_t b) {
+  // OB OW OF SQ UT UN — the explicit-VR forms with a 4-byte length
+  return (a == 'O' && (b == 'B' || b == 'W' || b == 'F')) ||
+         (a == 'S' && b == 'Q') || (a == 'U' && (b == 'T' || b == 'N'));
+}
+
+// twin of data/dicom.py::_skip_undefined
+static int64_t dicom_skip_undefined(const uint8_t* b, int64_t n, int64_t pos,
+                                    bool explicit_vr) {
+  int depth = 1;
+  while (pos + 8 <= n && depth > 0) {
+    uint16_t group = rd16(b, pos), elem = rd16(b, pos + 2);
+    if (group == 0xFFFE &&
+        (elem == 0xE000 || elem == 0xE00D || elem == 0xE0DD)) {
+      uint32_t length = rd32(b, pos + 4);
+      pos += 8;
+      if (elem == 0xE0DD) {
+        depth -= 1;
+      } else if (elem == 0xE000 && length != 0xFFFFFFFFu) {
+        pos += length;
+      }
+      continue;
+    }
+    uint32_t length;
+    if (explicit_vr) {
+      uint8_t v0 = b[pos + 4], v1 = b[pos + 5];
+      if (dicom_long_vr(v0, v1)) {
+        length = rd32(b, pos + 8);
+        pos += 12;
+      } else {
+        length = rd16(b, pos + 6);
+        pos += 8;
+      }
+    } else {
+      length = rd32(b, pos + 4);
+      pos += 8;
+    }
+    if (length == 0xFFFFFFFFu) depth += 1;
+    else pos += length;
+  }
+  return pos;
+}
+
+int64_t dicom_scan(const uint8_t* buf, int64_t n, int64_t* out,
+                   int64_t out_cap) {
+  int64_t pos = 0;
+  bool explicit_vr = false;  // raw datasets default to implicit VR LE
+  if (n >= 132 && memcmp(buf + 128, "DICM", 4) == 0) {
+    pos = 132;
+    char transfer[64];
+    transfer[0] = '\0';
+    while (pos + 8 <= n) {
+      uint16_t group = rd16(buf, pos), elem = rd16(buf, pos + 2);
+      if (group != 0x0002) break;
+      uint8_t v0 = buf[pos + 4], v1 = buf[pos + 5];
+      uint32_t length;
+      int64_t hdr;
+      if (dicom_long_vr(v0, v1)) {
+        length = rd32(buf, pos + 8);
+        hdr = 12;
+      } else {
+        length = rd16(buf, pos + 6);
+        hdr = 8;
+      }
+      if (group == 0x0002 && elem == 0x0010) {
+        uint32_t m = length < 63 ? length : 63;
+        if (pos + hdr + m > n) return -2;
+        memcpy(transfer, buf + pos + hdr, m);
+        transfer[m] = '\0';
+        // strip trailing NUL/space padding
+        for (int i = (int)m - 1;
+             i >= 0 && (transfer[i] == '\0' || transfer[i] == ' '); --i)
+          transfer[i] = '\0';
+      }
+      pos += hdr + length;
+    }
+    if (strcmp(transfer, "1.2.840.10008.1.2") == 0) explicit_vr = false;
+    else if (strcmp(transfer, "1.2.840.10008.1.2.1") == 0) explicit_vr = true;
+    else return -1;
+  }
+
+  int64_t count = 0;
+  while (pos + 8 <= n) {
+    uint16_t group = rd16(buf, pos), elem = rd16(buf, pos + 2);
+    pos += 4;
+    if (group == 0xFFFE && (elem == 0xE00D || elem == 0xE0DD)) {
+      pos += 4;
+      continue;
+    }
+    uint16_t vr_code = 0;
+    uint32_t length;
+    if (group == 0xFFFE && elem == 0xE000) {  // item inside SQ
+      length = rd32(buf, pos);
+      pos += 4;
+      if (length == 0xFFFFFFFFu) pos = dicom_skip_undefined(buf, n, pos,
+                                                            explicit_vr);
+      else pos += length;
+      continue;
+    }
+    if (explicit_vr) {
+      uint8_t v0 = buf[pos], v1 = buf[pos + 1];
+      vr_code = (uint16_t)(v0 | (v1 << 8));
+      if (dicom_long_vr(v0, v1)) {
+        length = rd32(buf, pos + 4);
+        pos += 8;
+      } else {
+        length = rd16(buf, pos + 2);
+        pos += 4;
+      }
+    } else {
+      length = rd32(buf, pos);
+      pos += 4;
+    }
+    if (length == 0xFFFFFFFFu) {
+      if (group == 0x7FE0 && elem == 0x0010) return -1;  // encapsulated
+      pos = dicom_skip_undefined(buf, n, pos, explicit_vr);
+      continue;
+    }
+    if (pos + (int64_t)length > n) return -2;
+    int idx = dicom_tag_index(((uint32_t)group << 16) | elem);
+    if (idx >= 0 && count < out_cap) {
+      out[count * 4 + 0] = idx;
+      out[count * 4 + 1] = pos;
+      out[count * 4 + 2] = (int64_t)length;
+      out[count * 4 + 3] = vr_code;
+      ++count;
+    }
+    pos += length;
+  }
+  return count;
+}
+
 }  // extern "C"
