@@ -319,3 +319,27 @@ def test_multi_step_matches_sequential_steps():
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-4, atol=1e-6)
     assert np.isfinite(float(aux["accuracy"]))
+
+
+def test_ao_temporal_unet_training(tmp_path):
+    """Temporal-UNet trainer end-to-end: loss finite, checkpoint saved and
+    deployable through the aortic engine's temporal dispatch."""
+    _make_ao_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = AoTrainConfig(model="Temporal-UNet", image_size=48,
+                        train_batch_size=1, num_filter=2, num_level=3,
+                        weight_R=2, dataset_dir=str(tmp_path),
+                        checkpoint_dir=ckpt_dir, checkpoint_every=2,
+                        validation_every=2)
+    params, state, names, ucfg = train_ao(cfg, max_iterations=2)
+    bundle = os.path.join(ckpt_dir, cfg.model_name, "model-2.npz")
+    assert os.path.exists(bundle)
+
+    from ukbb_cardiac_tpu.infer.deploy_ao import load_aortic_engine
+    engine = load_aortic_engine(bundle)
+    assert engine.kind == "temporal_unet"
+    rng = np.random.RandomState(0)
+    cine = (rng.rand(40, 44, 1, 4) * 1000).astype(np.int16)
+    seg = engine.segment_cine(cine, z_score=True)
+    assert seg.shape == cine.shape
+    assert set(np.unique(seg)) <= {0, 1, 2}
