@@ -88,10 +88,13 @@ def bspline_dense_field(control: jnp.ndarray, image_shape: Tuple[int, int],
             n_in = (x.shape[2] - 1) * s + 1
             p_hi = n_out - 1 + L - 1 - p_lo - n_in + 1
             pad = ((0, 0), (p_lo, p_hi))
+        # follow the input dtype (bf16 synthesis runs the convs on the
+        # MXU at twice the f32 rate; accumulation is f32 in hardware) and
+        # avoid a preferred_element_type upcast, which would break the
+        # VJP's cotangent dtype for bf16 (see models/layers.py)
         return jax.lax.conv_general_dilated(
-            x, kern, window_strides=(1, 1), padding=pad, lhs_dilation=dil,
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32)
+            x, kern.astype(x.dtype), window_strides=(1, 1), padding=pad,
+            lhs_dilation=dil, dimension_numbers=("NHWC", "HWIO", "NHWC"))
 
     x = control[None]  # (1, Cx, Cy, 2)
     x = conv1d_axis(x, X, axis=1)
