@@ -15,7 +15,6 @@ Energy matches ``par/ffd_cine_2d_motion.cfg``: SSD + 1e-1 bending energy,
 
 from __future__ import annotations
 
-import math
 
 from dataclasses import dataclass
 from typing import Sequence, Tuple
@@ -80,11 +79,77 @@ def gaussian_blur(image: jnp.ndarray, sigma: float) -> jnp.ndarray:
     return x[0, :, :, 0]
 
 
+def _bilinear_impl(source, cx, cy):
+    """Bilinear sampling with 'constant' (zero) boundary — the four corner
+    gathers plus the fractional weights, returned for VJP reuse."""
+    X, Y = source.shape
+    x0 = jnp.floor(cx)
+    y0 = jnp.floor(cy)
+    fx = cx - x0
+    fy = cy - y0
+    x0i = x0.astype(jnp.int32)
+    y0i = y0.astype(jnp.int32)
+
+    def corner(dx, dy):
+        xi = x0i + dx
+        yi = y0i + dy
+        valid = (xi >= 0) & (xi < X) & (yi >= 0) & (yi < Y)
+        v = source[jnp.clip(xi, 0, X - 1), jnp.clip(yi, 0, Y - 1)]
+        return jnp.where(valid, v, 0.0)
+
+    v00, v01 = corner(0, 0), corner(0, 1)
+    v10, v11 = corner(1, 0), corner(1, 1)
+    out = (v00 * (1 - fx) * (1 - fy) + v01 * (1 - fx) * fy
+           + v10 * fx * (1 - fy) + v11 * fx * fy)
+    return out, (v00, v01, v10, v11, fx, fy)
+
+
+@jax.custom_vjp
+def _bilinear_const_src(source, cx, cy):
+    """Bilinear sample treating ``source`` as a CONSTANT.
+
+    The registration loss differentiates only through the sampling
+    coordinates (the images are fixed data), but generic AD of a gather
+    re-gathers the corner values in the backward pass — on TPU the
+    arbitrary-index gather is the whole cost of a registration step.
+    This custom VJP computes the coordinate cotangents from the corners
+    already gathered in the forward pass: the backward pass is purely
+    elementwise.  The source cotangent is ZERO by construction — do not
+    use this where gradients w.r.t. the image are needed (the public
+    :func:`warp_image` keeps full AD).
+    """
+    out, _ = _bilinear_impl(source, cx, cy)
+    return out
+
+
+def _bilinear_fwd(source, cx, cy):
+    out, res = _bilinear_impl(source, cx, cy)
+    return out, (res, source)
+
+
+def _bilinear_bwd(residuals, g):
+    (v00, v01, v10, v11, fx, fy), source = residuals
+    dcx = ((v10 - v00) * (1 - fy) + (v11 - v01) * fy) * g
+    dcy = ((v01 - v00) * (1 - fx) + (v11 - v10) * fx) * g
+    return jnp.zeros_like(source), dcx, dcy
+
+
+_bilinear_const_src.defvjp(_bilinear_fwd, _bilinear_bwd)
+
+
 def _warp(source: jnp.ndarray, disp: jnp.ndarray, order: int = 1) -> jnp.ndarray:
-    """Pull-back warp: out[x] = source[x + disp[x]]; disp (X, Y, 2)."""
+    """Pull-back warp: out[x] = source[x + disp[x]]; disp (X, Y, 2).
+
+    Order-1 uses the constant-source bilinear sampler (gather-free
+    backward; see :func:`_bilinear_const_src`) — gradients flow through
+    the displacement only, which is what every registration/composition
+    caller differentiates."""
     X, Y = source.shape
     gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
                           jnp.arange(Y, dtype=jnp.float32), indexing="ij")
+    if order == 1:
+        return _bilinear_const_src(source, gx + disp[..., 0],
+                                   gy + disp[..., 1])
     return sample_2d(source, gx + disp[..., 0], gy + disp[..., 1], order=order)
 
 
@@ -250,7 +315,12 @@ def make_register_batch(image_shape: Tuple[int, int],
             return sim + cfg.be_weight * losses.bending_energy(disp)
 
         grad = jax.grad(one_loss)
-        steps_per_call = max(1, math.gcd(cfg.iters, 10))
+        # ALL of a level's steps in one dispatch: the fori_loop graph is
+        # one step regardless of trip count, so compile cost is flat,
+        # while each extra dispatch costs ~0.26 s on this host's tunnel
+        # (measured: iters 10 -> 160 scaled wall by the BLOCK count, not
+        # the step count; device compute per step is sub-ms)
+        steps_per_call = cfg.iters
 
         @jax.jit
         def step_block(c, opt_state, base, tgt, src, mask):
