@@ -196,3 +196,41 @@ def test_padding_value_mask_ignores_padded_region():
     disp = np.asarray(total_field(tuple(c[0] for c in controls), (X, Y), cfg))
     centre = disp[24, 24]
     assert abs(centre[0] - 3) < 1.5 and abs(centre[1] + 2) < 1.5, centre
+
+
+def test_batched_warp_matches_vmapped():
+    """The global-gather batched warp equals the vmapped per-item warp in
+    value and coordinate gradient (the step's grad path)."""
+    import jax
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.reg.register import _warp, _warp_batch
+
+    rng = np.random.RandomState(3)
+    src = jnp.asarray(rng.rand(4, 18, 21).astype(np.float32))
+    disp = jnp.asarray((rng.rand(4, 18, 21, 2) * 10 - 5).astype(np.float32))
+    np.testing.assert_allclose(np.asarray(_warp_batch(src, disp)),
+                               np.asarray(jax.vmap(_warp)(src, disp)),
+                               rtol=1e-6, atol=1e-7)
+    g_ref = jax.grad(lambda d: jnp.sum(jax.vmap(_warp)(src, d) ** 2))(disp)
+    g_new = jax.grad(lambda d: jnp.sum(_warp_batch(src, d) ** 2))(disp)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_warp_coordinate_grad_matches_full_ad():
+    """The custom gather-free VJP equals full AD through map_coordinates
+    for the coordinate gradient (including out-of-bounds regions)."""
+    import jax
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.reg.register import _warp
+    from ukbb_cardiac_tpu.ops import sample_2d
+
+    rng = np.random.RandomState(1)
+    src = jnp.asarray(rng.rand(16, 18).astype(np.float32))
+    disp = jnp.asarray((rng.rand(16, 18, 2) * 8 - 4).astype(np.float32))
+    gx, gy = jnp.meshgrid(jnp.arange(16.0), jnp.arange(18.0), indexing="ij")
+    g_ref = jax.grad(lambda d: jnp.sum(
+        sample_2d(src, gx + d[..., 0], gy + d[..., 1]) ** 2))(disp)
+    g_new = jax.grad(lambda d: jnp.sum(_warp(src, d) ** 2))(disp)
+    np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
+                               rtol=1e-4, atol=1e-5)
