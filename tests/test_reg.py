@@ -234,3 +234,23 @@ def test_warp_coordinate_grad_matches_full_ad():
     g_new = jax.grad(lambda d: jnp.sum(_warp(src, d) ** 2))(disp)
     np.testing.assert_allclose(np.asarray(g_new), np.asarray(g_ref),
                                rtol=1e-4, atol=1e-5)
+
+
+def test_invert_field_batch_matches_per_item():
+    # Batched inversion == per-item inversion on SMOOTH fields (the
+    # fixed-point map only contracts for smooth displacements; white-noise
+    # fields amplify float-ordering eps across the 10 iterations).
+    import jax
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.reg.register import (gaussian_blur, invert_field,
+                                               invert_field_batch)
+
+    rng = np.random.RandomState(5)
+    raw = (rng.rand(6, 20, 22, 2) * 6 - 3).astype(np.float32)
+    smooth = np.stack([np.stack([np.asarray(gaussian_blur(jnp.asarray(f), 2.0))
+                                 for f in item.transpose(2, 0, 1)], axis=-1)
+                       for item in raw])
+    d = jnp.asarray(smooth)
+    np.testing.assert_allclose(np.asarray(invert_field_batch(d)),
+                               np.asarray(jax.vmap(invert_field)(d)),
+                               rtol=1e-5, atol=1e-5)

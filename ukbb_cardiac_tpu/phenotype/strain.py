@@ -111,7 +111,8 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
     """
     import jax
 
-    from ukbb_cardiac_tpu.reg.register import compose_chain, invert_field
+    from ukbb_cardiac_tpu.reg.register import (compose_chain,
+                                               invert_field_batch)
 
     Z, T, X, Y = frames_zs.shape
     if register_batch is None:
@@ -143,17 +144,19 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
     @jax.jit
     def combine(fields):
         per_slice = fields.reshape(Z, per, X, Y, 2)
+        fwd_pairs = per_slice[:, :T - 1]  # entry fr-1 maps fr-1 -> fr
+        if inverse_consistent:
+            wraps = per_slice[:, T - 1]   # 0 -> T-1 per slice
+            # backward chain pairs: (0->T-1), then (fr+1->fr) = inverse of
+            # the forward pair (fr->fr+1), fr = T-2 .. 1 — ALL slices'
+            # inversions in one globally-batched fixed-point loop
+            inv_in = fwd_pairs[:, 1:][:, ::-1].reshape(Z * (T - 2), X, Y, 2)
+            inv = invert_field_batch(inv_in).reshape(Z, T - 2, X, Y, 2)
+            bwd_pairs = jnp.concatenate([wraps[:, None], inv], axis=1)
+        else:
+            bwd_pairs = per_slice[:, T - 1:]
 
-        def one(slice_fields):
-            fwd_pair = slice_fields[:T - 1]   # entry fr-1 maps fr-1 -> fr
-            if inverse_consistent:
-                wrap = slice_fields[T - 1]    # 0 -> T-1
-                # backward chain pairs: (0->T-1), then (fr+1->fr) =
-                # inverse of the forward pair (fr->fr+1), fr = T-2 .. 1
-                inv = jax.vmap(invert_field)(fwd_pair[1:][::-1])
-                bwd_pair = jnp.concatenate([wrap[None], inv], axis=0)
-            else:
-                bwd_pair = slice_fields[T - 1:]
+        def one(fwd_pair, bwd_pair):
             forward = compose_chain(fwd_pair)
             backward_rev = compose_chain(bwd_pair)
             backward = jnp.concatenate(
@@ -162,7 +165,7 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
             wb = (jnp.arange(T) / T).reshape(T, 1, 1, 1)
             return (wf * forward + wb * backward).at[0].set(0.0)
 
-        return jax.vmap(one)(per_slice)
+        return jax.vmap(one)(fwd_pairs, bwd_pairs)
 
     return np.asarray(combine(fields), dtype=np.float32)
 

@@ -295,6 +295,26 @@ def invert_field(disp: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
     return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(disp))
 
 
+def invert_field_batch(disp: jnp.ndarray, iters: int = 10) -> jnp.ndarray:
+    """Batched :func:`invert_field` for (B, X, Y, 2) fields: the two
+    displacement channels of all B fields sample through ONE global flat
+    gather per iteration (same lowering win as the registration step —
+    a vmapped per-item gather is ~20% slower on TPU)."""
+    B, X, Y, _ = disp.shape
+    gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
+                          jnp.arange(Y, dtype=jnp.float32), indexing="ij")
+    srcs = jnp.concatenate([disp[..., 0], disp[..., 1]], axis=0)  # (2B,X,Y)
+
+    def body(_, v):
+        px = gx[None] + v[..., 0]
+        py = gy[None] + v[..., 1]
+        out, _ = _bilinear_batch_impl(srcs, jnp.concatenate([px, px], axis=0),
+                                      jnp.concatenate([py, py], axis=0))
+        return -jnp.stack([out[:B], out[B:]], axis=-1)
+
+    return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(disp))
+
+
 def compose_chain(pair_fields: jnp.ndarray) -> jnp.ndarray:
     """Prefix-compose a chain of pull-back pair transforms in ONE program.
 
