@@ -91,7 +91,12 @@ def _start_subject_sequence(engine: InferenceEngine, data_dir: str,
 
 def _finish_subject_sequence(ctx: dict, seq_name: str, seg4: bool,
                              save_seg: bool) -> float:
-    """Block on an in-flight subject and write its outputs."""
+    """Block on an in-flight subject and write its outputs.
+
+    The printed "segmentation time" spans dispatch→readback; in the
+    pipelined dataset loop it therefore includes the time spent reading
+    and dispatching the NEXT subject while this one was computing — the
+    per-subject average over the run is the meaningful figure."""
     prefix = seg_prefix(seq_name, seg4)
     data_dir, nim, orig_image = ctx["data_dir"], ctx["nim"], ctx["image"]
     pred = ctx["pending"].result().astype(np.float64)
