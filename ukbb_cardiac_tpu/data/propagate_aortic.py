@@ -126,6 +126,13 @@ def propagate_subject(data_dir: str, cfg: RegConfig = None,
                          np.ones(FX * FY)])
     crop_coords = (inv_crop @ full_affine @ vox_full)[:2]
 
+    # the registrations are mutually independent (image frame -> image
+    # frame); only the LABEL chaining is sequential.  Collect every
+    # (source, target) pair of the plan and register them all in ONE
+    # batched device call (the reference runs one MIRTK subprocess per
+    # pair, ``propagate_aortic_annotation.py:132-158``), then chain the
+    # labels on host through the precomputed fields.
+    pairs = []  # (source_t, target_t) in label-chaining order
     for t in t_anno:
         for direction in ("forward", "backward"):
             for target_t in plan[t][direction]:
@@ -136,28 +143,34 @@ def propagate_subject(data_dir: str, cfg: RegConfig = None,
                     source_t = (target_t - 1 if direction == "forward"
                                 else target_t + 1)
                 source_t = wrap_frame_index([source_t], T)[0]
-                print(f"{source_t} -> {target_t}")
+                pairs.append((source_t, target_t))
 
-                target_im = crop_img[:, :, 0, target_t]
-                source_im = crop_img[:, :, 0, source_t]
-                controls = register_batch(target_im[None], source_im[None])
-                controls = tuple(c[0] for c in controls)
-                disp = np.asarray(total_field(controls, (X, Y), cfg))
+    if pairs:
+        import jax
 
-                # pull-back on the FULL grid: the crop grid is a pure
-                # voxel translation of the full grid (same axes/spacing),
-                # so a crop-voxel displacement is also a full-voxel
-                # displacement.  label_target(v) = label_source(v + d(v)),
-                # NN interpolation (mirtk transform-image -interp NN).
-                dx = map_coordinates(disp[..., 0], crop_coords, order=1,
-                                     mode="constant")
-                dy = map_coordinates(disp[..., 1], crop_coords, order=1,
-                                     mode="constant")
-                src_lab = labels_prop[source_t][:, :, 0].astype(float)
-                warped = map_coordinates(
-                    src_lab, [gx.ravel() + dx, gy.ravel() + dy],
-                    order=0, mode="constant").reshape(FX, FY)
-                labels_prop[target_t] = warped.astype(np.int16)[:, :, None]
+        targets = np.stack([crop_img[:, :, 0, tt] for _, tt in pairs])
+        sources = np.stack([crop_img[:, :, 0, st] for st, _ in pairs])
+        controls = register_batch(targets, sources)
+        dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
+        disps = np.asarray(dense(*controls))
+
+    for k, (source_t, target_t) in enumerate(pairs):
+        print(f"{source_t} -> {target_t}")
+        disp = disps[k]
+        # pull-back on the FULL grid: the crop grid is a pure
+        # voxel translation of the full grid (same axes/spacing),
+        # so a crop-voxel displacement is also a full-voxel
+        # displacement.  label_target(v) = label_source(v + d(v)),
+        # NN interpolation (mirtk transform-image -interp NN).
+        dx = map_coordinates(disp[..., 0], crop_coords, order=1,
+                             mode="constant")
+        dy = map_coordinates(disp[..., 1], crop_coords, order=1,
+                             mode="constant")
+        src_lab = labels_prop[source_t][:, :, 0].astype(float)
+        warped = map_coordinates(
+            src_lab, [gx.ravel() + dx, gy.ravel() + dy],
+            order=0, mode="constant").reshape(FX, FY)
+        labels_prop[target_t] = warped.astype(np.int16)[:, :, None]
 
     # combine into a 4D sequence
     prop = np.zeros(full.shape, dtype=np.int16)
