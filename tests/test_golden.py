@@ -89,3 +89,29 @@ def test_golden_wall_thickness(subject, tmp_path):
     for k, expect in GOLDEN_WT.items():
         np.testing.assert_allclose(float(df.loc[k].values[0]), expect,
                                    rtol=1e-6, err_msg=f"wt.{k} drifted")
+
+
+GOLDEN_AORTA = {
+    ("AAo", "max area"): 1104.839921951294,
+    ("AAo", "min area"): 599.3999576568604,
+    ("AAo", "distensibility"): 21.08108108108108,
+    ("DAo", "max area"): 469.7999668121338,
+    ("DAo", "min area"): 288.3599796295166,
+    ("DAo", "distensibility"): 15.730337078651687,
+}
+
+
+def test_golden_aortic_areas(tmp_path):
+    from ukbb_cardiac_tpu.phenotype import (aorta_pass_quality_control,
+                                            aortic_area_measures)
+    subj = os.path.join(str(tmp_path), "1000001")
+    write_subject(subj, seqs=("ao",), X=96, Y=96, Z=1, T=12, with_seg=True)
+    img = np.asanyarray(nifti.load(os.path.join(subj, "ao.nii.gz")).dataobj)
+    seg = np.asanyarray(nifti.load(os.path.join(subj,
+                                                "seg_ao.nii.gz")).dataobj)
+    assert aorta_pass_quality_control(img, seg)
+    val = aortic_area_measures(subj, central_pp_value=40.0)
+    for (vessel, key), expect in GOLDEN_AORTA.items():
+        np.testing.assert_allclose(float(val[vessel][key]), expect,
+                                   rtol=1e-6,
+                                   err_msg=f"aorta.{vessel}.{key} drifted")
