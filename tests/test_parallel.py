@@ -143,3 +143,32 @@ def test_sharded_cine_fleet_matches_fused_path(eight_devices):
     for i in range(8):
         single = engine.segment_sequence_fused(cines[i])
         np.testing.assert_array_equal(segs[i], single)
+
+
+def test_sharded_registration_matches_single_device(eight_devices):
+    """The pair population sharded over the mesh registers to the same
+    lattices as the single-device batch (incl. pad-to-axis handling)."""
+    from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch
+
+    X = Y = 32
+    gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+    d = np.sqrt((gx - X / 2) ** 2 + (gy - Y / 2) ** 2)
+    # 6 pairs (not divisible by 8 -> exercises padding)
+    targets, sources = [], []
+    for i in range(6):
+        targets.append(np.exp(-0.5 * ((d - 9 - 0.3 * i) / 2.5) ** 2))
+        sources.append(np.exp(-0.5 * ((d - 11 - 0.3 * i) / 2.5) ** 2))
+    targets = np.stack(targets).astype(np.float32)
+    sources = np.stack(sources).astype(np.float32)
+
+    cfg = RegConfig(levels=2, iters=20, spacing=6)
+    single = make_register_batch((X, Y), cfg)
+    mesh = make_mesh(8)
+    sharded = make_register_batch((X, Y), cfg, mesh=mesh)
+    c_single = single(targets, sources)
+    c_sharded = sharded(targets, sources)
+    assert len(c_single) == len(c_sharded)
+    for a, b in zip(c_single, c_sharded):
+        assert b.shape == a.shape
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)

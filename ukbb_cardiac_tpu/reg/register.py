@@ -343,7 +343,8 @@ def average_fields(fields: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
 
 
 def make_register_batch(image_shape: Tuple[int, int],
-                        cfg: RegConfig = RegConfig()):
+                        cfg: RegConfig = RegConfig(), mesh=None,
+                        axis: str = "data"):
     """Batched registration: (N, X, Y) targets x sources → per-level
     control stacks with a leading batch axis.  One batched device program
     per optimisation step replaces the reference's ~300 sequential MIRTK
@@ -354,6 +355,12 @@ def make_register_batch(image_shape: Tuple[int, int],
     whole multi-level optimisation as a single program produces a graph
     the XLA compiler chews on for many minutes at no runtime benefit
     (dispatch overhead ~1 ms against ~10 ms steps).
+
+    ``mesh``: optional ``jax.sharding.Mesh`` — the pair population shards
+    over ``axis`` (registrations are mutually independent, so scaling
+    over ICI-attached chips is embarrassingly parallel; the batch pads up
+    to the axis size internally).  Results are identical to the
+    single-device path (tested on the virtual mesh).
     """
     X, Y = image_shape
     factors = [2 ** (cfg.levels - 1 - l) for l in range(cfg.levels)]
@@ -452,9 +459,27 @@ def make_register_batch(image_shape: Tuple[int, int],
             f = factors[l]
             blurs[l] = jax.jit(jax.vmap(lambda x, f=f: x[::f, ::f]))
 
+    if mesh is not None:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        batch_sharding = NamedSharding(mesh, P(axis))
+        n_shard = mesh.shape[axis]
+    else:
+        batch_sharding, n_shard = None, 1
+
     def register(targets, sources):
         targets = jnp.asarray(targets)
         sources = jnp.asarray(sources)
+        B_in = targets.shape[0]
+        if n_shard > 1:
+            # pad the pair population to the mesh axis and shard it; the
+            # padded identity pairs register to (near-)zero lattices and
+            # are sliced off below
+            pad_n = (-B_in) % n_shard
+            if pad_n:
+                targets = jnp.concatenate([targets, targets[:pad_n]], axis=0)
+                sources = jnp.concatenate([sources, sources[:pad_n]], axis=0)
+            targets = jax.device_put(targets, batch_sharding)
+            sources = jax.device_put(sources, batch_sharding)
         B = targets.shape[0]
         # MIRTK's "Padding value": voxels at/below it in the TARGET are
         # excluded from the similarity (par/ffd_cine_2d_motion.cfg:12)
@@ -489,6 +514,6 @@ def make_register_batch(image_shape: Tuple[int, int],
 
         # rescale to full-resolution lattices: values in full-res pixels,
         # spacing cfg.spacing * factor (what total_field expects)
-        return tuple(c * f for c, f in zip(controls, factors))
+        return tuple(c[:B_in] * f for c, f in zip(controls, factors))
 
     return register
