@@ -180,12 +180,15 @@ def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
 def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
                                           output_name_stem: str,
                                           cfg: RegConfig = RegConfig(),
-                                          eval_dice: bool = False) -> Optional[pd.DataFrame]:
+                                          eval_dice: bool = False,
+                                          register_batch=None) -> Optional[pd.DataFrame]:
     """Full SA strain driver (``cardiac_utils.py:840-987``), MIRTK-free.
 
     Expects ``<data_dir>/{sa,seg_sa,seg_sa_ED}.nii.gz``; writes contour
     VTKs + strain CSVs ``<output_name_stem>_{radial,circum}.csv``.
     Returns the per-frame LV/Myo warp-Dice table when ``eval_dice``.
+    ``register_batch``: optional prebuilt (possibly mesh-sharded)
+    registration; its image_shape must match this subject's LV crop.
     """
     # LV-focused crop (cardiac_utils.py:845-853): relabel RV->BG, bbox+20
     padding(os.path.join(data_dir, "seg_sa_ED.nii.gz"),
@@ -227,7 +230,8 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
         return None
     frames_zs = np.stack([np.transpose(sa_crop[:, :, z, :], (2, 0, 1))
                           for z in selected])  # (Zsel, T, X, Y)
-    combined_zs = track_multi_slice_fields(frames_zs, cfg)
+    combined_zs = track_multi_slice_fields(frames_zs, cfg,
+                                           register_batch=register_batch)
 
     for zi, z in enumerate(selected):
         contour_ED = os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk")
