@@ -304,9 +304,11 @@ def manhattan_plot(df_log_p: pd.DataFrame, category: np.ndarray,
 
 def top_hits_table(df_corr: pd.DataFrame, df_p: pd.DataFrame,
                    field_names: Dict[int, str], p_thres: float,
-                   top_k: int = 20) -> pd.DataFrame:
+                   top_k: int = 20,
+                   latex_path: str = None) -> pd.DataFrame:
     """Strongest significant associations per IDP (the reference emits
-    LaTeX tables, :415-536; we emit a tidy DataFrame)."""
+    LaTeX tables, :415-536; we emit a tidy DataFrame and, when
+    ``latex_path`` is given, the LaTeX rendering of it too)."""
     rows = []
     for i, idp in enumerate(df_corr.index):
         p_row = df_p.iloc[i].values
@@ -320,4 +322,8 @@ def top_hits_table(df_corr: pd.DataFrame, df_p: pd.DataFrame,
             rows.append({"IDP": idp,
                          "Field": field_names.get(fid, str(field_col)),
                          "FieldID": fid, "r": r_row[j], "p": p_row[j]})
-    return pd.DataFrame(rows)
+    df = pd.DataFrame(rows)
+    if latex_path:
+        with open(latex_path, "w") as f:
+            f.write(df.to_latex(index=False, float_format="%.3g"))
+    return df

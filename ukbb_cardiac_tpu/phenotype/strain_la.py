@@ -237,10 +237,13 @@ def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
 def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
                                           output_name_stem: str,
                                           cfg: RegConfig = RegConfig(),
-                                          eval_dice: bool = False) -> Optional[pd.DataFrame]:
+                                          eval_dice: bool = False,
+                                          register_batch=None) -> Optional[pd.DataFrame]:
     """Full LA strain driver (``cardiac_utils.py:1407-1537``), MIRTK-free.
 
     Expects ``<data_dir>/{la_4ch,seg4_la_4ch,seg4_la_4ch_ED,seg_sa_ED}.nii.gz``.
+    ``register_batch``: optional prebuilt (possibly mesh-sharded)
+    registration matching this subject's crop shape.
     """
     # LV-focused crop via relabelling (cardiac_utils.py:1412-1425):
     # Myo->LV, then RV/LA/RA -> BG, bbox + 20
@@ -273,7 +276,8 @@ def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
     X, Y = la_crop.shape[:2]
 
     frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
-    combined = track_slice_fields(frames, cfg)
+    combined = track_slice_fields(frames, cfg,
+                                  register_batch=register_batch)
 
     poly_ED = load_polydata(os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
     world = poly_ED.points
