@@ -31,9 +31,17 @@ def main(argv=None):
                         help="Warp each frame's segmentation to ED and "
                              "record the Dice (the reference's dormant "
                              "self-check, cardiac_utils.py:944-967).")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="Shard each subject's registration pair "
+                             "population over this many chips (0 = one).")
     parser.add_argument("--start_idx", type=int, default=0)
     parser.add_argument("--end_idx", type=int, default=0)
     args = parser.parse_args(argv)
+
+    mesh = None
+    if args.mesh_devices > 1:
+        from ukbb_cardiac_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
 
     data_list = sorted(os.listdir(args.data_dir))
     end_idx = len(data_list) if args.end_idx == 0 else args.end_idx
@@ -51,7 +59,7 @@ def main(argv=None):
         os.makedirs(motion_dir, exist_ok=True)
         cine_2d_sa_motion_and_strain_analysis(
             data_dir, motion_dir, os.path.join(data_dir, "strain_sa"),
-            eval_dice=args.eval_dice)
+            eval_dice=args.eval_dice, mesh=mesh)
         if args.eval_dice:
             # keep the self-check table (the intermediate dir is removed)
             dice_src = os.path.join(motion_dir, "dice_cine_warp_ffd.csv")

@@ -90,7 +90,8 @@ def _sample_field(field: np.ndarray, pts_xy: np.ndarray) -> np.ndarray:
 
 def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
                              register_batch=None,
-                             inverse_consistent: bool = True) -> np.ndarray:
+                             inverse_consistent: bool = True,
+                             mesh=None) -> np.ndarray:
     """Per-frame ED→fr displacement fields for MULTIPLE slices at once.
 
     frames_zs: (Z, T, X, Y).  Returns (Z, T, X, Y, 2): combined
@@ -116,7 +117,8 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
 
     Z, T, X, Y = frames_zs.shape
     if register_batch is None:
-        register_batch = make_register_batch((X, Y), cfg)
+        # mesh: shard the pair population over chips (make_register_batch)
+        register_batch = make_register_batch((X, Y), cfg, mesh=mesh)
 
     tgt_list, src_list = [], []
     for z in range(Z):
@@ -171,17 +173,19 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
 
 
 def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
-                       register_batch=None) -> np.ndarray:
+                       register_batch=None, mesh=None) -> np.ndarray:
     """Single-slice wrapper around :func:`track_multi_slice_fields`.
     frames: (T, X, Y) → (T, X, Y, 2)."""
-    return track_multi_slice_fields(frames[None], cfg, register_batch)[0]
+    return track_multi_slice_fields(frames[None], cfg, register_batch,
+                                    mesh=mesh)[0]
 
 
 def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
                                           output_name_stem: str,
                                           cfg: RegConfig = RegConfig(),
                                           eval_dice: bool = False,
-                                          register_batch=None) -> Optional[pd.DataFrame]:
+                                          register_batch=None,
+                                          mesh=None) -> Optional[pd.DataFrame]:
     """Full SA strain driver (``cardiac_utils.py:840-987``), MIRTK-free.
 
     Expects ``<data_dir>/{sa,seg_sa,seg_sa_ED}.nii.gz``; writes contour
@@ -231,7 +235,8 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
     frames_zs = np.stack([np.transpose(sa_crop[:, :, z, :], (2, 0, 1))
                           for z in selected])  # (Zsel, T, X, Y)
     combined_zs = track_multi_slice_fields(frames_zs, cfg,
-                                           register_batch=register_batch)
+                                           register_batch=register_batch,
+                                           mesh=mesh)
 
     for zi, z in enumerate(selected):
         contour_ED = os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk")

@@ -238,7 +238,8 @@ def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
                                           output_name_stem: str,
                                           cfg: RegConfig = RegConfig(),
                                           eval_dice: bool = False,
-                                          register_batch=None) -> Optional[pd.DataFrame]:
+                                          register_batch=None,
+                                          mesh=None) -> Optional[pd.DataFrame]:
     """Full LA strain driver (``cardiac_utils.py:1407-1537``), MIRTK-free.
 
     Expects ``<data_dir>/{la_4ch,seg4_la_4ch,seg4_la_4ch_ED,seg_sa_ED}.nii.gz``.
@@ -277,7 +278,7 @@ def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
 
     frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
     combined = track_slice_fields(frames, cfg,
-                                  register_batch=register_batch)
+                                  register_batch=register_batch, mesh=mesh)
 
     poly_ED = load_polydata(os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
     world = poly_ED.points
