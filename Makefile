@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast bench bench-strain native clean
+.PHONY: test test-fast bench bench-strain bench-train native clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -15,6 +15,9 @@ bench:
 
 bench-strain:
 	$(PYTHON) bench_strain.py
+
+bench-train:
+	$(PYTHON) bench_train.py
 
 native:
 	g++ -O3 -march=native -shared -fPIC \
