@@ -291,3 +291,24 @@ def test_deploy_dataset_ao_pipelined_multi_subject(tmp_path):
     for eid in ("2000000", "2000001"):
         seg = nifti.load(str(data_dir / eid / "seg_ao.nii.gz"))
         assert seg.dataobj.shape == (40, 44, 1, 4)
+
+
+def test_deploy_3d_image_single_frame(tmp_path, tiny_fcn):
+    """A 3D (X, Y, Z) image deploys as a single-frame sequence
+    (deploy_network.py handles both; the T axis is synthesised)."""
+    from ukbb_cardiac_tpu.io import nifti as nifti_mod
+    from ukbb_cardiac_tpu.infer.deploy import deploy_subject_sequence
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=8)
+    rng = np.random.RandomState(2)
+    vol = (rng.rand(48, 52, 3) * 1000).astype(np.int16)
+    subj = tmp_path / "s"
+    subj.mkdir()
+    nifti_mod.save(nifti_mod.Nifti1Image(vol.astype(np.float64),
+                                         np.diag([1.8, 1.8, 10.0, 1.0])),
+                   str(subj / "sa.nii.gz"))
+    t = deploy_subject_sequence(engine, str(subj), "sa")
+    assert t is not None
+    seg = np.asanyarray(nifti_mod.load(str(subj / "seg_sa.nii.gz")).dataobj)
+    assert seg.shape == (48, 52, 3, 1)
