@@ -312,3 +312,21 @@ def test_deploy_3d_image_single_frame(tmp_path, tiny_fcn):
     assert t is not None
     seg = np.asanyarray(nifti_mod.load(str(subj / "seg_sa.nii.gz")).dataobj)
     assert seg.shape == (48, 52, 3, 1)
+
+
+def test_deploy_dataset_mixed_shapes(tmp_path, tiny_fcn):
+    """Subjects with different Z/T compile separate fused programs but
+    pipeline through the same engine without interference."""
+    params, state, names = tiny_fcn
+    bundle = str(tmp_path / "fcn_sa.npz")
+    store.save_model(bundle, "fcn", TINY, names, params, state)
+    data_dir = tmp_path / "data"
+    write_subject(str(data_dir / "a"), seqs=("sa",), X=64, Y=72, Z=2, T=3)
+    write_subject(str(data_dir / "b"), seqs=("sa",), X=64, Y=72, Z=3, T=2)
+    write_subject(str(data_dir / "c"), seqs=("sa",), X=48, Y=56, Z=2, T=4)
+    deploy_dataset(bundle, str(data_dir), seq_name="sa", chunk=8)
+    from ukbb_cardiac_tpu.io import nifti
+    for eid, shape in (("a", (64, 72, 2, 3)), ("b", (64, 72, 3, 2)),
+                       ("c", (48, 56, 2, 4))):
+        seg = nifti.load(str(data_dir / eid / "seg_sa.nii.gz"))
+        assert seg.dataobj.shape == shape, eid
