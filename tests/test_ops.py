@@ -256,3 +256,39 @@ def test_get_trusted_mask_erodes_boundary():
     assert m[10, 10] == 0 and m[9, 20] == 0 and m[29, 20] == 0
     # radius=1 -> 1x1 kernel, erosion is identity, everything trusted
     assert get_trusted_mask(lbl, radius=1).all()
+
+
+def test_pad_and_bbox_helpers(tmp_path):
+    from ukbb_cardiac_tpu.ops import (foreground_bbox, image_apply_mask,
+                                      pad_image_to_multiple, pad_to_size)
+    img = np.zeros((30, 40), np.float32)
+    img[5:12, 8:20] = 7.0
+
+    padded, pads = pad_image_to_multiple(img, 16)
+    assert padded.shape == (32, 48)
+    x_pre, x_post, y_pre, y_post = pads
+    assert padded[x_pre:x_pre + 30, y_pre:y_pre + 40].sum() == img.sum()
+
+    x_pre, x_post, y_pre, y_post = pad_to_size(30, 40, 64)
+    assert x_pre == (64 - 30) // 2 and y_pre == (64 - 40) // 2
+    assert x_pre + x_post == 64 - 30 and y_pre + y_post == 64 - 40
+
+    bbox = foreground_bbox(img, reserve=2)
+    (x1, x2), (y1, y2) = bbox[0], bbox[1]
+    assert (x1, x2) == (3, 14) and (y1, y2) == (6, 22)
+    # reserve clips at bounds
+    bbox0 = foreground_bbox(img, reserve=100)
+    assert bbox0[0][0] == 0 and bbox0[1][1] == 40
+
+    # image_apply_mask: file-level twin of image_utils.py:297-303
+    from ukbb_cardiac_tpu.io import nifti
+    src = str(tmp_path / "a.nii.gz")
+    dst = str(tmp_path / "b.nii.gz")
+    nifti.save(nifti.Nifti1Image(img.astype(np.float64)[..., None],
+                                 np.eye(4)), src)
+    mask = np.zeros((30, 40, 1))
+    mask[5:12, 8:20, :] = 1
+    image_apply_mask(src, dst, mask, pad_value=-1)
+    out = np.asanyarray(nifti.load(dst).dataobj)
+    assert (out[mask == 0] == -1).all()
+    assert (out[mask == 1] == 7.0).all()
