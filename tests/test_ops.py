@@ -273,12 +273,12 @@ def test_pad_and_bbox_helpers(tmp_path):
     assert x_pre == (64 - 30) // 2 and y_pre == (64 - 40) // 2
     assert x_pre + x_post == 64 - 30 and y_pre + y_post == 64 - 40
 
-    bbox = foreground_bbox(img, reserve=2)
-    (x1, x2), (y1, y2) = bbox[0], bbox[1]
-    assert (x1, x2) == (3, 14) and (y1, y2) == (6, 22)
+    img3 = img[..., None]  # foreground_bbox takes a 3D volume
+    x1, x2, y1, y2, z1, z2 = foreground_bbox(img3, reserve=2)
+    assert (x1, x2) == (3, 14) and (y1, y2) == (6, 22) and (z1, z2) == (0, 1)
     # reserve clips at bounds
-    bbox0 = foreground_bbox(img, reserve=100)
-    assert bbox0[0][0] == 0 and bbox0[1][1] == 40
+    b = foreground_bbox(img3, reserve=100)
+    assert b[0] == 0 and b[3] == 40
 
     # image_apply_mask: file-level twin of image_utils.py:297-303
     from ukbb_cardiac_tpu.io import nifti
