@@ -33,6 +33,9 @@ def main(argv=None):
                              "'compat': the reference's sliding window.")
     add_bool_flag(parser, "bf16", False,
                   "bf16 activations (params/BN/logits stay f32).")
+    parser.add_argument("--trace_dir", default="",
+                        help="Write a jax.profiler device trace here "
+                             "(view with TensorBoard/XProf).")
     args = parser.parse_args(argv)
 
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
@@ -46,12 +49,14 @@ def main(argv=None):
     import jax.numpy as jnp
     compute_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
 
-    deploy_dataset_ao(model_path, args.data_dir, seq_name=args.seq_name,
-                      z_score=args.z_score, save_seg=args.save_seg,
-                      window=args.window, weight_R=args.weight_R,
-                      weight_r=args.weight_r, time_step=args.time_step,
-                      process_seq=args.process_seq,
-                      compute_dtype=compute_dtype)
+    from ukbb_cardiac_tpu.utils import device_trace
+    with device_trace(args.trace_dir):
+        deploy_dataset_ao(model_path, args.data_dir, seq_name=args.seq_name,
+                          z_score=args.z_score, save_seg=args.save_seg,
+                          window=args.window, weight_R=args.weight_R,
+                          weight_r=args.weight_r, time_step=args.time_step,
+                          process_seq=args.process_seq,
+                          compute_dtype=compute_dtype)
 
 
 if __name__ == "__main__":
