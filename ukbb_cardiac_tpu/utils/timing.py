@@ -78,7 +78,12 @@ def device_trace(log_dir: Optional[str]):
         return
     import jax
 
-    jax.profiler.start_trace(log_dir)
+    try:
+        jax.profiler.start_trace(log_dir)
+    except Exception as e:  # tracing is best-effort: never fail the deploy
+        print(f"Warning: device trace unavailable ({e}); continuing.")
+        yield
+        return
     try:
         yield
     finally:
