@@ -89,6 +89,11 @@ def test_golden_wall_thickness(subject, tmp_path):
     for k, expect in GOLDEN_WT.items():
         np.testing.assert_allclose(float(df.loc[k].values[0]), expect,
                                    rtol=1e-6, err_msg=f"wt.{k} drifted")
+    # max-thickness table (eval_wall_thickness.py:64-80 second output)
+    dfm = pd.read_csv(stem + "_max.csv", index_col=0)
+    np.testing.assert_allclose(float(dfm.loc["Global"].values[0]),
+                               9.550113787318962, rtol=1e-6,
+                               err_msg="wt_max.Global drifted")
 
 
 GOLDEN_AORTA = {
