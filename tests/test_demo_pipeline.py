@@ -57,3 +57,48 @@ def test_demo_pipeline_end_to_end(tmp_path):
     assert len(df) == 2
     assert (csv_dir / "table_wall_thickness.csv").exists()
     assert (csv_dir / "table_atrial_volume.csv").exists()
+
+
+def test_download_contract_mocked(tmp_path, monkeypatch):
+    """Pin the --download URL/manifest/unpack contract offline
+    (reference: demo_pipeline.py:28-54).  urlretrieve is mocked; asserts
+    the exact URL set, destination layout, and idempotency."""
+    import urllib.request
+
+    from ukbb_cardiac_tpu.cli import demo_pipeline as dp
+
+    fetched = []
+
+    def fake_urlretrieve(url, dest):
+        fetched.append(url)
+        with open(dest, "wb") as f:
+            f.write(b"stub")
+
+    monkeypatch.setattr(urllib.request, "urlretrieve", fake_urlretrieve)
+    data_dir = str(tmp_path / "demo_image")
+    model_dir = str(tmp_path / "trained_model")
+    csv_dir = str(tmp_path / "demo_csv")
+    dp.download_demo_data(data_dir, model_dir, csv_dir)
+
+    base = dp.URL_BASE
+    expected = set()
+    for i in (1, 2):
+        for seq in ("sa", "la_2ch", "la_4ch", "ao"):
+            expected.add(f"{base}demo_image/{i}/{seq}.nii.gz")
+    expected.add(f"{base}demo_csv/blood_pressure_info.csv")
+    for model in ("FCN_sa", "FCN_la_2ch", "FCN_la_4ch", "FCN_la_4ch_seg4",
+                  "UNet-LSTM_ao"):
+        for suffix in ("meta", "index", "data-00000-of-00001"):
+            expected.add(f"{base}trained_model/{model}.ckpt.{suffix}")
+    assert set(fetched) == expected
+    assert len(fetched) == len(expected)  # each exactly once
+
+    # files land where main() reads them
+    assert os.path.exists(os.path.join(data_dir, "1", "sa.nii.gz"))
+    assert os.path.exists(os.path.join(csv_dir, "blood_pressure_info.csv"))
+    assert os.path.exists(os.path.join(model_dir, "FCN_sa.ckpt.index"))
+
+    # idempotent: a second call downloads nothing
+    fetched.clear()
+    dp.download_demo_data(data_dir, model_dir, csv_dir)
+    assert fetched == []

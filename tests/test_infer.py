@@ -330,3 +330,44 @@ def test_deploy_dataset_mixed_shapes(tmp_path, tiny_fcn):
                        ("c", (48, 56, 2, 4))):
         seg = nifti.load(str(data_dir / eid / "seg_sa.nii.gz"))
         assert seg.dataobj.shape == shape, eid
+
+
+def test_from_unet_forward_uses_passed_params():
+    """from_unet's forward must run with the params/state it is CALLED
+    with, not the construction-time ones (regression: the closure used to
+    capture the outer pytrees, silently ignoring updated weights and
+    baking them into jitted programs as constants)."""
+    params, state, names = unet_mod.init_unet(jax.random.PRNGKey(0), TINY_AO)
+    model = SegmentationModel.from_unet(params, state, names, TINY_AO)
+    x = jnp.asarray(np.random.RandomState(0).rand(2, 16, 16, 1),
+                    dtype=jnp.float32)
+    base = model.forward(params, state, x)
+    zeroed = jax.tree_util.tree_map(jnp.zeros_like, params)
+    out_zero = model.forward(zeroed, state, x)
+    assert not np.allclose(np.asarray(base), np.asarray(out_zero))
+
+
+def test_segment_cine_packs_wide_label_sets(tmp_path):
+    """segment_cine's packed readback must scale its bit width with
+    n_class (regression: 2-bit packing was hard-coded, truncating labels
+    >= 4 modulo 4)."""
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+
+    cfg5 = unet_mod.UNetConfig(n_class=5, n_level=2, n_filter=(4, 4),
+                               n_block=(1, 1))
+    params, state, names = unet_mod.init_unet(jax.random.PRNGKey(2), cfg5,
+                                              conv3d_=True)
+    eng = AorticEngine("temporal_unet", cfg5, names, params, state)
+    rng = np.random.RandomState(3)
+    image = (rng.rand(48, 48, 1, 4) * 1000).astype(np.int16)
+    seg = eng.segment_cine(image, z_score=True, pad_to=48)
+    # compare against the unpacked prob path on the SAME device-side
+    # normalisation: identical labels, incl. >= 4
+    from ukbb_cardiac_tpu.ops import normalise_intensity_jax
+
+    norm = np.asarray(normalise_intensity_jax(
+        jnp.asarray(image, dtype=jnp.float32), 10.0))
+    prob = eng.prob_sequence(norm, window="full")
+    ref = np.argmax(prob, axis=-1).astype(np.uint8)
+    np.testing.assert_array_equal(seg, ref)
+    assert seg.max() == 4  # labels above the old 2-bit ceiling survive

@@ -149,3 +149,42 @@ def test_dicom_scan_matches_pure_python(tmp_path):
     d_pure = _dcmread_pure(bytes(body))
     assert d_native._attrs == d_pure._attrs
     assert int(d_native.CardiacNumberOfImages) == 50
+
+
+def test_dicom_scan_truncated_never_crashes(tmp_path):
+    """Truncating a DICOM stream at every byte offset must yield a clean
+    result (rows or None), never a crash/overread — guards the bounds
+    checks in hostops.cc's long-VR length reads (dicom_scan, the file-meta
+    loop, and dicom_skip_undefined)."""
+    import struct
+
+    from ukbb_cardiac_tpu import native
+    from ukbb_cardiac_tpu.data.dicom import dcmwrite_minimal
+
+    if not native.available():
+        pytest.skip("native toolchain unavailable")
+
+    pixel = np.zeros((4, 4), dtype=np.int16)
+    attrs = {"Rows": 4, "Columns": 4, "BitsAllocated": 16,
+             "PixelRepresentation": 1, "SeriesInstanceUID": "1.2.3"}
+    p = str(tmp_path / "t.dcm")
+    dcmwrite_minimal(p, attrs, pixel)
+    raw = bytearray(open(p, "rb").read())
+    # splice in an undefined-length SQ with a nested long-VR (OB) element so
+    # the truncation sweep also walks dicom_skip_undefined's long-VR branch
+    sq = bytearray()
+    sq.extend(struct.pack("<HH", 0x0008, 0x1140))
+    sq.extend(b"SQ\x00\x00")
+    sq.extend(struct.pack("<I", 0xFFFFFFFF))
+    sq.extend(struct.pack("<HHI", 0xFFFE, 0xE000, 0xFFFFFFFF))
+    sq.extend(struct.pack("<HH", 0x0008, 0x1155))
+    sq.extend(b"OB\x00\x00")
+    sq.extend(struct.pack("<I", 4))
+    sq.extend(b"abcd")
+    sq.extend(struct.pack("<HHI", 0xFFFE, 0xE00D, 0))
+    sq.extend(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+    raw = raw[:0x84 + 0] + raw[0x84:]  # no-op; keep preamble explicit
+    full = bytes(raw[:len(raw) // 2]) + bytes(sq) + bytes(raw[len(raw) // 2:])
+    for n in range(len(full) + 1):
+        res = native.dicom_scan(full[:n])
+        assert res is None or res.ndim == 2

@@ -1,9 +1,17 @@
-"""FDR utilities — twin of ``assoc/my_fdr.py``.
+"""FDR utilities — behavioural twin of ``assoc/my_fdr.py``.
 
-``p_adjust_fdr`` reproduces the reference's R-p.adjust-style scaling
-(``my_fdr.py:18-27``), including its behaviour of not enforcing
-monotonicity (documented reference semantics, preserved deliberately).
-``fdr_threshold`` implements the Nichols FDR thresholds (``my_fdr.py:30-60``).
+Both functions are bit-parity contracts with short public algorithms:
+
+- :func:`p_adjust_fdr` matches the reference's R-``p.adjust``-style
+  scaling (``my_fdr.py:18-27``): adjusted(i) = p(i) * n / rank(i),
+  clipped at 1, float32, WITHOUT R's monotonicity (cummin) step — that
+  omission is reference behaviour, preserved deliberately (QUIRKS.md).
+  For tied p-values the rank assignment follows ``np.argsort`` order,
+  exactly as the reference's does.
+- :func:`fdr_threshold` matches the Nichols FDR procedure
+  (``my_fdr.py:30-60``; the public FDR.m from the Nichols lab): the
+  largest p under the BH line, with c(V) = 1 under positive dependence
+  and c(V) = H(n) (harmonic number) under arbitrary dependence.
 """
 
 from __future__ import annotations
@@ -12,30 +20,30 @@ import numpy as np
 
 
 def p_adjust_fdr(p: np.ndarray) -> np.ndarray:
-    """Benjamini-Hochberg scaling p*n/rank, clipped at 1."""
+    """Benjamini-Hochberg scaling ``p * n / rank``, clipped at 1 (float32)."""
     p = np.asarray(p)
-    p2 = np.zeros(p.shape, dtype=np.float32)
-    idx = np.argsort(p)
-    n = len(p)
-    p2[idx] = (p[idx] * n) / np.arange(1, n + 1)
-    p2[p2 > 1] = 1
-    return p2
+    n = p.size
+    ranks = np.empty(n, dtype=np.int64)
+    ranks[np.argsort(p)] = np.arange(1, n + 1)
+    return np.minimum((p * n / ranks).astype(np.float32),
+                      np.float32(1.0))
+
+
+def _largest_p_under_line(sorted_p: np.ndarray, line: np.ndarray):
+    """Largest sorted p-value at or below its BH line value; 0 if none."""
+    below = np.nonzero(sorted_p <= line)[0]
+    return sorted_p[below[-1]] if below.size else 0
 
 
 def fdr_threshold(p: np.ndarray, q: float):
-    """Return (pID, pN): FDR p-value thresholds under
+    """Return ``(pID, pN)``: FDR p-value thresholds under
     independence/positive dependence and under no assumptions."""
-    p2 = np.asarray(p)
-    p2 = p2[~np.isnan(p2)]
-    p2 = np.sort(p2)
-    n = len(p2)
-    I = np.arange(1, n + 1)
-    cVID = 1
-    cVN = np.sum(1.0 / I)
-
-    idx = np.nonzero(p2 <= ((I * q) / (n * cVID)))[0]
-    pID = p2[np.max(idx)] if len(idx) >= 1 else 0
-
-    idx = np.nonzero(p2 <= ((I * q) / (n * cVN)))[0]
-    pN = p2[np.max(idx)] if len(idx) >= 1 else 0
+    pv = np.asarray(p, dtype=float)
+    pv = np.sort(pv[~np.isnan(pv)])
+    n = pv.size
+    k = np.arange(1, n + 1)
+    bh_line = k * q / n
+    harmonic = np.sum(1.0 / k)
+    pID = _largest_p_under_line(pv, bh_line)
+    pN = _largest_p_under_line(pv, bh_line / harmonic)
     return pID, pN

@@ -29,9 +29,12 @@ DEMO_MODELS = ["FCN_sa", "FCN_la_2ch", "FCN_la_4ch", "FCN_la_4ch_seg4",
                "UNet-LSTM_ao"]
 
 
-def download_demo_data(data_dir: str, model_dir: str) -> None:
+def download_demo_data(data_dir: str, model_dir: str,
+                       csv_dir: str = None) -> None:
     """Fetch the reference's demo images, BP spreadsheet and checkpoints
-    (``demo_pipeline.py:28-54``). Requires network access."""
+    (``demo_pipeline.py:28-54``). Requires network access.  The BP
+    spreadsheet lands in ``csv_dir`` — the same directory ``main`` later
+    reads it from (default: ``demo_csv`` beside ``data_dir``)."""
     os.makedirs(data_dir, exist_ok=True)
     os.makedirs(model_dir, exist_ok=True)
     for i in (1, 2):
@@ -42,8 +45,11 @@ def download_demo_data(data_dir: str, model_dir: str) -> None:
             dest = os.path.join(subject_dir, f"{seq}.nii.gz")
             if not os.path.exists(dest):
                 urllib.request.urlretrieve(URL_BASE + name, dest)
-    bp = os.path.join(data_dir, "..", "demo_csv", "blood_pressure_info.csv")
-    os.makedirs(os.path.dirname(bp), exist_ok=True)
+    if csv_dir is None:
+        csv_dir = os.path.join(os.path.dirname(os.path.abspath(data_dir)),
+                               "demo_csv")
+    os.makedirs(csv_dir, exist_ok=True)
+    bp = os.path.join(csv_dir, "blood_pressure_info.csv")
     if not os.path.exists(bp):
         urllib.request.urlretrieve(URL_BASE + "demo_csv/blood_pressure_info.csv", bp)
     for model in DEMO_MODELS:
@@ -77,7 +83,7 @@ def main(argv=None):
     args = parser.parse_args(argv)
 
     if args.download:
-        download_demo_data(args.data_dir, args.model_dir)
+        download_demo_data(args.data_dir, args.model_dir, args.csv_dir)
     os.makedirs(args.csv_dir, exist_ok=True)
 
     from ukbb_cardiac_tpu.cli import (eval_aortic_area, eval_atrial_volume,

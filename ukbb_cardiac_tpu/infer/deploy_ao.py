@@ -115,6 +115,8 @@ class AorticEngine:
             raise ValueError("segment_cine is the LSTM/temporal full-scan "
                              "path; use prob_sequence for the UNet model")
         X, Y, Z, T = image.shape
+        n_cls = self.cfg.n_class
+        bits = 2 if n_cls <= 4 else (4 if n_cls <= 16 else 8)
         key = ("seg_cine", image.shape, image.dtype.str, z_score, pad_to)
         if key not in self._compiled:
             from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
@@ -140,11 +142,14 @@ class AorticEngine:
                 pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
                 pred = jnp.transpose(pred, (2, 3, 0, 1))
                 pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y]
-                # 2-bit pack (3 classes) for the slow d2h direction
+                # bit-pack labels for the slow d2h direction; width scales
+                # with n_class (2 bits for the reference's 3-class aortic
+                # model, wider for bigger label sets)
                 flat = pred.reshape(-1)
-                pad_n = (-flat.shape[0]) % 4
-                flat = jnp.pad(flat, (0, pad_n)).reshape(-1, 4)
-                shifts = (jnp.arange(4, dtype=jnp.uint32) * 2)
+                per_byte = 8 // bits
+                pad_n = (-flat.shape[0]) % per_byte
+                flat = jnp.pad(flat, (0, pad_n)).reshape(-1, per_byte)
+                shifts = (jnp.arange(per_byte, dtype=jnp.uint32) * bits)
                 return jnp.sum(flat.astype(jnp.uint32) << shifts,
                                axis=-1).astype(jnp.uint8)
 
@@ -153,7 +158,7 @@ class AorticEngine:
         raw = np.ascontiguousarray(image)
         packed = self._compiled[key](self._params, self._state,
                                      jnp.asarray(raw))
-        return PendingSegmentation(packed, (X, Y, Z, T), bits=2)
+        return PendingSegmentation(packed, (X, Y, Z, T), bits=bits)
 
     def segment_cine(self, image: np.ndarray, z_score: bool = True,
                      pad_to: int = AO_SIZE) -> np.ndarray:

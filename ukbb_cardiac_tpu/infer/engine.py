@@ -69,8 +69,9 @@ class SegmentationModel:
     def from_unet(params, state, names, cfg: unet_mod.UNetConfig,
                   compute_dtype=jnp.float32) -> "SegmentationModel":
         def forward(p, s, images):
-            logits, _, _ = unet_mod.apply_unet(params, state, names, cfg, images,
-                                               train=False, compute_dtype=compute_dtype)
+            logits, _, _ = unet_mod.apply_unet(p, s, names, cfg, images,
+                                               train=False,
+                                               compute_dtype=compute_dtype)
             return logits
         return SegmentationModel(forward, params, state, cfg.n_class, cfg.in_ch)
 

@@ -259,6 +259,7 @@ static int64_t dicom_skip_undefined(const uint8_t* b, int64_t n, int64_t pos,
     if (explicit_vr) {
       uint8_t v0 = b[pos + 4], v1 = b[pos + 5];
       if (dicom_long_vr(v0, v1)) {
+        if (pos + 12 > n) return n;  // truncated right after tag+VR
         length = rd32(b, pos + 8);
         pos += 12;
       } else {
@@ -290,6 +291,7 @@ int64_t dicom_scan(const uint8_t* buf, int64_t n, int64_t* out,
       uint32_t length;
       int64_t hdr;
       if (dicom_long_vr(v0, v1)) {
+        if (pos + 12 > n) return -2;  // truncated right after tag+VR
         length = rd32(buf, pos + 8);
         hdr = 12;
       } else {
@@ -335,6 +337,7 @@ int64_t dicom_scan(const uint8_t* buf, int64_t n, int64_t* out,
       uint8_t v0 = buf[pos], v1 = buf[pos + 1];
       vr_code = (uint16_t)(v0 | (v1 << 8));
       if (dicom_long_vr(v0, v1)) {
+        if (pos + 8 > n) return -2;  // truncated right after tag+VR
         length = rd32(buf, pos + 4);
         pos += 8;
       } else {

@@ -50,10 +50,14 @@ def aortic_area_measures(data_dir: str, central_pp_value: float):
     val = {}
     for l_name, l in [("AAo", 1), ("DAo", 2)]:
         A = np.sum(seg == l, axis=(0, 1, 2)) * area_per_pixel
+        # NaN-safe: a zero minimum area (degenerate seg that slipped past
+        # QC) or a missing/zero pulse pressure yields NaN, not a warning
+        denom = A.min() * central_pp_value
         val[l_name] = {
             "max area": A.max(),
             "min area": A.min(),
-            "distensibility": (A.max() - A.min()) / (A.min() * central_pp_value) * 1e3,
+            "distensibility": ((A.max() - A.min()) / denom * 1e3
+                               if denom > 0 else np.float64("nan")),
         }
     return val
 

@@ -164,15 +164,20 @@ def atrial_volume_measures(data_dir: str):
             _save_landmarks(landmarks,
                             os.path.join(data_dir, f"lm_la_4ch_{t:02d}.vtk"))
 
+    # NaN-safe EFs: if every frame hit the (-1,-1,-1) sentinel the volume
+    # curves are all-zero — emit NaN instead of a 0/0 RuntimeWarning
+    nan = np.float64("nan")
     val = {}
     val["LAV_bip_max"] = np.max(V["LA_bip"])
     val["LAV_bip_min"] = np.min(V["LA_bip"])
     val["LASV_bip"] = val["LAV_bip_max"] - val["LAV_bip_min"]
-    val["LAEF_bip"] = val["LASV_bip"] / val["LAV_bip_max"] * 100
+    val["LAEF_bip"] = (val["LASV_bip"] / val["LAV_bip_max"] * 100
+                       if val["LAV_bip_max"] > 0 else nan)
     val["RAV_4ch_max"] = np.max(V["RA_4ch"])
     val["RAV_4ch_min"] = np.min(V["RA_4ch"])
     val["RASV_4ch"] = val["RAV_4ch_max"] - val["RAV_4ch_min"]
-    val["RAEF_4ch"] = val["RASV_4ch"] / val["RAV_4ch_max"] * 100
+    val["RAEF_4ch"] = (val["RASV_4ch"] / val["RAV_4ch_max"] * 100
+                       if val["RAV_4ch_max"] > 0 else nan)
     return val
 
 

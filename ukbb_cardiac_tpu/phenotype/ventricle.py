@@ -32,7 +32,8 @@ def ventricular_volume_measures(image_name: str, seg_name: str) -> Optional[Dict
     volume_per_pix = pixdim[0] * pixdim[1] * pixdim[2] * 1e-3  # mL
 
     duration_per_cycle = nim.header["dim"][4] * nim.header["pixdim"][4]
-    heart_rate = 60.0 / duration_per_cycle
+    heart_rate = (60.0 / duration_per_cycle if duration_per_cycle > 0
+                  else np.float64("nan"))
 
     seg = np.asanyarray(nifti.load(seg_name).dataobj)
 
@@ -40,20 +41,25 @@ def ventricular_volume_measures(image_name: str, seg_name: str) -> Optional[Dict
     vol_t = np.sum(seg == 1, axis=(0, 1, 2)) * volume_per_pix
     frame["ES"] = int(np.argmin(vol_t))
 
-    # numpy float64 scalars: division by a zero volume yields inf/nan with
-    # a warning, like the reference's numpy arithmetic — not an exception
     val: Dict[str, float] = {}
     for fr_name, fr in frame.items():
         val[f"LV{fr_name}V"] = np.float64(np.sum(seg[:, :, :, fr] == 1) * volume_per_pix)
         val[f"LV{fr_name}M"] = np.float64(np.sum(seg[:, :, :, fr] == 2) * volume_per_pix * DENSITY)
         val[f"RV{fr_name}V"] = np.float64(np.sum(seg[:, :, :, fr] == 3) * volume_per_pix)
 
+    # degenerate segmentations (empty LV/RV at ED) produce NaN measures
+    # instead of a RuntimeWarning-laden inf — QC-style skip, the caller
+    # still gets a row it can filter (reference gates these upstream via
+    # sa_pass_quality_control; the function itself must stay NaN-safe)
+    nan = np.float64("nan")
     val["LVSV"] = val["LVEDV"] - val["LVESV"]
     val["LVCO"] = val["LVSV"] * heart_rate * 1e-3
-    val["LVEF"] = val["LVSV"] / val["LVEDV"] * 100
+    val["LVEF"] = (val["LVSV"] / val["LVEDV"] * 100
+                   if val["LVEDV"] > 0 else nan)
     val["RVSV"] = val["RVEDV"] - val["RVESV"]
     val["RVCO"] = val["RVSV"] * heart_rate * 1e-3
-    val["RVEF"] = val["RVSV"] / val["RVEDV"] * 100
+    val["RVEF"] = (val["RVSV"] / val["RVEDV"] * 100
+                   if val["RVEDV"] > 0 else nan)
     return val
 
 
