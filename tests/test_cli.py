@@ -173,3 +173,63 @@ def test_deploy_cli_bf16(tmp_path):
         segs[d] = np.asanyarray(nifti.load(
             str(data_dir / "5" / "seg_sa.nii.gz")).dataobj)
     assert float(np.mean(segs["d16"] == segs["d32"])) > 0.98
+
+
+def test_phewas_cli_with_shipped_metadata(tmp_path):
+    """The PheWAS runs with ZERO user-supplied metadata: field
+    descriptions, recommended-category tables and the continuous map all
+    default to the payload shipped under assoc/data/ (ported from the
+    reference's data/ukb_field_categories.py + assoc/continuous.csv +
+    assoc/ukb_field_added.txt)."""
+    rng = np.random.RandomState(7)
+    n = 60
+    eids = np.arange(2000, 2000 + n)
+    idp = pd.DataFrame({"LVEDV (mL)": rng.uniform(100, 200, n)}, index=eids)
+    idp.index.name = "eid"
+    idp_csv = tmp_path / "idp.csv"
+    idp.to_csv(idp_csv)
+
+    dates = [f"2014-0{1 + i % 9}-12" for i in range(n)]
+    cols = pd.MultiIndex.from_tuples([
+        ("Sex", "31-0.0"), ("Year of birth", "34-0.0"),
+        ("Month of birth", "52-0.0"),
+        ("Date of attending assessment centre", "53-2.0"),
+        ("Weight", "21002-2.0"), ("Body mass index (BMI)", "21001-2.0"),
+        ("Standing height", "50-0.0"), ("Pulse rate", "102-0.0"),
+    ])
+    df = pd.DataFrame({
+        cols[0]: rng.randint(0, 2, n).astype(float),
+        cols[1]: rng.randint(1940, 1970, n),
+        cols[2]: rng.randint(1, 13, n),
+        cols[3]: dates,
+        cols[4]: rng.uniform(50, 100, n),
+        cols[5]: rng.uniform(18, 35, n),
+        cols[6]: rng.uniform(150, 190, n),
+        cols[7]: rng.uniform(50, 100, n),
+    }, index=eids)
+    df.index.name = "eid"
+    pheno_csv = tmp_path / "pheno.csv"
+    df.to_csv(pheno_csv)
+
+    out_dir = tmp_path / "out"
+    from ukbb_cardiac_tpu.cli import perform_phenome_wide_association as phewas
+    phewas.main(["--idp_csv", str(idp_csv), "--pheno_csv", str(pheno_csv),
+                 "--output_dir", str(out_dir)])
+    for f in ("confounders.csv", "normalised_IDPs.csv", "table_corr.csv",
+              "table_p.csv", "manhattan.png", "top_hits.csv"):
+        assert (out_dir / f).exists(), f
+    corr = pd.read_csv(out_dir / "table_corr.csv", header=[0, 1], index_col=0)
+    # fields 50 + 102 survive cleaning; their descriptions resolve from the
+    # shipped ukb_field_added.txt and category 1006 from the category TSV
+    assert corr.shape == (1, 2)
+
+    from ukbb_cardiac_tpu.assoc import (load_continuous_map,
+                                        load_field_categories,
+                                        load_field_names)
+    names = load_field_names()
+    assert names[50] == "Standing height"
+    cat, catname = load_field_categories()
+    assert 50 in cat[1006] and catname[1006] == "Physical measure summary"
+    assert len(cat) == 17  # 14 recommended + smoking + alcohol + cognitive
+    cont = load_continuous_map()
+    assert int(cont.loc[50]["continuous"]) == 1

@@ -6,6 +6,7 @@ from ukbb_cardiac_tpu.assoc.phewas import (
     build_confounders,
     clean_columns,
     deconfound_idps,
+    load_continuous_map,
     load_field_categories,
     load_field_names,
     manhattan_plot,

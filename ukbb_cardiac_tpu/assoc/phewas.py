@@ -23,6 +23,7 @@ from __future__ import annotations
 
 import datetime
 import math
+import os
 from typing import Dict, Optional, Tuple
 
 import numpy as np
@@ -231,35 +232,57 @@ def significance_thresholds(corr_p: np.ndarray, alpha: float = 0.05):
 
 
 # -- field-category metadata ------------------------------------------------
+#
+# The reference ships this metadata as repo assets: the 14 recommended
+# categories + smoking (``data/ukb_field_categories.py:1-108``), the
+# field-description table (``assoc/ukb_field_added.txt``) and the
+# continuous-field map (``assoc/continuous.csv``).  The same payload ships
+# here under ``assoc/data/`` so the PheWAS runs with zero user-supplied
+# metadata; every loader accepts a path override.
 
-def load_field_names(path: str) -> Dict[int, str]:
+_DATA_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), "data")
+DEFAULT_FIELD_NAMES_TSV = os.path.join(_DATA_DIR, "ukb_field_added.txt")
+DEFAULT_CATEGORIES_TSV = os.path.join(_DATA_DIR, "ukb_field_categories.tsv")
+DEFAULT_CONTINUOUS_CSV = os.path.join(_DATA_DIR, "continuous.csv")
+
+
+def load_field_names(path: Optional[str] = None) -> Dict[int, str]:
     """Field-ID → description from a tab-separated file with columns
     (category id, field id, category name, field description) — the format
-    of the reference's ``ukb_field_added.txt`` (:100-107)."""
+    of the reference's ``ukb_field_added.txt`` (:100-107).  Defaults to
+    the copy shipped under ``assoc/data/``."""
     import csv
 
     field_names = {}
-    with open(path, "r", encoding="latin-1") as f:
+    with open(path or DEFAULT_FIELD_NAMES_TSV, "r", encoding="latin-1") as f:
         for row in csv.reader(f, delimiter="\t"):
             if len(row) >= 4:
                 field_names[int(row[1])] = row[3]
     return field_names
 
 
-def load_field_categories(path: str) -> Tuple[Dict[int, list], Dict[int, str]]:
-    """Category-ID → field-ID list and category-ID → name, from the same
-    TSV (replaces the hard-coded dicts in ``data/ukb_field_categories.py``)."""
+def load_field_categories(path: Optional[str] = None
+                          ) -> Tuple[Dict[int, list], Dict[int, str]]:
+    """Category-ID → field-ID list and category-ID → name, from a TSV with
+    columns (category id, field id, category name[, ...]).  Defaults to
+    the shipped ``assoc/data/ukb_field_categories.tsv`` — the reference's
+    recommended-category tables (``data/ukb_field_categories.py``)."""
     import csv
 
     cat: Dict[int, list] = {}
     catname: Dict[int, str] = {}
-    with open(path, "r", encoding="latin-1") as f:
+    with open(path or DEFAULT_CATEGORIES_TSV, "r", encoding="latin-1") as f:
         for row in csv.reader(f, delimiter="\t"):
-            if len(row) >= 4:
+            if len(row) >= 3 and not row[0].startswith("#"):
                 cid, fid = int(row[0]), int(row[1])
                 cat.setdefault(cid, []).append(fid)
                 catname[cid] = row[2]
     return cat, catname
+
+
+def load_continuous_map(path: Optional[str] = None) -> pd.DataFrame:
+    """Field-ID → is-continuous table (``assoc/continuous.csv``)."""
+    return pd.read_csv(path or DEFAULT_CONTINUOUS_CSV, index_col=0)
 
 
 # -- step 6: Manhattan plot -------------------------------------------------
@@ -292,9 +315,12 @@ def manhattan_plot(df_log_p: pd.DataFrame, category: np.ndarray,
         ticks.append(x0 + len(sel) / 2)
         tick_labels.append(catname.get(cid, str(cid)))
         x0 += len(sel)
-    plt.axhline(-np.log10(p_bonf), color="red", ls="--", lw=1,
-                label="Bonferroni")
-    plt.axhline(-np.log10(p_fdr), color="orange", ls="--", lw=1, label="FDR")
+    if p_bonf > 0:
+        plt.axhline(-np.log10(p_bonf), color="red", ls="--", lw=1,
+                    label="Bonferroni")
+    if p_fdr > 0:  # fdr_threshold returns 0 when nothing passes
+        plt.axhline(-np.log10(p_fdr), color="orange", ls="--", lw=1,
+                    label="FDR")
     plt.xticks(ticks, tick_labels, rotation=60, ha="right", fontsize=7)
     plt.ylabel("-log10(p)")
     plt.tight_layout()

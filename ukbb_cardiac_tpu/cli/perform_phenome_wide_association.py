@@ -20,6 +20,7 @@ from ukbb_cardiac_tpu.assoc import (
     build_confounders,
     clean_columns,
     deconfound_idps,
+    load_continuous_map,
     load_field_categories,
     load_field_names,
     manhattan_plot,
@@ -36,10 +37,18 @@ def main(argv=None):
                         help="Imaging phenotypes (clinical_measures.csv).")
     parser.add_argument("--pheno_csv", nargs="+", required=True,
                         help="Per-category non-imaging CSVs (two-row header).")
-    parser.add_argument("--field_tsv", required=True,
+    parser.add_argument("--field_tsv", default=None,
                         help="TSV: category id, field id, category, "
-                             "description (ukb_field_added.txt format).")
-    parser.add_argument("--continuous_csv", required=True)
+                             "description (ukb_field_added.txt format). "
+                             "Defaults to the shipped copy under "
+                             "assoc/data/.")
+    parser.add_argument("--category_tsv", default=None,
+                        help="TSV: category id, field id, category name — "
+                             "the recommended-category tables. Defaults to "
+                             "the shipped assoc/data/ukb_field_categories.tsv.")
+    parser.add_argument("--continuous_csv", default=None,
+                        help="Field-ID → is-continuous map. Defaults to "
+                             "the shipped assoc/data/continuous.csv.")
     parser.add_argument("--output_dir", required=True)
     args = parser.parse_args(argv)
     os.makedirs(args.output_dir, exist_ok=True)
@@ -54,7 +63,8 @@ def main(argv=None):
     df = df.loc[df_idp.index]
 
     field_names = load_field_names(args.field_tsv)
-    ukb_cat, ukb_catname = load_field_categories(args.field_tsv)
+    ukb_cat, ukb_catname = load_field_categories(
+        args.category_tsv or args.field_tsv)
     d_cat = {fid: cid for cid, fids in ukb_cat.items() for fid in fids}
 
     # Step 3: confounders (:119-147)
@@ -71,7 +81,7 @@ def main(argv=None):
 
     # Step 4: clean + normalise (:172-269)
     df = clean_columns(df)
-    df_cont = pd.read_csv(args.continuous_csv, index_col=0)
+    df_cont = load_continuous_map(args.continuous_csv)
     df = normalise_non_idps(df, df_cont)
     df.to_csv(out("normalised_non_IDPs.csv"))
     df_idp, beta = deconfound_idps(df_idp, conf)
