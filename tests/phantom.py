@@ -15,6 +15,7 @@ Label conventions follow the reference (``train_network.py:157-167``):
 
 from __future__ import annotations
 
+import math
 import os
 
 import numpy as np
@@ -35,24 +36,33 @@ def contraction(T, amp=0.3):
 
 
 def sax_phantom(X=96, Y=96, Z=8, T=12, r_lv=12.0, wall=5.0, amp=0.3,
-                noise=0.05, rng=None):
+                noise=0.05, rng=None, incompressible=False):
     """Short-axis cine: LV disk + myocardial annulus + RV crescent.
 
     Returns (image, seg) of shape (X, Y, Z, T) with image in [0, 1000].
     ED = frame 0 (max LV area); ES = argmin of the contraction curve.
+
+    ``incompressible=True`` conserves the myocardial annulus area over
+    the cycle (outer radius R(t) = sqrt(r(t)^2 + R0^2 - r0^2)), so the
+    wall thickens as the cavity contracts — the analytic mid-wall
+    circumferential strain is (r_mid(ES)/r_mid(ED) - 1) * 100 and radial
+    strain (wall(ES)/wall(ED) - 1) * 100 is positive, like a real LV.
     """
     rng = rng or np.random.RandomState(0)
     cx, cy = X // 2, Y // 2
     scale = contraction(T, amp)
     image = np.zeros((X, Y, Z, T), np.float32)
     seg = np.zeros((X, Y, Z, T), np.int16)
+    R0 = r_lv + wall
     for t in range(T):
         r = r_lv * scale[t]
+        R = (math.sqrt(r * r + R0 * R0 - r_lv * r_lv) if incompressible
+             else r + wall)
         lv = _disk(X, Y, cx, cy, r)
-        epi = _disk(X, Y, cx, cy, r + wall)
+        epi = _disk(X, Y, cx, cy, R)
         myo = epi & ~lv
         # RV: crescent to the "left" (negative x) of the LV
-        rv_full = _disk(X, Y, cx - (r + wall + 4), cy, r * 0.9 + 3)
+        rv_full = _disk(X, Y, cx - (R + 4), cy, r * 0.9 + 3)
         rv = rv_full & ~epi
         for z in range(Z):
             sl = np.zeros((X, Y), np.int16)
