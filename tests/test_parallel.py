@@ -172,3 +172,27 @@ def test_sharded_registration_matches_single_device(eight_devices):
         assert b.shape == a.shape
         np.testing.assert_allclose(np.asarray(b), np.asarray(a),
                                    rtol=2e-4, atol=2e-4)
+
+
+def test_aortic_fleet_matches_per_subject(eight_devices):
+    """AorticEngine.segment_subjects_sharded over the virtual mesh gives
+    exactly the per-subject segment_cine labels (the aortic twin of the
+    FCN fleet parity test above)."""
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.models import convlstm, unet as unet_mod
+
+    cfg = unet_mod.UNetConfig(n_class=3, n_level=2, n_filter=(4, 4),
+                              n_block=(1, 1))
+    params, state, names = unet_mod.init_unet(jax.random.PRNGKey(0), cfg)
+    params.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1),
+                                            cfg.n_filter[0], 4, cfg.n_class))
+    eng = AorticEngine("unet_lstm", cfg, names, params, state,
+                       bidirectional=True)
+    rng = np.random.RandomState(5)
+    cines = (rng.rand(8, 24, 24, 1, 3) * 1000).astype(np.int16)
+
+    mesh = make_mesh(8)
+    sharded = eng.segment_subjects_sharded(cines, mesh, pad_to=32)
+    for i in range(8):
+        single = eng.segment_cine(cines[i], pad_to=32)
+        np.testing.assert_array_equal(sharded[i], single, err_msg=str(i))

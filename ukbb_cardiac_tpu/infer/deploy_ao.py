@@ -160,6 +160,64 @@ class AorticEngine:
                                      jnp.asarray(raw))
         return PendingSegmentation(packed, (X, Y, Z, T), bits=bits)
 
+    def segment_subjects_sharded(self, images: np.ndarray, mesh,
+                                 z_score: bool = True,
+                                 pad_to: Optional[int] = None,
+                                 axis: str = "data") -> np.ndarray:
+        """Fleet aortic deploy: a stack of S same-shape raw cines
+        (S, X, Y, Z, T) with SUBJECTS sharded over the mesh — each chip
+        runs the full-sequence ConvLSTM scan for its shard (the aortic
+        twin of ``InferenceEngine.segment_subjects_sharded``; the
+        registration/training mesh paths are covered elsewhere).
+        Returns (S, X, Y, Z, T) uint8 labels.  S need not divide the mesh
+        axis — the stack pads up by repeating leading subjects and the
+        padding is sliced off the result."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        images = np.asarray(images)
+        S_in = images.shape[0]
+        pad_n = (-S_in) % mesh.shape[axis]
+        if pad_n:
+            images = np.concatenate([images, images[:pad_n]], axis=0)
+        S, X, Y, Z, T = images.shape
+        pad_to = pad_to or AO_SIZE
+        key = ("fleet", images.shape, images.dtype.str, z_score, pad_to,
+               id(mesh))
+        if key not in self._compiled:
+            from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
+                                              rescale_intensity_jax)
+
+            x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
+            x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
+            full_prob = (self._temporal_unet(None)
+                         if self.kind == "temporal_unet"
+                         else self._lstm_full(None))
+
+            def one_subject(params, state, raw):
+                x = raw.astype(jnp.float32)
+                if z_score:
+                    x = normalise_intensity_jax(x, 10.0)
+                else:
+                    x = rescale_intensity_jax(x, (1.0, 99.0))
+                x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
+                                (0, 0), (0, 0)))
+                seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]
+                prob = full_prob(params, state, seq)
+                pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
+                pred = jnp.transpose(pred, (2, 3, 0, 1))
+                return pred[x_pre:x_pre + X, y_pre:y_pre + Y]
+
+            repl = NamedSharding(mesh, P())
+            shard = NamedSharding(mesh, P(axis))
+            run = jax.jit(
+                jax.vmap(one_subject, in_axes=(None, None, 0)),
+                in_shardings=(repl, repl, shard),
+                out_shardings=shard)
+            self._compiled[key] = run
+        out = np.asarray(self._compiled[key](self._params, self._state,
+                                             jnp.asarray(images)))
+        return out[:S_in]
+
     def segment_cine(self, image: np.ndarray, z_score: bool = True,
                      pad_to: int = AO_SIZE) -> np.ndarray:
         """Fused full-scan deploy for a RAW cine (X, Y, Z, T) — one

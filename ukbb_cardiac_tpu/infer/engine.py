@@ -407,11 +407,18 @@ class InferenceEngine:
                                  rescale: str = "percentile",
                                  axis: str = "data") -> np.ndarray:
         """Segment a stack of S same-shape raw cines (S, X, Y, Z, T) with
-        subjects sharded over the mesh.  Returns (S, X, Y, Z, T) uint8."""
+        subjects sharded over the mesh.  Returns (S, X, Y, Z, T) uint8.
+        S need not divide the mesh axis — the stack pads up by repeating
+        leading subjects and the padding is sliced off the result."""
         images = np.asarray(images)
+        S = images.shape[0]
+        pad_n = (-S) % mesh.shape[axis]
+        if pad_n:
+            images = np.concatenate([images, images[:pad_n]], axis=0)
         run = self.make_sharded_cine_forward(mesh, images.shape[1:], rescale,
                                              axis)
-        return np.asarray(run(self._params, self._state, jnp.asarray(images)))
+        out = np.asarray(run(self._params, self._state, jnp.asarray(images)))
+        return out[:S]
 
     def segment_volume(self, volume: np.ndarray, want_prob: bool = False):
         """Segment a 3D volume (X, Y, Z) slice-wise. Returns (X, Y, Z)."""
