@@ -296,14 +296,13 @@ class InferenceEngine:
             self._compiled[key] = run
         return self._compiled[key]
 
-    def segment_sequence_dispatch(self, image: np.ndarray,
-                                  rescale: str = "percentile"
-                                  ) -> PendingSegmentation:
-        """Asynchronously dispatch a fused cine segmentation.
+    def _split_pieces(self, image: np.ndarray):
+        """Transfer a raw cine to device as contiguous X-slabs.
 
-        Returns a :class:`PendingSegmentation`; call ``result()`` for the
-        labels.  Dispatching several cines before resolving any lets the
-        runtime overlap their transfers and compute.
+        Returns (pieces, shape): device arrays plus the original (X,Y,Z,T).
+        Exposed separately so callers (e.g. ``bench.py``'s device-compute
+        estimator) can pin the input on device once and re-dispatch the
+        compiled pipeline without re-paying host→device transfers.
         """
         # transfer in the array's own dtype (demo NIfTIs are int16 — half
         # the bytes of f32); the device program casts to f32 first thing
@@ -319,9 +318,21 @@ class InferenceEngine:
         bounds = list(range(0, X, rows_per_piece)) + [X]
         pieces = [jnp.asarray(image[a:b])
                   for a, b in zip(bounds[:-1], bounds[1:])]
-        fn = self._cine_fns((X, Y, Z, T), len(pieces), rescale)
+        return pieces, (X, Y, Z, T)
+
+    def segment_sequence_dispatch(self, image: np.ndarray,
+                                  rescale: str = "percentile"
+                                  ) -> PendingSegmentation:
+        """Asynchronously dispatch a fused cine segmentation.
+
+        Returns a :class:`PendingSegmentation`; call ``result()`` for the
+        labels.  Dispatching several cines before resolving any lets the
+        runtime overlap their transfers and compute.
+        """
+        pieces, shape = self._split_pieces(image)
+        fn = self._cine_fns(shape, len(pieces), rescale)
         packed = fn(self._params, self._state, *pieces)
-        return PendingSegmentation(packed, (X, Y, Z, T), self._pack_bits())
+        return PendingSegmentation(packed, shape, self._pack_bits())
 
     def segment_sequence_fused(self, image: np.ndarray,
                                rescale: str = "percentile") -> np.ndarray:
