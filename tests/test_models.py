@@ -365,3 +365,29 @@ def test_bf16_training_loss_finite_and_learns():
     assert p2[k0]["kernel"].dtype == jnp.float32  # params stay f32
     assert not np.allclose(np.asarray(p2[k0]["kernel"]),
                            np.asarray(params[k0]["kernel"]))
+
+
+def test_fused_head_matches_concat_head():
+    """The sum-of-levels head is the same function as the literal concat
+    head (models/fcn.py::_multiscale_head): the fixed bilinear upsample is
+    spatial-only linear, the fc1 1x1 conv channel-only linear, so they
+    commute and fc1(concat) decomposes into a sum over levels."""
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=5,
+                            n_filter=(16, 32, 64, 128, 256),
+                            n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    x = np.random.RandomState(0).rand(2, 96, 112, 1).astype(np.float32)
+    for train in (False, True):
+        lo_f, st_f = fcn_mod.apply_fcn(params, state, names, cfg, x,
+                                       train=train, fused_head=True)
+        lo_u, st_u = fcn_mod.apply_fcn(params, state, names, cfg, x,
+                                       train=train, fused_head=False)
+        np.testing.assert_allclose(np.asarray(lo_f), np.asarray(lo_u),
+                                   atol=1e-4)
+        for k in st_f:
+            for leaf in st_f[k]:
+                np.testing.assert_allclose(np.asarray(st_f[k][leaf]),
+                                           np.asarray(st_u[k][leaf]),
+                                           atol=1e-5)

@@ -90,14 +90,88 @@ def init_fcn(key, cfg: FCNConfig):
     return params, state, names
 
 
+def _multiscale_head(params, state, names, cfg, feats, train, compute_dtype,
+                     fused: bool):
+    """Same-dim projections → multiscale merge → two-layer fc head.
+
+    The reference materialises a full-resolution concat of every level's
+    upsampled ``same_dim`` projection — (N, X, Y, same_dim*n_level), the
+    model's largest tensor — then convolves it 1x1 to ``fc`` channels
+    (``network.py:207-221``).  That tensor exists only to feed a linear
+    map, and the fixed bilinear upsample is spatial-only linear while the
+    1x1 fc conv is channel-only linear, so the two commute:
+
+        W_l @ Up_l(f_l) == Up_l(W_l @ f_l)
+        fc1(concat_l Up_l(f_l)) == sum_l Up_l(f_l @ W_l) + BN/ReLU
+
+    The fused head therefore applies each level's slice of the fc kernel
+    at *coarse* resolution (1/4^l of the pixels) and accumulates the
+    upsampled ``fc``-channel partial sums in f32 — the concat is never
+    written to or read from HBM, removing the head's dominant memory
+    traffic.  Mathematically identical up to f32 reassociation
+    (``tests/test_models.py`` pins fused vs unfused to ~1e-4).
+
+    Measured on the chip (192x208, bf16): the fused form wins in
+    *training* (272 vs 258 img/s — the backward pass never forms the
+    concat's gradient) while the concat form wins in *inference*
+    (0.163 vs 0.199 s/SAX-cine — eval is forward-only, and the wider
+    fc-channel upsamples cost more than the concat they avoid), so the
+    default follows the ``train`` flag.
+    """
+    new_state = {}
+    fc1_cname, fc1_bname = names["fc"][0]
+    W = params[fc1_cname]["kernel"]  # (1, 1, same_dim*n_level, fc)
+
+    if fused:
+        z = None
+        for l in range(cfg.n_level):
+            f, ns = L.conv2d_bn_relu(feats[l], params, state,
+                                     names["same_dim"][l], train)
+            new_state.update(ns)
+            Wl = W[:, :, l * cfg.same_dim:(l + 1) * cfg.same_dim, :]
+            y = L.conv2d(f, Wl)
+            if l > 0:
+                y = L.transpose_upsample2d(y, factor=2 ** l)
+            y = y.astype(jnp.float32)
+            z = y if z is None else z + y
+        x, new_bn = L.batch_norm(z, params[fc1_bname], state[fc1_bname], train)
+        new_state[fc1_bname] = new_bn
+        x = jax.nn.relu(x).astype(compute_dtype)
+    else:
+        ups = []
+        for l in range(cfg.n_level):
+            f, ns = L.conv2d_bn_relu(feats[l], params, state,
+                                     names["same_dim"][l], train)
+            new_state.update(ns)
+            if l > 0:
+                f = L.transpose_upsample2d(f, factor=2 ** l)
+            ups.append(f)
+        x = jnp.concatenate(ups, axis=-1)
+        x, ns = L.conv2d_bn_relu(x, params, state, names["fc"][0], train)
+        new_state.update(ns)
+
+    x, ns = L.conv2d_bn_relu(x, params, state, names["fc"][1], train)
+    new_state.update(ns)
+    out = params[names["out"]]
+    logits = L.conv2d(x, out["kernel"], bias=out["bias"])
+    return logits.astype(jnp.float32), new_state
+
+
 def apply_fcn(params, state, names, cfg: FCNConfig, image, train: bool = False,
-              compute_dtype=jnp.float32):
+              compute_dtype=jnp.float32, fused_head=None):
     """Forward pass: image (N, X, Y, C) → logits (N, X, Y, n_class).
 
     X and Y must be multiples of 2^(n_level-1) (the deploy engine pads to a
     multiple of 16, matching ``deploy_network.py:94-100``).
+    ``fused_head`` selects the sum-of-levels head (True) or the literal
+    concat formulation of ``network.py:207-221`` (False); both compute
+    the same function (see :func:`_multiscale_head`), and ``None``
+    (default) picks the measured-faster form for the mode: fused when
+    training, concat for inference.
     Returns (logits, new_state).
     """
+    if fused_head is None:
+        fused_head = train
     x = image.astype(compute_dtype)
     new_state = {}
     feats = []
@@ -109,22 +183,10 @@ def apply_fcn(params, state, names, cfg: FCNConfig, image, train: bool = False,
             new_state.update(ns)
         feats.append(x)
 
-    ups = []
-    for l in range(cfg.n_level):
-        f, ns = L.conv2d_bn_relu(feats[l], params, state, names["same_dim"][l], train)
-        new_state.update(ns)
-        if l > 0:
-            f = L.transpose_upsample2d(f, factor=2 ** l)
-        ups.append(f)
-
-    x = jnp.concatenate(ups, axis=-1)
-    for nm in names["fc"]:
-        x, ns = L.conv2d_bn_relu(x, params, state, nm, train)
-        new_state.update(ns)
-
-    out = params[names["out"]]
-    logits = L.conv2d(x, out["kernel"], bias=out["bias"])
-    return logits.astype(jnp.float32), new_state
+    logits, ns = _multiscale_head(params, state, names, cfg, feats, train,
+                                  compute_dtype, fused_head)
+    new_state.update(ns)
+    return logits, new_state
 
 
 @dataclass(frozen=True)
@@ -188,8 +250,11 @@ def init_resnet(key, cfg: ResNetConfig):
 
 
 def apply_resnet(params, state, names, cfg: ResNetConfig, image, train: bool = False,
-                 compute_dtype=jnp.float32):
-    """Forward pass of the ResNet-FCN; returns (logits, new_state)."""
+                 compute_dtype=jnp.float32, fused_head=None):
+    """Forward pass of the ResNet-FCN; returns (logits, new_state).
+    ``fused_head`` as in :func:`apply_fcn` (None = fused iff training)."""
+    if fused_head is None:
+        fused_head = train
     x = image.astype(compute_dtype)
     new_state = {}
     feats = []
@@ -207,22 +272,10 @@ def apply_resnet(params, state, names, cfg: ResNetConfig, image, train: bool = F
             new_state.update(ns)
         feats.append(x)
 
-    ups = []
-    for l in range(cfg.n_level):
-        f, ns = L.conv2d_bn_relu(feats[l], params, state, names["same_dim"][l], train)
-        new_state.update(ns)
-        if l > 0:
-            f = L.transpose_upsample2d(f, factor=2 ** l)
-        ups.append(f)
-
-    x = jnp.concatenate(ups, axis=-1)
-    for nm in names["fc"]:
-        x, ns = L.conv2d_bn_relu(x, params, state, nm, train)
-        new_state.update(ns)
-
-    out = params[names["out"]]
-    logits = L.conv2d(x, out["kernel"], bias=out["bias"])
-    return logits.astype(jnp.float32), new_state
+    logits, ns = _multiscale_head(params, state, names, cfg, feats, train,
+                                  compute_dtype, fused_head)
+    new_state.update(ns)
+    return logits, new_state
 
 
 def prob_and_pred(logits):
