@@ -133,6 +133,14 @@ def main():
         t0 = time.time(); run_k(R); tRs.append(time.time() - t0)
     sax_compute_s = float((np.min(tRs) - np.min(t1s)) / (R - 1))
 
+    # --- SA strain motion tracking (the MIRTK replacement) ---------------
+    # Workload mirrors the real driver: 3 slices x T=50 at the 96x96 LV
+    # crop -> 150 pairwise FFD registrations + inversion + composition +
+    # blending as batched device programs.  Baseline is the reference's
+    # "several minutes" per subject on CPU MIRTK (README.md:51) taken as
+    # an ASSUMED 180 s lower bound — the reference publishes no number.
+    strain_s = _bench_strain()
+
     print(json.dumps({
         "metric": "full_subject_segmentation_sa_3xla_ao",
         "value": round(value, 3),
@@ -143,7 +151,38 @@ def main():
         "sax_cine_device_compute_s": round(sax_compute_s, 3),
         "sax_cine_wall_vs_k80": round(10.0 / sax_wall_s, 2),
         "sax_cine_compute_vs_k80": round(10.0 / max(sax_compute_s, 1e-9), 2),
+        # SA strain tracking, 3 slices x T=50 @ 96x96:
+        "strain_tracking_s": round(strain_s, 3),
+        "strain_vs_mirtk_assumed_180s": round(180.0 / strain_s, 1),
     }))
+
+
+def _bench_strain() -> float:
+    """Time the SA motion-tracking workload (bench_strain.py's scenario)."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu.phenotype.strain import track_multi_slice_fields
+    from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch
+
+    T, X, Y, Z = 50, 96, 96, 3
+    gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+    frames_zs = np.zeros((Z, T, X, Y), np.float32)
+    for z in range(Z):
+        for t in range(T):
+            r = 18.0 * (1 - 0.25 * np.sin(np.pi * t / T) ** 2) - z
+            d = np.sqrt((gx - X / 2) ** 2 + (gy - Y / 2) ** 2)
+            frames_zs[z, t] = np.exp(-0.5 * ((d - r) / 4.0) ** 2)
+
+    cfg = RegConfig()  # the ffd_cine_2d_motion.cfg operating point
+    register_batch = make_register_batch((X, Y), cfg)
+    track_multi_slice_fields(frames_zs, cfg, register_batch=register_batch)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        track_multi_slice_fields(frames_zs, cfg,
+                                 register_batch=register_batch)
+        times.append(time.time() - t0)
+    return float(np.min(times))
 
 
 if __name__ == "__main__":
