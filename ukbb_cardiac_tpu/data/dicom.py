@@ -164,7 +164,13 @@ def _parse_dataset(buf: bytes, pos: int, explicit: bool,
 
         if length == 0xFFFFFFFF:
             if (group, elem) == (0x7FE0, 0x0010):
-                raise UnsupportedDicom("encapsulated (compressed) pixel data")
+                raise UnsupportedDicom(
+                    "encapsulated (compressed) pixel data — this reader "
+                    "supports uncompressed little-endian transfer syntaxes "
+                    "only (standard for UKB cardiac releases; some "
+                    "re-releases contained JPEG-LS series). Decompress "
+                    "first, e.g. `gdcmconv --raw in.dcm out.dcm` or "
+                    "dcmtk's `dcmdjpls`/`dcmdjpeg`.")
             pos = _skip_undefined(buf, pos, explicit)
             continue
 
@@ -266,7 +272,12 @@ def _dcmread_pure(buf: bytes) -> DicomImage:
         elif transfer == EXPLICIT_LE:
             explicit = True
         else:
-            raise UnsupportedDicom(f"transfer syntax {transfer}")
+            raise UnsupportedDicom(
+                f"transfer syntax {transfer} — this reader supports "
+                "implicit/explicit VR little endian only (1.2.840.10008.1.2"
+                "[.1]). Convert compressed/big-endian files first, e.g. "
+                "`gdcmconv --raw in.dcm out.dcm` or dcmtk's `dcmdjpls`/"
+                "`dcmconv`.")
         _parse_dataset(buf, pos, explicit, attrs)
     else:
         # raw dataset without preamble: assume implicit VR LE
