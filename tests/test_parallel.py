@@ -196,3 +196,76 @@ def test_aortic_fleet_matches_per_subject(eight_devices):
     for i in range(8):
         single = eng.segment_cine(cines[i], pad_to=32)
         np.testing.assert_array_equal(sharded[i], single, err_msg=str(i))
+
+
+def test_fleet_smaller_than_mesh_axis(eight_devices):
+    """S < mesh axis must pad by CYCLING subjects (a plain [:pad_n] slice
+    under-fills and crashes with a divisibility error) — both fleets."""
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine, SegmentationModel
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.models import convlstm, unet as unet_mod
+
+    mesh = make_mesh(8)
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    engine = InferenceEngine(
+        SegmentationModel.from_fcn(params, state, names, cfg), chunk=16)
+    rng = np.random.RandomState(2)
+    cines = (rng.rand(3, 32, 36, 2, 3) * 1000).astype(np.int16)
+    segs = engine.segment_subjects_sharded(cines, mesh)
+    assert segs.shape == cines.shape
+    for i in range(3):
+        np.testing.assert_array_equal(segs[i],
+                                      engine.segment_sequence_fused(cines[i]))
+
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=2, n_filter=(4, 4),
+                               n_block=(1, 1))
+    up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    up.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1),
+                                        ucfg.n_filter[0], 4, ucfg.n_class))
+    eng = AorticEngine("unet_lstm", ucfg, un, up, us, bidirectional=True)
+    ao = (rng.rand(3, 24, 24, 1, 3) * 1000).astype(np.int16)
+    sharded = eng.segment_subjects_sharded(ao, mesh, pad_to=32)
+    assert sharded.shape == ao.shape
+    for i in range(3):
+        np.testing.assert_array_equal(sharded[i],
+                                      eng.segment_cine(ao[i], pad_to=32))
+
+
+def test_small_population_sharded_registration(eight_devices):
+    """A pair population smaller than the mesh axis registers correctly
+    (the pad-to-axis cycling in register.py's sharded path)."""
+    from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch
+
+    X = Y = 32
+    gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
+    d = np.sqrt((gx - X / 2) ** 2 + (gy - Y / 2) ** 2)
+    targets = np.stack([np.exp(-0.5 * ((d - 9) / 2.5) ** 2),
+                        np.exp(-0.5 * ((d - 10) / 2.5) ** 2)]).astype(np.float32)
+    sources = np.stack([np.exp(-0.5 * ((d - 11) / 2.5) ** 2),
+                        np.exp(-0.5 * ((d - 12) / 2.5) ** 2)]).astype(np.float32)
+    cfg = RegConfig(levels=2, iters=20, spacing=6)
+    mesh = make_mesh(8)
+    single = make_register_batch((X, Y), cfg)(targets, sources)
+    sharded = make_register_batch((X, Y), cfg, mesh=mesh)(targets, sources)
+    for a, b in zip(single, sharded):
+        np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_aortic_fleet_unet_guard(eight_devices):
+    """A plain-UNet engine raises the clear ValueError on the fleet path
+    (not an opaque KeyError from missing LSTM params)."""
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+    import pytest as _pytest
+
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=2, n_filter=(4, 4),
+                               n_block=(1, 1))
+    up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    eng = AorticEngine("unet", ucfg, un, up, us)
+    ao = np.zeros((2, 24, 24, 1, 3), np.int16)
+    with _pytest.raises(ValueError, match="prob_sequence"):
+        eng.segment_subjects_sharded(ao, make_mesh(8), pad_to=32)

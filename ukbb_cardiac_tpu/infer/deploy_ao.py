@@ -103,45 +103,57 @@ class AorticEngine:
         return self._compiled[key]
 
     # -- public ------------------------------------------------------------
+    def _subject_fn(self, X: int, Y: int, z_score: bool, pad_to: int):
+        """The per-subject device pipeline shared by the single-cine and
+        fleet paths: raw (X, Y, Z, T) → uint8 pred (X, Y, Z, T).
+        Device-side z-score/rescale (``deploy_network_ao.py:92-96``),
+        centred pad to ``pad_to`` (:104-108), UNet+LSTM full scan,
+        argmax, crop."""
+        if self.kind == "unet":
+            raise ValueError("the full-scan path is for the LSTM/temporal "
+                             "models; use prob_sequence for the UNet model")
+        from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
+                                          rescale_intensity_jax)
+
+        x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
+        x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
+        full_prob = (self._temporal_unet(None)
+                     if self.kind == "temporal_unet"
+                     else self._lstm_full(None))
+
+        def one_subject(params, state, raw):
+            x = raw.astype(jnp.float32)
+            if z_score:
+                x = normalise_intensity_jax(x, 10.0)
+            else:
+                x = rescale_intensity_jax(x, (1.0, 99.0))
+            x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
+                            (0, 0), (0, 0)))
+            seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]
+            prob = full_prob(params, state, seq)
+            pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
+            pred = jnp.transpose(pred, (2, 3, 0, 1))
+            return pred[x_pre:x_pre + X, y_pre:y_pre + Y]
+
+        return one_subject
+
     def segment_cine_dispatch(self, image: np.ndarray, z_score: bool = True,
                               pad_to: int = AO_SIZE):
         """Asynchronously dispatch a fused full-scan deploy for a RAW cine
-        (X, Y, Z, T): device-side z-score/rescale
-        (``deploy_network_ao.py:92-96``), centred pad to ``pad_to``
-        (:104-108), UNet+LSTM scan, argmax, crop.  Returns a
+        (X, Y, Z, T) — the :meth:`_subject_fn` pipeline plus bit-packed
+        label readback.  Returns a
         :class:`~ukbb_cardiac_tpu.infer.engine.PendingSegmentation`; its
         ``result()`` blocks on the packed-label readback."""
-        if self.kind == "unet":
-            raise ValueError("segment_cine is the LSTM/temporal full-scan "
-                             "path; use prob_sequence for the UNet model")
         X, Y, Z, T = image.shape
         n_cls = self.cfg.n_class
         bits = 2 if n_cls <= 4 else (4 if n_cls <= 16 else 8)
         key = ("seg_cine", image.shape, image.dtype.str, z_score, pad_to)
         if key not in self._compiled:
-            from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
-                                              rescale_intensity_jax)
-
-            x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
-            x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
-            full_prob = (self._temporal_unet(None)
-                         if self.kind == "temporal_unet"
-                         else self._lstm_full(None))
+            one_subject = self._subject_fn(X, Y, z_score, pad_to)
 
             @jax.jit
             def run(params, state, raw):
-                x = raw.astype(jnp.float32)
-                if z_score:
-                    x = normalise_intensity_jax(x, 10.0)
-                else:
-                    x = rescale_intensity_jax(x, (1.0, 99.0))
-                x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
-                                (0, 0), (0, 0)))
-                seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]
-                prob = full_prob(params, state, seq)
-                pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
-                pred = jnp.transpose(pred, (2, 3, 0, 1))
-                pred = pred[x_pre:x_pre + X, y_pre:y_pre + Y]
+                pred = one_subject(params, state, raw)
                 # bit-pack labels for the slow d2h direction; width scales
                 # with n_class (2 bits for the reference's 3-class aortic
                 # model, wider for bigger label sets)
@@ -170,43 +182,20 @@ class AorticEngine:
         twin of ``InferenceEngine.segment_subjects_sharded``; the
         registration/training mesh paths are covered elsewhere).
         Returns (S, X, Y, Z, T) uint8 labels.  S need not divide the mesh
-        axis — the stack pads up by repeating leading subjects and the
-        padding is sliced off the result."""
+        axis (or even reach it) — the stack pads up by cycling subjects
+        and the padding is sliced off the result."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
-        images = np.asarray(images)
-        S_in = images.shape[0]
-        pad_n = (-S_in) % mesh.shape[axis]
-        if pad_n:
-            images = np.concatenate([images, images[:pad_n]], axis=0)
+        from ukbb_cardiac_tpu.infer.engine import pad_stack_to_multiple
+
+        images, S_in = pad_stack_to_multiple(np.asarray(images),
+                                             mesh.shape[axis])
         S, X, Y, Z, T = images.shape
         pad_to = pad_to or AO_SIZE
         key = ("fleet", images.shape, images.dtype.str, z_score, pad_to,
-               id(mesh))
+               mesh, axis)
         if key not in self._compiled:
-            from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
-                                              rescale_intensity_jax)
-
-            x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
-            x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
-            full_prob = (self._temporal_unet(None)
-                         if self.kind == "temporal_unet"
-                         else self._lstm_full(None))
-
-            def one_subject(params, state, raw):
-                x = raw.astype(jnp.float32)
-                if z_score:
-                    x = normalise_intensity_jax(x, 10.0)
-                else:
-                    x = rescale_intensity_jax(x, (1.0, 99.0))
-                x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
-                                (0, 0), (0, 0)))
-                seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]
-                prob = full_prob(params, state, seq)
-                pred = jnp.argmax(prob, axis=-1).astype(jnp.uint8)
-                pred = jnp.transpose(pred, (2, 3, 0, 1))
-                return pred[x_pre:x_pre + X, y_pre:y_pre + Y]
-
+            one_subject = self._subject_fn(X, Y, z_score, pad_to)
             repl = NamedSharding(mesh, P())
             shard = NamedSharding(mesh, P(axis))
             run = jax.jit(

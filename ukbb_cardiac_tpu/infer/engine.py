@@ -103,6 +103,19 @@ class PendingSegmentation:
         return unpacked.reshape(-1)[:n].reshape(self._shape).astype(np.uint8)
 
 
+def pad_stack_to_multiple(stack: np.ndarray, n: int):
+    """Pad a leading subject axis up to a multiple of ``n`` by cycling the
+    existing subjects (works when the stack is SMALLER than ``n``, unlike
+    a plain ``stack[:pad_n]`` slice).  Returns (padded, original_count)."""
+    S = stack.shape[0]
+    pad_n = (-S) % n
+    if pad_n:
+        reps = -(-pad_n // S)
+        extra = np.concatenate([stack] * reps, axis=0)[:pad_n]
+        stack = np.concatenate([stack, extra], axis=0)
+    return stack, S
+
+
 def pad_to_factor(X: int, Y: int, factor: int = 16):
     """Centred padding amounts to make X, Y multiples of ``factor``
     (mirrors ``deploy_network.py:97-100`` exactly)."""
@@ -419,13 +432,11 @@ class InferenceEngine:
                                  axis: str = "data") -> np.ndarray:
         """Segment a stack of S same-shape raw cines (S, X, Y, Z, T) with
         subjects sharded over the mesh.  Returns (S, X, Y, Z, T) uint8.
-        S need not divide the mesh axis — the stack pads up by repeating
-        leading subjects and the padding is sliced off the result."""
-        images = np.asarray(images)
-        S = images.shape[0]
-        pad_n = (-S) % mesh.shape[axis]
-        if pad_n:
-            images = np.concatenate([images, images[:pad_n]], axis=0)
+        S need not divide the mesh axis (or even reach it) — the stack
+        pads up by cycling subjects; the padding is sliced off the
+        result."""
+        images, S = pad_stack_to_multiple(np.asarray(images),
+                                          mesh.shape[axis])
         run = self.make_sharded_cine_forward(mesh, images.shape[1:], rescale,
                                              axis)
         out = np.asarray(run(self._params, self._state, jnp.asarray(images)))

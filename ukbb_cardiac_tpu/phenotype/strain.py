@@ -153,7 +153,11 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
             # the forward pair (fr->fr+1), fr = T-2 .. 1 — ALL slices'
             # inversions in one globally-batched fixed-point loop
             inv_in = fwd_pairs[:, 1:][:, ::-1].reshape(Z * (T - 2), X, Y, 2)
-            inv = invert_field_batch(inv_in).reshape(Z, T - 2, X, Y, 2)
+            # same sampling backend as the registration itself, so
+            # cfg.warp_backend='gather' yields an end-to-end gather run
+            inv = invert_field_batch(
+                inv_in, backend=cfg.warp_backend,
+                precision=cfg.warp_precision).reshape(Z, T - 2, X, Y, 2)
             bwd_pairs = jnp.concatenate([wraps[:, None], inv], axis=1)
         else:
             bwd_pairs = per_slice[:, T - 1:]

@@ -589,12 +589,16 @@ def make_register_batch(image_shape: Tuple[int, int],
         B_in = targets.shape[0]
         if n_shard > 1:
             # pad the pair population to the mesh axis and shard it; the
-            # padded identity pairs register to (near-)zero lattices and
-            # are sliced off below
+            # padded (cycled) pairs register to redundant lattices that
+            # are sliced off below.  Cycling (not a [:pad_n] slice)
+            # handles B_in smaller than the mesh axis.
             pad_n = (-B_in) % n_shard
             if pad_n:
-                targets = jnp.concatenate([targets, targets[:pad_n]], axis=0)
-                sources = jnp.concatenate([sources, sources[:pad_n]], axis=0)
+                reps = -(-pad_n // B_in)
+                targets = jnp.concatenate(
+                    [targets] + [targets] * reps, axis=0)[:B_in + pad_n]
+                sources = jnp.concatenate(
+                    [sources] + [sources] * reps, axis=0)[:B_in + pad_n]
             targets = jax.device_put(targets, batch_sharding)
             sources = jax.device_put(sources, batch_sharding)
         B = targets.shape[0]
