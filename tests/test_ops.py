@@ -292,3 +292,24 @@ def test_pad_and_bbox_helpers(tmp_path):
     out = np.asanyarray(nifti.load(dst).dataobj)
     assert (out[mask == 0] == -1).all()
     assert (out[mask == 1] == 7.0).all()
+
+
+def test_percentiles_bisect_matches_numpy():
+    """The sort-free bitwise-bisection percentiles equal np.percentile
+    ('linear') on float, integer-valued, negative, constant and tiny
+    inputs (ops/intensity.py::percentiles_bisect)."""
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.ops.intensity import percentiles_bisect
+
+    rng = np.random.RandomState(0)
+    cases = [rng.randn(37, 41).astype(np.float32) * 100,
+             rng.randint(-500, 3000, (64, 80)).astype(np.float32),
+             np.full((50,), 7.0, np.float32),
+             rng.rand(5).astype(np.float32),
+             (-rng.rand(1000) * 50).astype(np.float32)]
+    for x in cases:
+        for qs in [(1.0, 99.0), (10.0,), (0.0, 50.0, 100.0), (33.3,)]:
+            got = [float(v) for v in percentiles_bisect(jnp.asarray(x), qs)]
+            ref = [float(v) for v in np.percentile(x, qs)]
+            for g, r in zip(got, ref):
+                assert abs(g - r) <= 2e-6 * max(abs(r), 1.0), (qs, g, r)
