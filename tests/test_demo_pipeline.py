@@ -102,3 +102,23 @@ def test_download_contract_mocked(tmp_path, monkeypatch):
     fetched.clear()
     dp.download_demo_data(data_dir, model_dir, csv_dir)
     assert fetched == []
+
+
+def test_demo_pipeline_strain_stage_skips_gracefully(tmp_path):
+    """Without --skip_strain, random-weight segmentations fail the strain
+    QC gates and the pipeline must skip-and-continue (the reference's
+    failure model, cardiac_utils.py:1703-1726) — not crash."""
+    data_dir = tmp_path / "demo_image"
+    model_dir = tmp_path / "trained_model"
+    csv_dir = tmp_path / "demo_csv"
+    write_subject(str(data_dir / "1"), seqs=("sa", "la_2ch", "la_4ch", "ao"),
+                  X=64, Y=64, Z=8, T=4)
+    _tiny_models(str(model_dir))
+
+    from ukbb_cardiac_tpu.cli import demo_pipeline
+    demo_pipeline.main(["--data_dir", str(data_dir),
+                        "--model_dir", str(model_dir),
+                        "--csv_dir", str(csv_dir)])
+    # non-strain outputs still produced end-to-end
+    assert (data_dir / "1" / "seg_sa.nii.gz").exists()
+    assert (csv_dir / "table_ventricular_volume.csv").exists()
