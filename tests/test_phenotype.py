@@ -190,3 +190,67 @@ def test_bulls_eye_canvas():
     assert canvas.shape == (201, 201)
     vals = set(np.unique(canvas)) - {0.0}
     assert vals == set(data)
+
+
+def test_resample_to_target_preserves_temporal_spacing(tmp_path):
+    """The strain drivers read dt from the cropped cine; the crop chain
+    must carry the SOURCE's pixdim[4] through resample_to_target (MIRTK
+    keeps the source time axis for a 3D -target; losing it made the
+    strain CSV time columns 0,1000,2000 ms instead of 0,~31,~63)."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu.io import nifti
+    from ukbb_cardiac_tpu.ops.sequence import (auto_crop_image, padding,
+                                               resample_to_target)
+
+    dt = 0.0315
+    rng = np.random.RandomState(0)
+    cine = (rng.rand(24, 26, 4, 5) * 100).astype(np.float32)
+    seg = np.zeros((24, 26, 4), np.int16)
+    seg[8:16, 9:17, 1:3] = 1
+    affine = np.diag([1.8, -1.8, 10.0, 1.0])
+    img = nifti.Nifti1Image(cine, affine)
+    img.header["pixdim"][4] = dt
+    nifti.save(img, str(tmp_path / "sa.nii.gz"))
+    nifti.save(nifti.Nifti1Image(seg, affine), str(tmp_path / "seg_ED.nii.gz"))
+
+    padding(str(tmp_path / "seg_ED.nii.gz"), str(tmp_path / "seg_ED.nii.gz"),
+            str(tmp_path / "lv.nii.gz"), 3, 0)
+    auto_crop_image(str(tmp_path / "lv.nii.gz"),
+                    str(tmp_path / "crop_tgt.nii.gz"), 2)
+    resample_to_target(str(tmp_path / "sa.nii.gz"),
+                       str(tmp_path / "crop_tgt.nii.gz"),
+                       str(tmp_path / "sa_crop.nii.gz"))
+    out = nifti.load(str(tmp_path / "sa_crop.nii.gz"))
+    assert abs(float(out.header["pixdim"][4]) - dt) < 1e-6
+    # spatial spacing still comes from the target grid
+    np.testing.assert_allclose(np.abs(out.header["pixdim"][1:4]),
+                               [1.8, 1.8, 10.0], rtol=1e-5)
+
+
+def test_atrial_volume_frame_count_mismatch_skips(tmp_path):
+    """Mismatched 2ch/4ch frame counts must QC-skip the subject (the
+    reference would crash the whole run) — phenotype/atrium.py."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu.io import nifti
+    from ukbb_cardiac_tpu.phenotype.atrium import atrial_volume_measures
+
+    affine = np.diag([1.0, -1.0, 8.0, 1.0])
+    d = str(tmp_path)
+
+    def disk(label_vals, T):
+        seg = np.zeros((48, 48, 1, T), np.int16)
+        for lab, (cx, cy, r) in label_vals.items():
+            gx, gy = np.meshgrid(np.arange(48), np.arange(48), indexing="ij")
+            seg[(gx - cx) ** 2 + (gy - cy) ** 2 < r * r, 0, :] = lab
+        return seg
+
+    nifti.save(nifti.Nifti1Image(disk({1: (20, 20, 8)}, 6), affine),
+               f"{d}/seg_la_2ch.nii.gz")
+    nifti.save(nifti.Nifti1Image(disk({1: (16, 16, 7), 2: (32, 32, 7)}, 4),
+                                 affine), f"{d}/seg_la_4ch.nii.gz")
+    nifti.save(nifti.Nifti1Image(np.zeros((48, 48, 8), np.int16), affine),
+               f"{d}/sa.nii.gz")
+    out = atrial_volume_measures(d)
+    assert out is None  # QC-style skip, not a crash

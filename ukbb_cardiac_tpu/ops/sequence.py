@@ -102,7 +102,16 @@ def resample_to_target(source_name, target_name, output_name, interp="linear"):
                 mode="constant").reshape(X, Y, Z)
 
     out_img = nifti.Nifti1Image(out, tgt.affine)
-    out_img.header["pixdim"][1:5] = tgt.header["pixdim"][1:5]
+    # spatial spacing from the TARGET grid; temporal attributes from the
+    # SOURCE — MIRTK's transform-image keeps the source's time axis when
+    # resampling a 4D image onto a 3D -target lattice, which is how the
+    # reference's strain driver still reads the true dt from sa_crop
+    # (``cardiac_utils.py:850-871``)
+    out_img.header["pixdim"][1:4] = tgt.header["pixdim"][1:4]
+    if src_data.ndim == 4:
+        out_img.header["pixdim"][4] = src.header["pixdim"][4]
+    else:
+        out_img.header["pixdim"][4] = tgt.header["pixdim"][4]
     nifti.save(out_img, output_name)
 
 

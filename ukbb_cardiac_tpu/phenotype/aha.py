@@ -14,7 +14,7 @@ import cv2
 import numpy as np
 
 from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
-from ukbb_cardiac_tpu.phenotype.contours import extract_contour
+from ukbb_cardiac_tpu.phenotype.contours import extract_contour, lv_slice_masks
 
 SA_LABEL = {"BG": 0, "LV": 1, "Myo": 2, "RV": 3}
 
@@ -24,9 +24,7 @@ def _mid_cavity_masks(seg_sa: np.ndarray):
     _, _, cz = [np.mean(x) for x in np.nonzero(seg_sa == SA_LABEL["LV"])]
     z = int(round(cz))
     seg_z = seg_sa[:, :, z]
-    endo = get_largest_cc(seg_z == SA_LABEL["LV"]).astype(np.uint8)
-    myo = remove_small_cc(seg_z == SA_LABEL["Myo"]).astype(np.uint8)
-    epi = get_largest_cc(endo | myo).astype(np.uint8)
+    endo, myo, epi = lv_slice_masks(seg_z, SA_LABEL["LV"], SA_LABEL["Myo"])
     rv = get_largest_cc(seg_z == SA_LABEL["RV"]).astype(np.uint8)
     return z, endo, myo, epi, rv
 

@@ -141,6 +141,13 @@ def atrial_volume_measures(data_dir: str):
     seg_la_4ch = np.asanyarray(nim_4ch.dataobj)
     if not atrium_pass_quality_control(seg_la_4ch, {"LA": 1, "RA": 2}):
         return None
+    if int(nim_4ch.header["dim"][4]) != T:
+        # the biplane formula pairs 2ch/4ch frame-by-frame; mismatched
+        # frame counts cannot be analysed — QC-style skip (the reference
+        # would crash the whole dataset run here, eval_atrial_volume.py:63)
+        print(f"  {data_dir}: la_2ch has {T} frames but la_4ch has "
+              f"{int(nim_4ch.header['dim'][4])} — skipping subject.")
+        return None
 
     for k in ("LA_4ch", "RA_4ch"):
         A[k] = np.zeros(T)

@@ -17,6 +17,31 @@ import numpy as np
 from scipy import interpolate
 
 
+def lv_slice_masks(seg_z: np.ndarray, lv: int = 1, myo: int = 2):
+    """Cleaned endo/myo/epi masks for one slice — THE mask-cleanup policy
+    shared by QC gates, AHA geometry and every contour extractor
+    (``cardiac_utils.py:179-187``): largest CC for the LV cavity,
+    small-CC removal for the (possibly apex-split) myocardium, largest CC
+    of their union for the epicardium.  Returns (endo, myo, epi) uint8."""
+    from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
+
+    endo = get_largest_cc(seg_z == lv).astype(np.uint8)
+    myo_m = remove_small_cc(seg_z == myo).astype(np.uint8)
+    epi = get_largest_cc(endo | myo_m).astype(np.uint8)
+    return endo, myo_m, epi
+
+
+def contour_to_world(contour, z, affine) -> np.ndarray:
+    """Map an ``extract_contour`` (N, 2) (y, x) point list on slice ``z``
+    to world coordinates: the cv2-(y,x) → NIfTI-(x,y) swap (module
+    docstring) followed by the affine.  Returns (N, 3)."""
+    contour = np.asarray(contour)
+    n = len(contour)
+    vox = np.concatenate([contour[:, 1:2], contour[:, 0:1],
+                          np.full((n, 1), z), np.ones((n, 1))], axis=1)
+    return (affine @ vox.T).T[:, :3]
+
+
 def extract_contour(binary: np.ndarray) -> np.ndarray:
     """First contour of a binary mask, as (N, 2) array of (y, x) pairs —
     the reference's ``cv2.findContours(...)[0][:, 0, :]`` idiom."""

@@ -19,7 +19,8 @@ from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, save_polydata
 from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
 from ukbb_cardiac_tpu.phenotype import aha
-from ukbb_cardiac_tpu.phenotype.contours import approximate_contour, extract_contour
+from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
+    contour_to_world, extract_contour, lv_slice_masks)
 
 DIR_RADIAL, DIR_CIRCUM, DIR_LONGIT = 1, 2, 3
 
@@ -45,9 +46,7 @@ def extract_myocardial_contour(seg_name: str, contour_name_stem: str,
 
     for z in range(Z):
         seg_z = seg[:, :, z]
-        endo = get_largest_cc(seg_z == label["LV"]).astype(np.uint8)
-        myo = remove_small_cc(seg_z == label["Myo"]).astype(np.uint8)
-        epi = get_largest_cc(endo | myo).astype(np.uint8)
+        endo, myo, epi = lv_slice_masks(seg_z, label["LV"], label["Myo"])
         if np.sum(endo) < 10 or np.sum(myo) < 10:
             continue
         if z not in part_z:
@@ -56,16 +55,11 @@ def extract_myocardial_contour(seg_name: str, contour_name_stem: str,
         cx, cy = [np.mean(v) for v in np.nonzero(endo)]
         lv_centre = np.dot(affine, np.array([cx, cy, z, 1]))[:3]
 
-        def world(contour):
-            n = len(contour)
-            vox = np.stack([contour[:, 1], contour[:, 0],
-                            np.full(n, z), np.ones(n)], axis=1)
-            return (affine @ vox.T).T[:, :3]
 
         epi_contour = approximate_contour(extract_contour(epi), periodic=True)
         endo_contour = approximate_contour(extract_contour(endo), periodic=True)
-        epi_world = world(epi_contour)
-        endo_world = world(endo_contour)
+        epi_world = contour_to_world(epi_contour, z, affine)
+        endo_world = contour_to_world(endo_contour, z, affine)
 
         def radial_dirs(pts):
             d = pts - lv_centre[None, :]

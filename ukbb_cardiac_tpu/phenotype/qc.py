@@ -12,7 +12,8 @@ from __future__ import annotations
 import numpy as np
 
 from ukbb_cardiac_tpu.io import nifti
-from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
+from ukbb_cardiac_tpu.ops import get_largest_cc
+from ukbb_cardiac_tpu.phenotype.contours import lv_slice_masks
 from ukbb_cardiac_tpu.ops.cc import count_significant_cc
 
 
@@ -55,9 +56,7 @@ def sa_pass_quality_control(seg_sa) -> bool:
 
     _, _, cz = [np.mean(v) for v in np.nonzero(seg_sa == label["LV"])]
     seg_z = seg_sa[:, :, int(round(cz))]
-    endo = get_largest_cc(seg_z == label["LV"]).astype(np.uint8)
-    myo = remove_small_cc(seg_z == label["Myo"]).astype(np.uint8)
-    epi = get_largest_cc(endo | myo).astype(np.uint8)
+    endo, myo, epi = lv_slice_masks(seg_z, label["LV"], label["Myo"])
     rv = get_largest_cc(seg_z == label["RV"]).astype(np.uint8)
     if np.sum(epi) < 10 or np.sum(rv) < 10:
         print(f"{name}: Can not find LV epi or RV to determine the AHA "
@@ -81,9 +80,7 @@ def la_pass_quality_control(seg_la) -> bool:
                   f"than 10 pixels. It does not pass the quality control.")
             return False
 
-    endo = get_largest_cc(seg_z == label["LV"]).astype(np.uint8)
-    myo = remove_small_cc(seg_z == label["Myo"]).astype(np.uint8)
-    epi = get_largest_cc(endo | myo).astype(np.uint8)
+    endo, myo, epi = lv_slice_masks(seg_z, label["LV"], label["Myo"])
     if np.sum(endo) < 10 or np.sum(myo) < 10 or np.sum(epi) < 10:
         print(f"{name}: Can not find LV endo, myo or epi to extract the "
               f"long-axis myocardial contour.")

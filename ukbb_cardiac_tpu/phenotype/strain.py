@@ -21,6 +21,8 @@ arrays:
 
 from __future__ import annotations
 
+import functools as _functools
+import glob as _glob
 import os
 from typing import Optional
 
@@ -88,60 +90,20 @@ def _sample_field(field: np.ndarray, pts_xy: np.ndarray) -> np.ndarray:
                                      mode="nearest") for k in range(2)], axis=1)
 
 
-def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
-                             register_batch=None,
-                             inverse_consistent: bool = True,
-                             mesh=None) -> np.ndarray:
-    """Per-frame ED→fr displacement fields for MULTIPLE slices at once.
-
-    frames_zs: (Z, T, X, Y).  Returns (Z, T, X, Y, 2): combined
-    forward/backward motion estimate (``cardiac_utils.py:881-936``):
-    forward = compose of pairs (fr-1→fr); backward = compose of circular
-    pairs (fr+1→fr) from frame 0 backwards; blended with weights
-    (T−fr)/T and fr/T.
-
-    Every slice's every pair joins ONE batched registration (the
-    reference runs Z x 2(T-1) sequential MIRTK subprocesses), and
-    densify+compose+blend run as a handful of device programs.
-
-    ``inverse_consistent`` (default): each adjacent pair is registered
-    once and the reverse transform comes from a fixed-point field
-    inversion — half the registrations of the reference's two-direction
-    scheme at equivalent quality (see QUIRKS.md).  Set False for the
-    reference's exact both-directions behaviour.
-    """
+@_functools.lru_cache(maxsize=32)
+def _field_programs(Z: int, T: int, X: int, Y: int, cfg: RegConfig,
+                    inverse_consistent: bool):
+    """Jitted densify + compose/invert/blend programs for one problem
+    shape.  Cached at module level: jax.jit keys on function identity,
+    so building these inside the driver would retrace and recompile for
+    EVERY subject of a cohort even though (Z, T, X, Y) repeat."""
     import jax
 
     from ukbb_cardiac_tpu.reg.register import (compose_chain,
                                                invert_field_batch)
 
-    Z, T, X, Y = frames_zs.shape
-    if register_batch is None:
-        # mesh: shard the pair population over chips (make_register_batch)
-        register_batch = make_register_batch((X, Y), cfg, mesh=mesh)
-
-    tgt_list, src_list = [], []
-    for z in range(Z):
-        frames = frames_zs[z]
-        tgt_list.append(frames[:-1])                     # fwd: fr-1 -> fr
-        src_list.append(frames[1:])
-        if inverse_consistent:
-            # only the wrap pair 0 -> T-1 is new; the rest invert
-            tgt_list.append(frames[0:1])
-            src_list.append(frames[T - 1:T])
-        else:
-            # bwd: (fr+1)%T -> fr for fr = T-1 .. 1
-            tgt_list.append(np.stack([frames[(fr + 1) % T]
-                                      for fr in range(T - 1, 0, -1)]))
-            src_list.append(np.stack([frames[fr]
-                                      for fr in range(T - 1, 0, -1)]))
-    targets = jnp.asarray(np.concatenate(tgt_list))
-    sources = jnp.asarray(np.concatenate(src_list))
-    controls = register_batch(targets, sources)
-
-    dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
-    fields = dense(*controls)
     per = T if inverse_consistent else 2 * (T - 1)
+    dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
 
     @jax.jit
     def combine(fields):
@@ -173,6 +135,57 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
 
         return jax.vmap(one)(fwd_pairs, bwd_pairs)
 
+    return dense, combine
+
+
+def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
+                             register_batch=None,
+                             inverse_consistent: bool = True,
+                             mesh=None) -> np.ndarray:
+    """Per-frame ED→fr displacement fields for MULTIPLE slices at once.
+
+    frames_zs: (Z, T, X, Y).  Returns (Z, T, X, Y, 2): combined
+    forward/backward motion estimate (``cardiac_utils.py:881-936``):
+    forward = compose of pairs (fr-1→fr); backward = compose of circular
+    pairs (fr+1→fr) from frame 0 backwards; blended with weights
+    (T−fr)/T and fr/T.
+
+    Every slice's every pair joins ONE batched registration (the
+    reference runs Z x 2(T-1) sequential MIRTK subprocesses), and
+    densify+compose+blend run as a handful of device programs.
+
+    ``inverse_consistent`` (default): each adjacent pair is registered
+    once and the reverse transform comes from a fixed-point field
+    inversion — half the registrations of the reference's two-direction
+    scheme at equivalent quality (see QUIRKS.md).  Set False for the
+    reference's exact both-directions behaviour.
+    """
+    Z, T, X, Y = frames_zs.shape
+    if register_batch is None:
+        # mesh: shard the pair population over chips (make_register_batch)
+        register_batch = make_register_batch((X, Y), cfg, mesh=mesh)
+
+    tgt_list, src_list = [], []
+    for z in range(Z):
+        frames = frames_zs[z]
+        tgt_list.append(frames[:-1])                     # fwd: fr-1 -> fr
+        src_list.append(frames[1:])
+        if inverse_consistent:
+            # only the wrap pair 0 -> T-1 is new; the rest invert
+            tgt_list.append(frames[0:1])
+            src_list.append(frames[T - 1:T])
+        else:
+            # bwd: (fr+1)%T -> fr for fr = T-1 .. 1
+            tgt_list.append(np.stack([frames[(fr + 1) % T]
+                                      for fr in range(T - 1, 0, -1)]))
+            src_list.append(np.stack([frames[fr]
+                                      for fr in range(T - 1, 0, -1)]))
+    targets = jnp.asarray(np.concatenate(tgt_list))
+    sources = jnp.asarray(np.concatenate(src_list))
+    controls = register_batch(targets, sources)
+
+    dense, combine = _field_programs(Z, T, X, Y, cfg, inverse_consistent)
+    fields = dense(*controls)
     return np.asarray(combine(fields), dtype=np.float32)
 
 
@@ -211,7 +224,13 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
                        os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"),
                        os.path.join(output_dir, "seg_sa_crop.nii.gz"), interp="nn")
 
-    # ED contours on the three representative slices (basal/mid/apical)
+    # ED contours on the three representative slices (basal/mid/apical).
+    # Clear stale contour files first: slice selection below trusts any
+    # myo_contour_ED_z*.vtk in output_dir, so leftovers from a previous
+    # subject sharing the directory would silently blend two subjects.
+    for stale in _glob.glob(os.path.join(output_dir,
+                                         "myo_contour_ED_z*.vtk")):
+        os.remove(stale)
     extract_myocardial_contour(os.path.join(data_dir, "seg_sa_ED.nii.gz"),
                                os.path.join(output_dir, "myo_contour_ED_z"),
                                three_slices=True)

@@ -24,7 +24,8 @@ from ukbb_cardiac_tpu.io.vtkio import PolyData, load_polydata, save_polydata
 from ukbb_cardiac_tpu.ops import get_largest_cc, np_categorical_dice, remove_small_cc
 from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_target
 from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
-from ukbb_cardiac_tpu.phenotype.contours import approximate_contour, extract_contour
+from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
+    extract_contour, lv_slice_masks)
 from ukbb_cardiac_tpu.phenotype.strain import _sample_field, track_slice_fields
 from ukbb_cardiac_tpu.reg import RegConfig
 
@@ -137,11 +138,9 @@ def extract_la_myocardial_contour(seg_la_name: str, seg_sa_name: str,
 
     z = 0
     seg_z = seg[:, :, z]
-    endo = get_largest_cc(seg_z == label["LV"]).astype(np.uint8)
-    # The myocardium may be split at the thin apex: keep all non-small CCs
-    # (cardiac_utils.py:1180-1184)
-    myo = remove_small_cc(seg_z == label["Myo"]).astype(np.uint8)
-    epi = get_largest_cc(endo | myo).astype(np.uint8)
+    # lv_slice_masks keeps all non-small myocardium CCs — the myocardium
+    # may be split at the thin apex (cardiac_utils.py:1180-1184)
+    endo, myo, epi = lv_slice_masks(seg_z, label["LV"], label["Myo"])
 
     endo_contour = extract_contour(endo)
     epi_contour = extract_contour(epi)

@@ -23,7 +23,8 @@ from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, save_polydata
 from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
 from ukbb_cardiac_tpu.phenotype import aha
-from ukbb_cardiac_tpu.phenotype.contours import approximate_contour, extract_contour
+from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
+    contour_to_world, extract_contour, lv_slice_masks)
 
 
 def evaluate_wall_thickness(seg_name: str, output_name_stem: str,
@@ -50,9 +51,7 @@ def evaluate_wall_thickness(seg_name: str, output_name_stem: str,
 
     for z in range(Z):
         seg_z = seg[:, :, z]
-        endo = get_largest_cc(seg_z == label["LV"]).astype(np.uint8)
-        myo = remove_small_cc(seg_z == label["Myo"]).astype(np.uint8)
-        epi = get_largest_cc(endo | myo).astype(np.uint8)
+        endo, myo, epi = lv_slice_masks(seg_z, label["LV"], label["Myo"])
         if np.sum(endo) < 10 or np.sum(myo) < 10:
             continue
         if z not in part_z:
@@ -68,15 +67,8 @@ def evaluate_wall_thickness(seg_name: str, output_name_stem: str,
         endo_contour = approximate_contour(endo_contour, periodic=True)
         epi_contour = approximate_contour(epi_contour, periodic=True)
 
-        # world coordinates; contours are (y, x) pairs (contours.py)
-        def to_world(contour):
-            n = len(contour)
-            vox = np.concatenate([contour[:, 1:2], contour[:, 0:1],
-                                  np.full((n, 1), z), np.ones((n, 1))], axis=1)
-            return (affine @ vox.T).T[:, :3]
-
-        endo_world = to_world(endo_contour)
-        epi_world = to_world(epi_contour)
+        endo_world = contour_to_world(endo_contour, z, affine)
+        epi_world = contour_to_world(epi_contour, z, affine)
 
         # nearest epicardial point for every endo point
         tree = cKDTree(epi_world)
