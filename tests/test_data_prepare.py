@@ -112,3 +112,41 @@ def test_propagate_subject(tmp_path):
         pd_ = prop[:, :, :, t] == 1
         dice = 2 * np.sum(gt & pd_) / (np.sum(gt) + np.sum(pd_))
         assert dice > 0.75, (t, dice)
+
+
+def test_symlinks_resolve_from_relative_paths(tmp_path, monkeypatch):
+    """link_annotated_subjects called with cwd-RELATIVE paths must still
+    create resolvable links (a relative symlink target is resolved
+    against the link's own directory, not the cwd)."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu.data.prepare import link_annotated_subjects
+    from ukbb_cardiac_tpu.io import nifti
+
+    monkeypatch.chdir(tmp_path)
+    sub = tmp_path / "orig" / "g1" / "1000001"
+    sub.mkdir(parents=True)
+    img = nifti.Nifti1Image(np.zeros((4, 4, 2), np.int16), np.eye(4))
+    for f in ("sa.nii.gz", "label_sa.nii.gz", "label_up_sa.nii.gz"):
+        nifti.save(img, str(sub / f))
+    (sub / "1000001_cvi42.zip").write_bytes(b"")
+    link_annotated_subjects("orig", "data")
+    link = tmp_path / "data" / "1000001" / "sa.nii.gz"
+    assert link.is_symlink() and os.path.exists(link), os.readlink(link)
+
+
+def test_ed_must_be_frame_zero():
+    """A partial annotation at frame 0 with complete ones mid-cycle must
+    be rejected, not silently train a mid-cycle frame as ED (conscious
+    fix vs the reference's weaker guard; QUIRKS.md)."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu.data.prepare import find_annotated_ed_es
+
+    label = np.zeros((8, 8, 2, 20), np.int16)
+    label[2:4, 2:4, :, 0] = 1           # partial: LV only at frame 0
+    for t in (8, 14):                    # complete annotations mid-cycle
+        label[2:4, 2:4, :, t] = 1
+        label[4:6, 2:4, :, t] = 2
+        label[2:4, 4:6, :, t] = 3
+    assert find_annotated_ed_es(label, "sa") is None

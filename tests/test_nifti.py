@@ -61,3 +61,61 @@ def test_deterministic_gzip(tmp_path):
     nifti.save(img, p1)
     nifti.save(img, p2)
     assert open(p1, "rb").read() == open(p2, "rb").read()
+
+
+def test_big_endian_roundtrip(tmp_path):
+    """Saving an image loaded from a big-endian file must byte-swap the
+    voxels (relabelling the dtype alone writes a LE header over BE bytes
+    — every value silently corrupted)."""
+    import gzip
+    import struct
+
+    from ukbb_cardiac_tpu.io import nifti
+
+    # hand-build a minimal big-endian NIfTI-1: int16 data 0..23
+    data = np.arange(24, dtype=">i2").reshape(2, 3, 4, order="F")
+    hdr = bytearray(348)
+    struct.pack_into(">i", hdr, 0, 348)
+    struct.pack_into(">8h", hdr, 40, 3, 2, 3, 4, 1, 1, 1, 1)
+    struct.pack_into(">h", hdr, 70, 4)   # datatype int16
+    struct.pack_into(">h", hdr, 72, 16)  # bitpix
+    struct.pack_into(">8f", hdr, 76, 1, 1, 1, 1, 1, 1, 1, 1)
+    struct.pack_into(">f", hdr, 108, 352.0)  # vox_offset
+    struct.pack_into(">h", hdr, 252, 1)      # sform_code
+    struct.pack_into(">4f", hdr, 280, 1, 0, 0, 0)
+    struct.pack_into(">4f", hdr, 296, 0, 1, 0, 0)
+    struct.pack_into(">4f", hdr, 312, 0, 0, 1, 0)
+    hdr[344:348] = b"n+1\x00"
+    payload = bytes(hdr) + b"\x00" * 4 + data.tobytes(order="F")
+    p = tmp_path / "be.nii.gz"
+    with gzip.open(p, "wb") as f:
+        f.write(payload)
+
+    img = nifti.load(str(p))
+    np.testing.assert_array_equal(np.asarray(img.dataobj).reshape(-1, order="F"),
+                                  np.arange(24))
+    out = tmp_path / "out.nii.gz"
+    nifti.save(img, str(out))
+    img2 = nifti.load(str(out))
+    np.testing.assert_array_equal(np.asarray(img2.dataobj),
+                                  np.asarray(img.dataobj))
+
+
+def test_nan_scl_slope_means_no_scaling(tmp_path):
+    """nibabel semantics: a NaN scl_slope is 'unset', not multiply-by-NaN."""
+    import gzip
+    import struct
+
+    from ukbb_cardiac_tpu.io import nifti
+
+    img = nifti.Nifti1Image(np.arange(12, dtype=np.int16).reshape(3, 4),
+                            np.eye(4))
+    p = tmp_path / "a.nii.gz"
+    nifti.save(img, str(p))
+    raw = bytearray(gzip.open(p, "rb").read())
+    struct.pack_into("<f", raw, 112, float("nan"))  # scl_slope field
+    with gzip.open(p, "wb") as f:
+        f.write(bytes(raw))
+    back = nifti.load(str(p))
+    np.testing.assert_array_equal(np.asarray(back.dataobj).reshape(-1),
+                                  np.arange(12))

@@ -245,7 +245,8 @@ class Biobank_Dataset:
         lab_up = np.zeros((Y * up, X * up))
         for key, lab in Biobank_Dataset._CONTOUR_ORDER:
             if key in contours:
-                coord = np.round(np.asarray(contours[key]) * up).astype(np.int64)
+                # int32: cv2 4.x rejects CV_64S point arrays (5.x accepts)
+                coord = np.round(np.asarray(contours[key]) * up).astype(np.int32)
                 cv2.fillPoly(lab_up, [coord], lab)
         return lab_up
 
@@ -258,7 +259,8 @@ class Biobank_Dataset:
             first = sorted(os.listdir(dirs[0]))[0]
             d = dicom.dcmread(os.path.join(dirs[0], first))
             T = int(d.CardiacNumberOfImages)
-            d = dicom.dcmread(os.path.join(dirs[0], self.find_series(dirs[0], T)[0]))
+            d = dicom.dcmread(os.path.join(dirs[0],
+                                           self.find_series(dirs[0], T)[0]))
             X = int(d.Columns)
             Y = int(d.Rows)
             T = int(d.CardiacNumberOfImages)
@@ -280,15 +282,17 @@ class Biobank_Dataset:
                 files = self.find_series(dirs[z], T)
                 files_time = []
                 for f in files:
+                    # parse once; the object is reused for pixel data below
+                    # (each dcmread slurps the whole file incl. PixelData,
+                    # so re-reading doubled conversion I/O)
                     dd = dicom.dcmread(os.path.join(dirs[z], f))
-                    files_time.append((f, float(dd.TriggerTime)))
+                    files_time.append((f, float(dd.TriggerTime), dd))
                 files_time = sorted(files_time, key=lambda v: v[1])
 
                 for t in range(T):
                     f = None
                     try:
-                        f = files_time[t][0]
-                        dd = dicom.dcmread(os.path.join(dirs[z], f))
+                        f, _, dd = files_time[t]
                         # pixel_array is (rows=Y, cols=X); transpose → (X, Y)
                         volume[:, :, z, t] = dd.pixel_array.transpose()
                     except IndexError:

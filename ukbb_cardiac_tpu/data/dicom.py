@@ -311,7 +311,9 @@ def dcmwrite_minimal(path: str, attrs: Dict[str, object],
 
     def put(group, elem, vr, val: bytes):
         if len(val) % 2:
-            val += b"\x00" if vr != "UI" else b"\x00"
+            # DICOM pads string VRs with space 0x20; only UI (and binary
+            # VRs) pad with NUL
+            val += (b"\x00" if vr in ("UI", "OB", "OW", "UN") else b"\x20")
         body.extend(struct.pack("<HH", group, elem))
         if vr in ("OB", "OW", "SQ", "UT", "UN", "OF"):
             body.extend(vr.encode() + b"\x00\x00")

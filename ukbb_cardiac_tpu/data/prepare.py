@@ -43,7 +43,11 @@ def link_annotated_subjects(orig_path: str, data_path: str,
                     for f in trio:
                         dst = os.path.join(data_dir, f)
                         if not os.path.exists(dst):
-                            os.symlink(os.path.join(orig_dir, f), dst)
+                            # absolute target: a cwd-relative source would
+                            # be resolved against the LINK's directory and
+                            # dangle (silently emptying the training set)
+                            os.symlink(os.path.abspath(
+                                os.path.join(orig_dir, f)), dst)
             if not os.listdir(data_dir):
                 os.rmdir(data_dir)
 
@@ -65,6 +69,13 @@ def find_annotated_ed_es(label: np.ndarray, seq: str) -> Optional[Dict[str, int]
             index_t = [index_t[0], index_ES[int(np.argmax(proj_t[index_ES]))]]
     if proj_t[0] == 0:
         print("  Error: no annotation at ED frame.")
+        return None
+    if index_t and index_t[0] != 0:
+        # conscious fix vs the reference (prepare_data_ukbb2964.py:110):
+        # its guard only checks that frame 0 has SOME labels, so a partial
+        # annotation at frame 0 would let a mid-cycle frame be used as ED;
+        # reject instead (QUIRKS.md)
+        print("  Error: first complete annotation is not at frame 0.")
         return None
     if len(index_t) == 1:
         print("  Error: annotation only available at one frame.")
@@ -159,4 +170,4 @@ def link_split(data_path: str, dest_root: str, seq: str,
             src = os.path.join(data_path, str(eid))
             dst = os.path.join(sub_dir, str(eid))
             if not os.path.exists(dst):
-                os.symlink(src, dst)
+                os.symlink(os.path.abspath(src), dst)

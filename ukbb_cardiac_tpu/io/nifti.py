@@ -68,13 +68,8 @@ class Nifti1Header:
         return h
 
 
-@dataclass
 class Nifti1Image:
     """In-memory NIfTI image: voxel array + 4x4 RAS affine + header."""
-
-    dataobj: np.ndarray
-    affine: np.ndarray
-    header: Nifti1Header = field(default=None)
 
     def __init__(self, dataobj, affine, header=None):
         self.dataobj = np.asanyarray(dataobj)
@@ -186,8 +181,12 @@ def load(filename: str) -> Nifti1Image:
     data = np.frombuffer(raw, dtype=dtype, count=count, offset=meta["vox_offset"])
     # NIfTI voxel data is Fortran-ordered (x varies fastest).
     array = data.reshape(shape, order="F")
-    if meta["scl_slope"] not in (0.0, 1.0) or (meta["scl_slope"] == 1.0 and meta["scl_inter"] != 0.0):
-        array = array * meta["scl_slope"] + meta["scl_inter"]
+    slope, inter = meta["scl_slope"], meta["scl_inter"]
+    # nibabel semantics: slope 0 / NaN / non-finite means "no scaling"
+    if np.isfinite(slope) and (slope not in (0.0, 1.0)
+                               or (slope == 1.0 and np.isfinite(inter)
+                                   and inter != 0.0)):
+        array = array * slope + inter
     header = Nifti1Header(dim=dim, pixdim=meta["pixdim"], datatype=meta["datatype"])
     header.scl_slope = meta["scl_slope"]
     header.scl_inter = meta["scl_inter"]
@@ -199,6 +198,11 @@ def _build_header_bytes(image: Nifti1Image) -> bytes:
     if data.dtype == np.bool_:
         data = data.astype(np.uint8)
     dtype = data.dtype.newbyteorder("=")
+    if data.dtype.byteorder not in ("=", "|") and data.dtype != dtype:
+        # data loaded from a big-endian file: actually swap the bytes —
+        # relabelling the dtype alone would write a little-endian header
+        # over big-endian voxels (every value silently corrupted)
+        data = data.astype(dtype)
     if np.dtype(dtype) not in _DTYPE_CODES:
         data = data.astype(np.float64 if data.dtype.kind == "f" else np.int32)
         dtype = data.dtype
