@@ -343,3 +343,23 @@ def test_ao_temporal_unet_training(tmp_path):
     seg = engine.segment_cine(cine, z_score=True)
     assert seg.shape == cine.shape
     assert set(np.unique(seg)) <= {0, 1, 2}
+
+
+def test_ao_trainer_logs_validation_metrics(tmp_path):
+    """The aortic trainer must evaluate the held-out set (eval-mode BN,
+    no state update) and write val_* to the JSONL log — and the log must
+    be written even without a validation subset."""
+    import json
+
+    _make_ao_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = AoTrainConfig(model="UNet", image_size=48, train_batch_size=1,
+                        validation_batch_size=1, num_filter=2, num_level=3,
+                        dataset_dir=str(tmp_path), checkpoint_dir=ckpt_dir,
+                        checkpoint_every=2, validation_every=1)
+    train_ao(cfg, max_iterations=2)
+    log = os.path.join(ckpt_dir, cfg.model_name, "train_log.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    assert recs, "empty train log"
+    assert "val_dice_aa" in recs[-1] and "val_accuracy" in recs[-1]
+    assert np.isfinite(recs[-1]["val_loss"])

@@ -63,12 +63,18 @@ def rank_normalise(x):
 def age_by_date(df: pd.DataFrame) -> np.ndarray:
     """Age computed from birth year/month vs assessment date
     (more accurate than the floored 21003-2.0 field, :119-128)."""
-    age = np.zeros(len(df))
+    age = np.full(len(df), np.nan)
     for i in range(len(df)):
-        d1 = datetime.date(int(df.iloc[i]["Year of birth", "34-0.0"]),
-                           int(df.iloc[i]["Month of birth", "52-0.0"]), 15)
+        y = df.iloc[i]["Year of birth", "34-0.0"]
+        m = df.iloc[i]["Month of birth", "52-0.0"]
         s = df.iloc[i]["Date of attending assessment centre", "53-2.0"]
-        d2 = datetime.date(int(s[:4]), int(s[5:7]), int(s[8:10]))
+        try:
+            d1 = datetime.date(int(y), int(m), 15)
+            d2 = datetime.date(int(s[:4]), int(s[5:7]), int(s[8:10]))
+        except (ValueError, TypeError, IndexError):
+            continue  # missing birth/assessment fields -> NaN age; the
+            #           caller's valid mask drops the subject (reference
+            #           behaviour would crash here)
         age[i] = np.round((d2 - d1).days / 365.25, 1)
     return age
 
@@ -96,7 +102,9 @@ def clean_columns(df: pd.DataFrame, missing_frac: float = 0.9,
                   constant_frac: float = 0.95,
                   dup_corr: float = 0.9999) -> pd.DataFrame:
     """Column cleaning (:172-224): negatives→NaN; drop non-numeric,
-    mostly-missing, near-constant and duplicate (|r|>0.9999) columns."""
+    mostly-missing, near-constant and duplicate columns (SIGNED
+    r > 0.9999, matching the reference's ``cc > 0.9999`` at :213 —
+    anti-correlated recodings are deliberately both kept)."""
     df = df.copy()
     n_subj, n_col = df.shape
     bad = set()
@@ -106,7 +114,10 @@ def clean_columns(df: pd.DataFrame, missing_frac: float = 0.9,
             continue
         val = df.iloc[:, i].values.astype(float)
         val[val < 0] = np.nan
-        df.iloc[:, i] = val
+        # isetitem replaces the column wholesale — df.iloc[:, i] = val
+        # raises TypeError under pandas 3 when the column dtype is int
+        # and val carries NaNs (real UKB int-coded fields do)
+        df.isetitem(i, val)
         valid = ~np.isnan(val)
         if np.sum(valid) < (1 - missing_frac) * n_subj:
             bad.add(i)
@@ -148,7 +159,7 @@ def normalise_non_idps(df: pd.DataFrame, continuous_map: pd.DataFrame) -> pd.Dat
             is_cont = False
         x = val[valid]
         val[valid] = normalise(x) if is_cont else rank_normalise(x)
-        df.iloc[:, i] = val
+        df.isetitem(i, val)  # pandas-3-safe (see clean_columns)
     return df
 
 
@@ -167,7 +178,7 @@ def deconfound_idps(df_idp: pd.DataFrame, conf: np.ndarray):
         beta[:, i] = np.dot(np.linalg.pinv(conf[valid]), x)
         x = x - np.dot(conf[valid], beta[:, i])
         val[valid] = normalise(x)
-        df_idp.iloc[:, i] = val
+        df_idp.isetitem(i, val)  # pandas-3-safe (see clean_columns)
     return df_idp, beta
 
 
@@ -182,6 +193,13 @@ def masked_pearson(X: np.ndarray, Y: np.ndarray):
     with the two-sided t-test p-value."""
     MX = (~np.isnan(X)).astype(np.float64)
     MY = (~np.isnan(Y)).astype(np.float64)
+    # r is shift-invariant, so center each column on its observed mean
+    # first: the one-pass sxx - sx^2/n formula on raw values loses all
+    # precision for large-mean columns (r off by 20% at mean ~5e6, NaN
+    # at ~2e8 — measured), and UKB fields include such codes
+    with np.errstate(invalid="ignore"):
+        X = X - np.nanmean(X, axis=0, keepdims=True)
+        Y = Y - np.nanmean(Y, axis=0, keepdims=True)
     X0 = np.nan_to_num(X, nan=0.0)
     Y0 = np.nan_to_num(Y, nan=0.0)
 

@@ -114,9 +114,11 @@ _CFG_TYPES = {
 
 
 def _tuplize_names(obj):
-    """JSON round-trips tuples as lists; (cname, bname) pairs are consumed
-    positionally so lists work, but normalise anyway for hashability."""
+    """JSON round-trips tuples as lists; restore (cname, bname) leaf pairs
+    to tuples so loaded names hash/compare like freshly-built ones."""
     if isinstance(obj, list):
+        if len(obj) == 2 and all(isinstance(x, str) for x in obj):
+            return tuple(obj)
         return [_tuplize_names(x) for x in obj]
     if isinstance(obj, dict):
         return {k: _tuplize_names(v) for k, v in obj.items()}

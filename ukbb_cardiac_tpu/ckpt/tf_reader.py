@@ -133,6 +133,7 @@ def convert_tf_checkpoint(prefix: str, out_path: Optional[str] = None) -> str:
         cfg = _infer_unet_config(tf_vars)
         params, state, names = unet_mod.init_unet(jax.random.PRNGKey(0), cfg)
         has_lstm = any(n.startswith("LSTM/") for n in tf_vars)
+        conv_out_init = None
         if has_lstm:
             bidir = any(n.startswith("LSTM/forward/") for n in tf_vars)
             lstm_kernel = (tf_vars["LSTM/forward/conv_2d_lstm_cell/kernel"]
@@ -142,17 +143,13 @@ def convert_tf_checkpoint(prefix: str, out_path: Optional[str] = None) -> str:
             params.update(init(jax.random.PRNGKey(1), cfg.n_filter[0], n_hidden,
                                cfg.n_class))
             # the standalone UNet head conv may be absent in the LSTM ckpt;
-            # keep its random init (unused by the LSTM inference path)
+            # keep its random init (unused by the LSTM inference path) and
+            # fall through to the shared fill/save tail below
             if "UNet/conv_out/conv2d/kernel" not in tf_vars:
                 conv_out_init = params["UNet"].pop("conv_out")
-                params = _fill_from_tf(params, tf_vars)
-                params["UNet"]["conv_out"] = conv_out_init
-                state = _fill_from_tf(state, tf_vars)
-                store.save_model(out_path, "unet_lstm", cfg, names, params,
-                                 state, {"source_checkpoint": prefix,
-                                         "bidirectional": bidir})
-                return out_path
         params = _fill_from_tf(params, tf_vars)
+        if conv_out_init is not None:
+            params["UNet"]["conv_out"] = conv_out_init
         state = _fill_from_tf(state, tf_vars)
         kind = "unet_lstm" if has_lstm else "unet"
         extra = {"source_checkpoint": prefix}

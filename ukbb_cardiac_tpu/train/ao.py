@@ -177,6 +177,12 @@ def get_random_batch_ao(filename_list, batch_size, image_size=256,
             image = rescale_intensity(image, (1.0, 99.0))
 
         t_anno = np.nonzero(np.sum(label > 0, axis=(0, 1, 2)))[0]
+        if len(t_anno) == 0:
+            # an all-background label contributes no windows; counting it
+            # toward batch_size could yield an empty batch and a cryptic
+            # rank error inside the jitted step
+            print(f"Error: no annotated frame in {label_name}, skip.")
+            continue
         rad = (time_window - 1) // 2
         for t in t_anno:
             idx = [(i + T) % T for i in range(t - rad, t + rad + 1)]
@@ -187,9 +193,11 @@ def get_random_batch_ao(filename_list, batch_size, image_size=256,
                 label_idx = np.repeat(label[:, :, 0, t][None], time_window,
                                       axis=0)
             if data_augmentation:
+                np_rng = (np.random.RandomState(rng.randrange(2 ** 31))
+                          if rng is not random else None)
                 image_idx, label_idx = aortic_data_augmenter(
                     image_idx, label_idx, shift=shift, rotate=rotate,
-                    scale=scale, intensity=intensity, flip=flip)
+                    scale=scale, intensity=intensity, flip=flip, rng=np_rng)
             images.append(image_idx)
             labels.append(label_idx)
         n_selected += 1
@@ -217,24 +225,26 @@ def init_ao_model(cfg: AoTrainConfig, key):
     return ucfg, params, state, names
 
 
-def make_ao_loss(cfg: AoTrainConfig, ucfg, names):
-    """Loss closure per model kind (``train_network_ao.py:285-317``)."""
+def make_ao_loss(cfg: AoTrainConfig, ucfg, names, train: bool = True):
+    """Loss closure per model kind (``train_network_ao.py:285-317``).
+    ``train=False`` builds the eval-mode twin (BN moving stats — the
+    reference's ``training: False`` validation feed, :449)."""
 
     def loss_fn(params, state, batch, key):
         images, labels_arr = batch["image"], batch["label"]
         if cfg.model == "UNet":
             loss, prob, pred, new_state = wrappers.unet_model(
-                params, state, names, ucfg, images, labels_arr, train=True)
+                params, state, names, ucfg, images, labels_arr, train=train)
             pred_fr, label_fr = pred, labels_arr
         elif cfg.model == "Temporal-UNet":
             loss, prob, pred, new_state = wrappers.temporal_unet_model(
-                params, state, names, ucfg, images, labels_arr, train=True,
+                params, state, names, ucfg, images, labels_arr, train=train,
                 weight_R=cfg.weight_R, weight_r=cfg.weight_r)
             s = (cfg.time_window - 1) // 2
             pred_fr, label_fr = pred[:, s], labels_arr[:, s]
         else:  # UNet-LSTM
             loss, prob, pred, new_state = wrappers.unet_lstm_model(
-                params, state, names, ucfg, images, labels_arr, train=True,
+                params, state, names, ucfg, images, labels_arr, train=train,
                 train_unet=cfg.joint_train, bidirectional=cfg.bidirectional,
                 seq2seq=cfg.seq2seq, weight_R=cfg.weight_R,
                 weight_r=cfg.weight_r)
@@ -304,6 +314,18 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     log_f = open(os.path.join(model_dir, "train_log.jsonl"), "a")
 
     rng = random.Random(cfg.seed)
+    # validation gets its own stream: the training rng is consumed on the
+    # prefetch worker thread, so sharing would make seeds timing-dependent
+    val_rng = random.Random(cfg.seed + 7_777_777)
+
+    eval_loss = make_ao_loss(cfg, ucfg, names, train=False)
+
+    @jax.jit
+    def loss_fn_eval(params, state, batch):
+        loss, (aux, _) = eval_loss(params, state, batch,
+                                   jax.random.PRNGKey(0))
+        return loss, aux
+
     flatten = cfg.model == "UNet"
     total = max_iterations or cfg.train_iteration
     print("Start training...")
@@ -326,12 +348,27 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
         params, state, opt_state, loss, aux = step(
             params, state, opt_state, batch, jax.random.PRNGKey(iteration))
 
-        if iteration % cfg.validation_every == 0 and data_list["validation"]:
+        if iteration % cfg.validation_every == 0:
             rec = {"iteration": iteration, "loss": float(loss),
                    "accuracy": float(aux["accuracy"]),
                    "dice_aa": float(aux["dice_aa"]),
                    "dice_da": float(aux["dice_da"]),
                    "seconds": time.time() - t0}
+            if data_list["validation"]:
+                # held-out Dice AA/DA every validation_every iterations —
+                # the reference validates every 10 (train_network_ao.py:
+                # 441-457); round 2 previously logged training metrics only
+                v_images, v_labels = get_random_batch_ao(
+                    data_list["validation"], cfg.validation_batch_size,
+                    image_size=cfg.image_size, time_window=cfg.time_window,
+                    z_score=cfg.z_score, flatten=flatten,
+                    data_augmentation=False, rng=val_rng)
+                v_loss, v_aux = loss_fn_eval(
+                    params, state, {"image": v_images, "label": v_labels})
+                rec["val_loss"] = float(v_loss)
+                rec["val_accuracy"] = float(v_aux["accuracy"])
+                rec["val_dice_aa"] = float(v_aux["dice_aa"])
+                rec["val_dice_da"] = float(v_aux["dice_da"])
             log_f.write(json.dumps(rec) + "\n")
             log_f.flush()
 

@@ -135,9 +135,15 @@ def get_random_batch(filename_list, batch_size, image_size=192,
     images = np.asarray(images, dtype=np.float32)[..., None]
     labels = np.asarray(labels, dtype=np.int32)
     if data_augmentation:
+        # derive the augmentation RNG from the sampler's rng so a fixed
+        # seed reproduces the whole batch stream (augmenters draw from
+        # a numpy-style RNG; `random.Random` has no .normal)
+        np_rng = (np.random.RandomState(rng.randrange(2 ** 31))
+                  if rng is not random else None)
         images, labels = data_augmenter(images, labels, shift=shift,
                                         rotate=rotate, scale=scale,
-                                        intensity=intensity, flip=flip)
+                                        intensity=intensity, flip=flip,
+                                        rng=np_rng)
     return images, labels
 
 
@@ -200,16 +206,21 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     key = jax.random.PRNGKey(cfg.seed)
     params, state, names = fcn_mod.init_fcn(key, model_cfg)
     optimizer = optax.adam(cfg.learning_rate)
-    opt_state = optimizer.init(params)
 
     start_iteration = 0
     if resume_from:
-        _, _, names, params, state, extra = store.load_model(resume_from)
+        # the checkpoint is self-describing: adopt ITS config — flags
+        # that disagree with the stored architecture would otherwise
+        # load mismatched params under a wrong cfg
+        _, model_cfg, names, params, state, extra = store.load_model(
+            resume_from)
+        start_iteration = int(extra.get("iteration", 0))
+        print(f"Resumed from {resume_from} at iteration {start_iteration}.")
+    opt_state = optimizer.init(params)
+    if resume_from:
         restored = store.load_opt_state(resume_from, opt_state)
         if restored is not None:
             opt_state = restored
-        start_iteration = int(extra.get("iteration", 0))
-        print(f"Resumed from {resume_from} at iteration {start_iteration}.")
 
     loss_fn = make_fcn_loss(names, model_cfg,
                             device_augment=cfg.device_augment)
@@ -226,6 +237,10 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     log_f = open(log_path, "a")
 
     rng = random.Random(cfg.seed + start_iteration)
+    # the training rng is consumed on the prefetch worker thread; give
+    # validation its own stream so queue timing cannot change what a
+    # fixed seed samples
+    val_rng = random.Random(cfg.seed + 7_777_777 + start_iteration)
     total = max_iterations or cfg.train_iteration
     print("Start training...")
     start_time = time.time()
@@ -249,7 +264,7 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
         if iteration % cfg.validation_every == 0 and data_list["validation"]:
             v_images, v_labels = get_random_batch(
                 data_list["validation"], cfg.validation_batch_size,
-                image_size=cfg.image_size, rng=rng)
+                image_size=cfg.image_size, rng=val_rng)
             v_logits, _ = fcn_mod.apply_fcn(params, state, names, model_cfg,
                                             jnp.asarray(v_images), train=False)
             v_pred = np.asarray(jnp.argmax(v_logits, axis=-1))
