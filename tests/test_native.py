@@ -188,3 +188,18 @@ def test_dicom_scan_truncated_never_crashes(tmp_path):
     for n in range(len(full) + 1):
         res = native.dicom_scan(full[:n])
         assert res is None or res.ndim == 2
+
+
+def test_remove_small_cc_preserves_values_native_and_scipy():
+    """Both backends must preserve the input's voxel values in kept
+    components (the reference copies the input, image_utils.py:244)."""
+    from ukbb_cardiac_tpu import native
+    from ukbb_cardiac_tpu.ops import remove_small_cc
+
+    mask = np.zeros((20, 20), np.uint8)
+    mask[2:12, 2:12] = 3      # big component, value 3
+    mask[15:17, 15:17] = 3    # small component (4 px < thres)
+    out = remove_small_cc(mask, thres=10)
+    assert out.dtype == mask.dtype
+    assert set(np.unique(out)) == {0, 3}, np.unique(out)
+    assert np.all(out[2:12, 2:12] == 3) and np.all(out[15:17, 15:17] == 0)

@@ -269,3 +269,22 @@ def test_aortic_fleet_unet_guard(eight_devices):
     ao = np.zeros((2, 24, 24, 1, 3), np.int16)
     with _pytest.raises(ValueError, match="prob_sequence"):
         eng.segment_subjects_sharded(ao, make_mesh(8), pad_to=32)
+
+
+def test_fleet_done_check_failure_is_isolated(tmp_path):
+    """An exception inside the caller-supplied done_check fails THAT
+    subject only — the fleet completes and writes its manifest."""
+    from ukbb_cardiac_tpu.parallel.fleet import run_fleet
+
+    def bad_done_check(s):
+        if s == "B":
+            raise RuntimeError("corrupt output header")
+        return False
+
+    manifest = str(tmp_path / "manifest.json")
+    res = run_fleet(["A", "B", "C"], lambda s: None, workers=2,
+                    done_check=bad_done_check, manifest_path=manifest,
+                    verbose=False)
+    assert sorted(res.succeeded) == ["A", "C"]
+    assert "B" in res.failed and "corrupt output header" in res.failed["B"]
+    assert os.path.exists(manifest)

@@ -28,3 +28,33 @@ def test_stage_timer_spans(tmp_path):
 
 def test_compilation_cache_enable(tmp_path):
     assert enable_compilation_cache(str(tmp_path / "cache")) in (True, False)
+
+
+def test_stage_timer_thread_safe_spans():
+    """Concurrent spans on different threads must not interleave their
+    hierarchical names (the fleet drives subjects from a thread pool)."""
+    import threading
+
+    from ukbb_cardiac_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    stop = threading.Barrier(4)
+
+    def work(tag):
+        stop.wait()
+        for _ in range(200):
+            with timer.span(tag):
+                with timer.span("inner"):
+                    pass
+
+    threads = [threading.Thread(target=work, args=(f"t{i}",))
+               for i in range(4)]
+    for t in threads:
+        t.start()
+    for t in threads:
+        t.join()
+    keys = set(timer.summary())
+    expected = set()
+    for i in range(4):
+        expected |= {f"t{i}", f"t{i}/inner"}
+    assert keys == expected, keys

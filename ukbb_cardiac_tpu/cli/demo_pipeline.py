@@ -129,6 +129,10 @@ def main(argv=None):
         eval_aortic_area.main(["--data_dir", args.data_dir,
                                "--pressure_csv", bp_csv, "--output_csv",
                                os.path.join(args.csv_dir, "table_aortic_area.csv")])
+    else:
+        print(f"  Skipping: {bp_csv} not found (distensibility needs the "
+              f"central pulse pressure spreadsheet; use --download or "
+              f"place it in --csv_dir). No table_aortic_area.csv written.")
     print("Done.")
 
 

@@ -106,10 +106,14 @@ def main(argv=None):
     hits = top_hits_table(df_corr, df_p, field_names, p_bonf)
     hits.to_csv(out("top_hits.csv"), index=None)
     try:
+        # render BEFORE opening: if to_latex raises (needs jinja2 on some
+        # pandas versions) no zero-byte .tex artefact is left behind
+        tex = hits.to_latex(index=False, float_format="%.3g")
+    except ImportError:
+        tex = None
+    if tex is not None:
         with open(out("top_hits.tex"), "w") as f:
-            f.write(hits.to_latex(index=False, float_format="%.3g"))
-    except ImportError:  # pandas' to_latex needs jinja2 on some versions
-        pass
+            f.write(tex)
 
 
 if __name__ == "__main__":

@@ -114,9 +114,9 @@ class AorticEngine:
                              "models; use prob_sequence for the UNet model")
         from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
                                           rescale_intensity_jax)
+        from ukbb_cardiac_tpu.ops.crop import pad_to_size
 
-        x_pre, y_pre = (pad_to - X) // 2, (pad_to - Y) // 2
-        x_post, y_post = pad_to - X - x_pre, pad_to - Y - y_pre
+        x_pre, x_post, y_pre, y_post = pad_to_size(X, Y, pad_to)
         full_prob = (self._temporal_unet(None)
                      if self.kind == "temporal_unet"
                      else self._lstm_full(None))

@@ -118,11 +118,13 @@ def pad_stack_to_multiple(stack: np.ndarray, n: int):
 
 def pad_to_factor(X: int, Y: int, factor: int = 16):
     """Centred padding amounts to make X, Y multiples of ``factor``
-    (mirrors ``deploy_network.py:97-100`` exactly)."""
-    X2 = int(math.ceil(X / float(factor))) * factor
-    Y2 = int(math.ceil(Y / float(factor))) * factor
-    x_pre, y_pre = (X2 - X) // 2, (Y2 - Y) // 2
-    return (x_pre, X2 - X - x_pre), (y_pre, Y2 - Y - y_pre)
+    (mirrors ``deploy_network.py:97-100`` exactly).  Thin shim over
+    :func:`ukbb_cardiac_tpu.ops.crop.pad_to_multiple` — one source for
+    the deploy-critical padding arithmetic."""
+    from ukbb_cardiac_tpu.ops.crop import pad_to_multiple
+
+    x_pre, x_post, y_pre, y_post = pad_to_multiple(X, Y, factor)
+    return (x_pre, x_post), (y_pre, y_post)
 
 
 class InferenceEngine:

@@ -8,8 +8,13 @@ affine model (Gaussian-clipped shift/rotate/scale/intensity + random flip)
 runs **on device**: one jitted, vmapped program over the whole batch, keyed
 by ``jax.random`` so it is reproducible and trace-safe.
 
-A host/numpy twin with identical semantics is kept for parity tests and for
-CPU-only data preparation.
+A host/numpy twin is kept for parity tests and CPU-only data preparation.
+One documented twin divergence: with ``flip=True`` the HOST
+``aortic_data_augmenter`` reproduces the reference's per-frame flip
+re-draw quirk (``image_utils.py:161-167``), while the device
+``aortic_data_augmenter_jax`` consciously draws one flip per sequence
+(see its docstring) — so flip-enabled aortic runs are not bit-comparable
+between the twins; every other parameter is.
 """
 
 from __future__ import annotations

@@ -62,8 +62,13 @@ def remove_small_cc(binary, thres=10):
     """Zero out connected components smaller than `thres` pixels."""
     binary = np.asarray(binary)
     if _use_native(binary):
-        return native.remove_small_cc_2d(binary, thres, connectivity=1).astype(
-            binary.dtype)
+        # the native routine returns the kept-region MASK; preserve the
+        # input's voxel values like the scipy path and the reference
+        # (image_utils.py:244 copies the input) so both backends agree
+        kept = native.remove_small_cc_2d(binary, thres, connectivity=1)
+        out = np.copy(binary)
+        out[kept == 0] = 0
+        return out
     cc, n_cc = ndimage.label(binary)
     if n_cc == 0:
         return np.copy(binary)

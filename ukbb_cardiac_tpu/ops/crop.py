@@ -71,6 +71,10 @@ def foreground_bbox(image, reserve: int = 0):
     image = np.asarray(image)
     X, Y, Z = image.shape[:3]
     idx = np.nonzero(image > 0)
+    if len(idx[0]) == 0:
+        raise ValueError(
+            "foreground_bbox: no voxels > 0 — cannot auto-crop an empty "
+            "image/segmentation (check the upstream mask)")
     x1, x2 = idx[0].min() - reserve, idx[0].max() + reserve + 1
     y1, y2 = idx[1].min() - reserve, idx[1].max() + reserve + 1
     z1, z2 = idx[2].min() - reserve, idx[2].max() + reserve + 1

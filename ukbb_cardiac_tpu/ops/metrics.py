@@ -33,6 +33,9 @@ def np_categorical_dice(pred, truth, k):
 
 
 def _contour_points(binary_slice):
+    # RETR_EXTERNAL: outer contours only — EXACT reference behaviour
+    # (image_utils.py:195-197); inner (hole) boundaries of annular masks
+    # do not contribute to the distance, there as here.
     import cv2
 
     res = cv2.findContours(

@@ -52,10 +52,12 @@ def run_fleet(subjects: Sequence[str], fn: Callable[[str], object],
     result = FleetResult()
 
     def one(subject: str):
-        if done_check is not None and done_check(subject):
-            return ("skipped", subject, None, 0.0)
         t0 = time.time()
         try:
+            # done_check is caller-supplied code reading subject outputs —
+            # a corrupt file must fail THAT subject, not abort the fleet
+            if done_check is not None and done_check(subject):
+                return ("skipped", subject, None, 0.0)
             fn(subject)
             return ("ok", subject, None, time.time() - t0)
         except Exception:

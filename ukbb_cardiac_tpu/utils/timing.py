@@ -11,6 +11,7 @@ timelines.
 from __future__ import annotations
 
 import contextlib
+import threading
 import json
 import time
 from collections import defaultdict
@@ -28,21 +29,34 @@ class StageTimer:
 
     def __init__(self):
         self._records = defaultdict(list)
-        self._stack = []
+        # per-thread span stack: run_fleet drives subjects from a thread
+        # pool, and a shared stack would interleave span names across
+        # threads; records stay shared (guarded) so summary() sees all
+        self._local = threading.local()
+        self._lock = threading.Lock()
+
+    @property
+    def _stack(self):
+        if not hasattr(self._local, "stack"):
+            self._local.stack = []
+        return self._local.stack
 
     @contextlib.contextmanager
     def span(self, name: str):
-        full = "/".join(self._stack + [name])
-        self._stack.append(name)
+        stack = self._stack
+        full = "/".join(stack + [name])
+        stack.append(name)
         t0 = time.perf_counter()
         try:
             yield
         finally:
-            self._stack.pop()
-            self._records[full].append(time.perf_counter() - t0)
+            stack.pop()
+            with self._lock:
+                self._records[full].append(time.perf_counter() - t0)
 
     def record(self, name: str, seconds: float) -> None:
-        self._records[name].append(seconds)
+        with self._lock:
+            self._records[name].append(seconds)
 
     def summary(self) -> Dict[str, Dict[str, float]]:
         out = {}
