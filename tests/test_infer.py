@@ -371,3 +371,30 @@ def test_segment_cine_packs_wide_label_sets(tmp_path):
     ref = np.argmax(prob, axis=-1).astype(np.uint8)
     np.testing.assert_array_equal(seg, ref)
     assert seg.max() == 4  # labels above the old 2-bit ceiling survive
+
+
+def test_compat_window_short_cine_duplicate_frames():
+    """T shorter than the sliding window makes the circular index list
+    contain DUPLICATE frames; the triangular blend must accumulate every
+    contribution (buffered fancy-index += keeps only the last) and the
+    normalised probabilities must still sum to 1."""
+    import jax
+
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.models import convlstm, unet as unet_mod
+
+    cfg = unet_mod.UNetConfig(n_class=3, n_level=2, n_filter=(4, 4),
+                              n_block=(1, 1))
+    params, state, names = unet_mod.init_unet(jax.random.PRNGKey(0), cfg)
+    params.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1),
+                                            cfg.n_filter[0], 4, cfg.n_class))
+    eng = AorticEngine("unet_lstm", cfg, names, params, state,
+                       bidirectional=True)
+    rng = np.random.RandomState(3)
+    # T=3 < window 2*2-1=3? use weight_R=3 -> window 5 > T=3
+    cine = rng.rand(24, 24, 1, 3).astype(np.float32)
+    prob = eng.prob_sequence(cine, weight_R=3, weight_r=1.0, time_step=1,
+                             window="compat")
+    assert prob.shape == (24, 24, 1, 3, 3)
+    np.testing.assert_allclose(prob.sum(axis=-1), 1.0, atol=1e-4)
+    assert np.isfinite(prob).all()

@@ -101,7 +101,7 @@ def _finish_subject_sequence(ctx: dict, seq_name: str, seg4: bool,
     data_dir, nim, orig_image = ctx["data_dir"], ctx["nim"], ctx["image"]
     pred = ctx["pending"].result().astype(np.float64)
     seg_time = time.time() - ctx["start"]
-    print(f"  Segmentation time = {seg_time:3f}s")
+    print(f"  Segmentation time = {seg_time:.3f}s")
 
     k = {"ED": 0, "ES": es_frame(pred, seq_name, seg4)}
     print("  ED frame = {0:d}, ES frame = {1:d}".format(k["ED"], k["ES"]))
@@ -151,7 +151,7 @@ def deploy_subject_ed_es(engine: InferenceEngine, data_dir: str, seq_name: str,
         image = rescale_intensity(image.astype(np.float32), (1.0, 99.0))
         pred = engine.segment_volume(image).astype(np.float64)
         times.append(time.time() - start)
-        print(f"  Segmentation time = {times[-1]:3f}s")
+        print(f"  Segmentation time = {times[-1]:.3f}s")
         if save_seg:
             nim2 = nifti.Nifti1Image(pred, nim.affine)
             nim2.header["pixdim"] = nim.header["pixdim"]

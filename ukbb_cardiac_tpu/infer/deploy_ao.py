@@ -116,6 +116,11 @@ class AorticEngine:
                                           rescale_intensity_jax)
         from ukbb_cardiac_tpu.ops.crop import pad_to_size
 
+        if X > pad_to or Y > pad_to:
+            raise ValueError(
+                f"aortic cine {X}x{Y} exceeds the {pad_to}x{pad_to} grid "
+                f"(deploy_network_ao.py:104-108 pads to a fixed size); "
+                f"pass a larger pad_to")
         x_pre, x_post, y_pre, y_post = pad_to_size(X, Y, pad_to)
         full_prob = (self._temporal_unet(None)
                      if self.kind == "temporal_unet"
@@ -267,11 +272,11 @@ class AorticEngine:
         seq = np.transpose(image, (2, 3, 0, 1)).astype(np.float32)[..., None]
         if window == "full":
             if self.kind == "temporal_unet":
-                prob = self._temporal_unet(seq.shape)(self._params, self._state,
-                                                      jnp.asarray(seq))
+                prob = self._temporal_unet(None)(self._params, self._state,
+                                                 jnp.asarray(seq))
             else:
-                prob = self._lstm_full(seq.shape)(self._params, self._state,
-                                                  jnp.asarray(seq))
+                prob = self._lstm_full(None)(self._params, self._state,
+                                              jnp.asarray(seq))
             prob = np.asarray(prob)  # (Z, T, X, Y, C)
             return np.transpose(prob, (2, 3, 0, 1, 4))
 
@@ -286,14 +291,19 @@ class AorticEngine:
             idx = [(i + T) % T for i in range(t - rad, t + rad + 1)]
             win = seq[:, idx]  # (Z, tw, X, Y, 1)
             if self.kind == "temporal_unet":
-                p = self._temporal_unet(win.shape)(self._params, self._state,
-                                                   jnp.asarray(win))
+                p = self._temporal_unet(None)(self._params, self._state,
+                                              jnp.asarray(win))
             else:
-                p = self._lstm_full(win.shape)(self._params, self._state,
-                                               jnp.asarray(win))
+                p = self._lstm_full(None)(self._params, self._state,
+                                          jnp.asarray(win))
             p = np.transpose(np.asarray(p), (2, 3, 0, 1, 4))  # (X, Y, Z, tw, C)
-            prob[:, :, :, idx] += p * w
-            weight[:, :, :, idx] += w
+            # np.add.at: when T < time_window the circular idx contains
+            # DUPLICATE frames, and buffered fancy-index += keeps only the
+            # last duplicate's contribution
+            np.add.at(prob, (slice(None), slice(None), slice(None), idx),
+                      p * w)
+            np.add.at(weight, (slice(None), slice(None), slice(None), idx),
+                      np.broadcast_to(w, (1, 1, 1, len(idx), 1)))
         return prob / weight
 
 
@@ -319,6 +329,8 @@ def _start_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str,
     print(f"  Reading {image_name} ...")
     nim = nifti.load(image_name)
     image = np.asarray(nim.dataobj)
+    if image.ndim == 3:  # single-frame volume, like deploy.py:79-80
+        image = image[..., None]
     print("  Segmenting full sequence ...")
     start = time.time()
     pending = engine.segment_cine_dispatch(image, z_score=z_score)
@@ -337,7 +349,7 @@ def _finish_subject_ao(ctx: dict, seq_name: str, save_seg: bool) -> float:
         nim2.header["pixdim"] = nim.header["pixdim"]
         nifti.save(nim2, os.path.join(ctx["data_dir"],
                                       f"seg_{seq_name}.nii.gz"))
-    print(f"  Segmentation time = {seg_time:3f}s")
+    print(f"  Segmentation time = {seg_time:.3f}s")
     return seg_time
 
 
@@ -366,6 +378,8 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
     print(f"  Reading {image_name} ...")
     nim = nifti.load(image_name)
     image = np.asarray(nim.dataobj)
+    if image.ndim == 3:
+        image = image[..., None]
     X, Y, Z, T = image.shape
 
     print("  Segmenting full sequence ...")
@@ -375,8 +389,8 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
         image = normalise_intensity(image, 10.0)
     else:
         image = rescale_intensity(image, (1.0, 99.0))
-    x_pre, y_pre = (AO_SIZE - X) // 2, (AO_SIZE - Y) // 2
-    x_post, y_post = AO_SIZE - X - x_pre, AO_SIZE - Y - y_pre
+    from ukbb_cardiac_tpu.ops.crop import pad_to_size
+    x_pre, x_post, y_pre, y_post = pad_to_size(X, Y, AO_SIZE)
     padded = np.pad(image, ((x_pre, x_post), (y_pre, y_post),
                             (0, 0), (0, 0)))
     pred = engine.pred_sequence(padded, weight_R, weight_r, time_step,
@@ -389,7 +403,7 @@ def deploy_subject_ao(engine: AorticEngine, data_dir: str, seq_name: str = "ao",
         nim2 = nifti.Nifti1Image(pred.astype(np.float64), nim.affine)
         nim2.header["pixdim"] = nim.header["pixdim"]
         nifti.save(nim2, seg_name)
-    print(f"  Segmentation time = {seg_time:3f}s")
+    print(f"  Segmentation time = {seg_time:.3f}s")
     return seg_time
 
 
@@ -427,7 +441,7 @@ def deploy_subject_ed_es_ao(engine: AorticEngine, data_dir: str,
         else:
             image = rescale_intensity(image, (1.0, 99.0))
         pred = engine._unet_engine.segment_volume(image).astype(np.float64)
-        print(f"  Segmentation time = {time.time() - start:3f}s")
+        print(f"  Segmentation time = {time.time() - start:.3f}s")
         if save_seg:
             nim2 = nifti.Nifti1Image(pred, nim.affine)
             nim2.header["pixdim"] = nim.header["pixdim"]

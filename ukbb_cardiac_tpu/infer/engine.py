@@ -255,7 +255,6 @@ class InferenceEngine:
             # multiple of 8 for TPU sublane alignment
             chunk = min(self.chunk, -(-N // 8) * 8)
             nc = -(-N // chunk)
-            forward = self.model.forward
             bits = self._pack_bits()
             per_byte = 8 // bits
             from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
@@ -279,13 +278,14 @@ class InferenceEngine:
                                           (0, 0), (0, 0)))
                 return slices.reshape((nc, chunk) + slices.shape[1:])
 
-            @jax.jit
-            def fwd_chunk(params, state, blk):
-                # one chunk per dispatch: compiles ~6x faster than a
-                # lax.map over all chunks, runs at the same speed (host
-                # dispatch is async and ~1ms against a ~25ms chunk)
-                logits = forward(params, state, blk)
-                return jnp.argmax(logits, axis=-1).astype(jnp.uint8)
+            # one chunk per dispatch: compiles ~6x faster than a lax.map
+            # over all chunks, runs at the same speed (host dispatch is
+            # async and ~1ms against a ~25ms chunk).  The chunk forward is
+            # the SHARED self._fn program — keyed by the padded chunk
+            # shape, so subjects whose Z/T differ but pad to the same
+            # in-plane grid reuse one network compile.
+            chunk_shape = (chunk, X + x_pre + x_post, Y + y_pre + y_post, 1)
+            fwd_chunk = self._fn(chunk_shape, want_prob=False)
 
             def fmap(params, state, chunks):
                 preds = [fwd_chunk(params, state, chunks[i])
@@ -439,8 +439,11 @@ class InferenceEngine:
         result."""
         images, S = pad_stack_to_multiple(np.asarray(images),
                                           mesh.shape[axis])
-        run = self.make_sharded_cine_forward(mesh, images.shape[1:], rescale,
-                                             axis)
+        key = ("fleet", images.shape, rescale, mesh, axis)
+        if key not in self._compiled:
+            self._compiled[key] = self.make_sharded_cine_forward(
+                mesh, images.shape[1:], rescale, axis)
+        run = self._compiled[key]
         out = np.asarray(run(self._params, self._state, jnp.asarray(images)))
         return out[:S]
 

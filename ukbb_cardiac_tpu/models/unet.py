@@ -62,7 +62,7 @@ def init_unet(key, cfg: UNetConfig, conv3d_=False, scope: str = "UNet"):
         sub = f"conv{l}_up"
         namer = L.Namer()
         params[scope][sub], state[scope][sub] = {}, {}
-        up_in = cfg.n_filter[l + 1] if l == cfg.n_level - 2 else cfg.n_filter[l + 1]
+        up_in = cfg.n_filter[l + 1]
         nm_t, p, s = _init_scope_conv(
             next(keys), namer, up_in, cfg.n_filter[l], 3, conv3d_, transpose=True
         )

@@ -28,15 +28,6 @@ def bending_energy(field: jnp.ndarray) -> jnp.ndarray:
     return (jnp.mean(dxx ** 2) + 2 * jnp.mean(dxy ** 2) + jnp.mean(dyy ** 2))
 
 
-def parzen_histogram(x: jnp.ndarray, n_bins: int, lo, hi) -> jnp.ndarray:
-    """Soft (linear Parzen window) 1D histogram of normalised intensities."""
-    t = (x - lo) / (hi - lo + 1e-8) * (n_bins - 1)
-    t = jnp.clip(t, 0.0, n_bins - 1.0)
-    centres = jnp.arange(n_bins, dtype=jnp.float32)
-    w = jnp.maximum(1.0 - jnp.abs(t[:, None] - centres[None, :]), 0.0)
-    return jnp.sum(w, axis=0)
-
-
 def nmi(a: jnp.ndarray, b: jnp.ndarray, n_bins: int = 32) -> jnp.ndarray:
     """Normalised mutual information  (H(A) + H(B)) / H(A,B)  with a
     linear-Parzen joint histogram — differentiable; higher is better.
