@@ -323,3 +323,18 @@ def test_register_batch_mxu_backend_recovers_shift():
     # pull-back: target coords + disp = source coords, so disp ≈ -shift
     assert abs(centre[0] + shift[0]) < 0.7, centre
     assert abs(centre[1] + shift[1]) < 0.7, centre
+
+
+def test_compose_fields_mxu_matches_gather():
+    """compose_fields' MXU resample equals the gather/map_coordinates
+    path (same zero-boundary bilinear), including beyond-edge samples."""
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.reg.register import compose_fields
+
+    rng = np.random.RandomState(9)
+    d1 = jnp.asarray((rng.rand(20, 24, 2) * 6 - 3).astype(np.float32))
+    d2 = jnp.asarray((rng.rand(20, 24, 2) * 6 - 3).astype(np.float32))
+    a = compose_fields(d1, d2, backend="gather")
+    b = compose_fields(d1, d2, backend="mxu")
+    np.testing.assert_allclose(np.asarray(b), np.asarray(a),
+                               rtol=1e-5, atol=1e-6)

@@ -365,18 +365,28 @@ def warp_image(source: jnp.ndarray, disp: jnp.ndarray, order: int = 1) -> jnp.nd
     return _warp(source.astype(jnp.float32), disp, order=order)
 
 
-def compose_fields(d1: jnp.ndarray, d2: jnp.ndarray) -> jnp.ndarray:
+def compose_fields(d1: jnp.ndarray, d2: jnp.ndarray,
+                   backend: str = "auto",
+                   precision: str = "float32") -> jnp.ndarray:
     """Compose pull-back displacement fields:  (d1 ∘ d2)(x) = d2(x) + d1(x + d2(x)).
 
     Matches transform composition T1(T2(x)) for pull-back warps — the
     ``mirtk compose-dofs`` replacement (``cardiac_utils.py:892-922``),
-    carried as dense fields instead of refitting a lattice.
+    carried as dense fields instead of refitting a lattice.  The inner
+    resample uses the same zero-boundary bilinear semantics on both
+    backends (tent-basis MXU matmuls on TPU; see :func:`_warp_batch`).
     """
+    backend = resolve_warp_backend(backend)
     X, Y, _ = d1.shape
     gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
                           jnp.arange(Y, dtype=jnp.float32), indexing="ij")
     px = gx + d2[..., 0]
     py = gy + d2[..., 1]
+    if backend == "mxu":
+        srcs = jnp.stack([d1[..., 0], d1[..., 1]])        # (2, X, Y)
+        out = _tent_warp_primal(srcs, jnp.stack([px, px]),
+                                jnp.stack([py, py]), precision)
+        return d2 + jnp.stack([out[0], out[1]], axis=-1)
     d1x = sample_2d(d1[..., 0], px, py)
     d1y = sample_2d(d1[..., 1], px, py)
     return d2 + jnp.stack([d1x, d1y], axis=-1)
@@ -440,9 +450,10 @@ def compose_chain(pair_fields: jnp.ndarray) -> jnp.ndarray:
     each a full tunnel round-trip in the reference-style loop.
     """
     K, X, Y, _ = pair_fields.shape
+    backend = resolve_warp_backend("auto")
 
     def step(acc, d):
-        new = compose_fields(d, acc)
+        new = compose_fields(d, acc, backend=backend)
         return new, new
 
     init = jnp.zeros((X, Y, 2))
