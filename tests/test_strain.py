@@ -126,20 +126,24 @@ def test_eval_strain_sax_cli(tmp_path):
     from ukbb_cardiac_tpu.cli import eval_strain_sax
 
     data_dir = tmp_path / "data"
-    write_subject(str(data_dir / "77"), seqs=("sa",), X=96, Y=96, Z=8, T=4,
-                  with_seg=True)
+    # TWO subjects: exercises the CLI's one-deep pipeline (subject 78
+    # dispatches while 77 is finished on host)
+    for eid in ("77", "78"):
+        write_subject(str(data_dir / eid), seqs=("sa",), X=96, Y=96, Z=8,
+                      T=4, with_seg=True)
+        subj = data_dir / eid
+        for name in ("sa", "seg_sa"):
+            nim = nifti.load(str(subj / f"{name}.nii.gz"))
+            nifti.save(nifti.Nifti1Image(
+                np.asanyarray(nim.dataobj)[:, :, :, 0], nim.affine),
+                str(subj / f"{name}_ED.nii.gz"))
     subj = data_dir / "77"
-    for name in ("sa", "seg_sa"):
-        nim = nifti.load(str(subj / f"{name}.nii.gz"))
-        nifti.save(nifti.Nifti1Image(np.asanyarray(nim.dataobj)[:, :, :, 0],
-                                     nim.affine),
-                   str(subj / f"{name}_ED.nii.gz"))
 
     out_csv = tmp_path / "strain.csv"
     eval_strain_sax.main(["--data_dir", str(data_dir),
                           "--output_csv", str(out_csv)])
     df = pd.read_csv(out_csv, index_col=0)
-    assert len(df) == 1
+    assert len(df) == 2 and list(df.index.astype(str)) == ["77", "78"]
     assert "Ecc_Global (%)" in df.columns and "Err_Global (%)" in df.columns
     assert len(df.columns) == 34
     # intermediate dir removed, per-subject tables kept

@@ -15,7 +15,8 @@ import shutil
 import pandas as pd
 
 from ukbb_cardiac_tpu.phenotype.qc import sa_pass_quality_control
-from ukbb_cardiac_tpu.phenotype.strain import cine_2d_sa_motion_and_strain_analysis
+from ukbb_cardiac_tpu.phenotype.strain import (finish_sa_motion,
+                                               start_sa_motion_dispatch)
 
 COLUMNS = ([f"Ecc_AHA_{i} (%)" for i in range(1, 17)] + ["Ecc_Global (%)"] +
            [f"Err_AHA_{i} (%)" for i in range(1, 17)] + ["Err_Global (%)"])
@@ -46,25 +47,15 @@ def main(argv=None):
     data_list = sorted(os.listdir(args.data_dir))
     end_idx = len(data_list) if args.end_idx == 0 else args.end_idx
     table, processed = [], []
-    for data in data_list[args.start_idx:end_idx]:
-        print(data)
-        data_dir = os.path.join(args.data_dir, data)
-        seg_sa_name = os.path.join(data_dir, "seg_sa_ED.nii.gz")
-        if not os.path.exists(seg_sa_name):
-            continue
-        if not sa_pass_quality_control(seg_sa_name):
-            continue
 
-        motion_dir = os.path.join(data_dir, "cine_motion")
-        os.makedirs(motion_dir, exist_ok=True)
-        cine_2d_sa_motion_and_strain_analysis(
-            data_dir, motion_dir, os.path.join(data_dir, "strain_sa"),
-            eval_dice=args.eval_dice, mesh=mesh)
+    def finish_one(data, data_dir, motion_dir, ctx):
+        finish_sa_motion(ctx, os.path.join(data_dir, "strain_sa"))
         if args.eval_dice:
             # keep the self-check table (the intermediate dir is removed)
             dice_src = os.path.join(motion_dir, "dice_cine_warp_ffd.csv")
             if os.path.exists(dice_src):
-                shutil.move(dice_src, os.path.join(data_dir, "dice_cine_warp_ffd.csv"))
+                shutil.move(dice_src,
+                            os.path.join(data_dir, "dice_cine_warp_ffd.csv"))
         shutil.rmtree(motion_dir, ignore_errors=True)
 
         radial_csv = os.path.join(data_dir, "strain_sa_radial.csv")
@@ -76,6 +67,33 @@ def main(argv=None):
                     [df_radial.iloc[i, :].max() for i in range(17)])
             table.append(line)
             processed.append(data)
+
+    # one-deep pipeline: subject N's registration+composition run on the
+    # device while subject N-1's contours/VTKs/CSVs are processed on host
+    # (fields are dispatched asynchronously by start_sa_motion_dispatch)
+    in_flight = None
+    for data in data_list[args.start_idx:end_idx]:
+        print(data)
+        data_dir = os.path.join(args.data_dir, data)
+        seg_sa_name = os.path.join(data_dir, "seg_sa_ED.nii.gz")
+        if not os.path.exists(seg_sa_name):
+            continue
+        if not sa_pass_quality_control(seg_sa_name):
+            continue
+
+        motion_dir = os.path.join(data_dir, "cine_motion")
+        os.makedirs(motion_dir, exist_ok=True)
+        ctx = start_sa_motion_dispatch(data_dir, motion_dir,
+                                       eval_dice=args.eval_dice, mesh=mesh)
+        if in_flight is not None:
+            finish_one(*in_flight)
+        if ctx is None:
+            shutil.rmtree(motion_dir, ignore_errors=True)
+            in_flight = None
+        else:
+            in_flight = (data, data_dir, motion_dir, ctx)
+    if in_flight is not None:
+        finish_one(*in_flight)
 
     pd.DataFrame(table, index=processed, columns=COLUMNS).to_csv(args.output_csv)
 

@@ -141,7 +141,7 @@ def _field_programs(Z: int, T: int, X: int, Y: int, cfg: RegConfig,
 def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
                              register_batch=None,
                              inverse_consistent: bool = True,
-                             mesh=None) -> np.ndarray:
+                             mesh=None, as_numpy: bool = True) -> np.ndarray:
     """Per-frame ED→fr displacement fields for MULTIPLE slices at once.
 
     frames_zs: (Z, T, X, Y).  Returns (Z, T, X, Y, 2): combined
@@ -186,7 +186,10 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
 
     dense, combine = _field_programs(Z, T, X, Y, cfg, inverse_consistent)
     fields = dense(*controls)
-    return np.asarray(combine(fields), dtype=np.float32)
+    out = combine(fields)
+    if not as_numpy:
+        return out  # device array, still computing (JAX async dispatch)
+    return np.asarray(out, dtype=np.float32)
 
 
 def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
@@ -197,19 +200,19 @@ def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
                                     mesh=mesh)[0]
 
 
-def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
-                                          output_name_stem: str,
-                                          cfg: RegConfig = RegConfig(),
-                                          eval_dice: bool = False,
-                                          register_batch=None,
-                                          mesh=None) -> Optional[pd.DataFrame]:
-    """Full SA strain driver (``cardiac_utils.py:840-987``), MIRTK-free.
+def start_sa_motion_dispatch(data_dir: str, output_dir: str,
+                             cfg: RegConfig = RegConfig(),
+                             eval_dice: bool = False,
+                             register_batch=None, mesh=None):
+    """Stage 1 of the SA strain driver: crop chain, ED contours, and
+    DISPATCH of the whole registration+composition as device programs.
 
-    Expects ``<data_dir>/{sa,seg_sa,seg_sa_ED}.nii.gz``; writes contour
-    VTKs + strain CSVs ``<output_name_stem>_{radial,circum}.csv``.
-    Returns the per-frame LV/Myo warp-Dice table when ``eval_dice``.
-    ``register_batch``: optional prebuilt (possibly mesh-sharded)
-    registration; its image_shape must match this subject's LV crop.
+    Returns a context for :func:`finish_sa_motion` (the motion fields in
+    it are an in-flight device array), or None when no slice qualifies.
+    Splitting dispatch from finish lets a cohort loop overlap subject
+    N's device registration with subject N-1's host post-processing
+    (contour warps, VTK/CSV writes) — the deploy engine's pipelining
+    pattern applied to strain.
     """
     # LV-focused crop (cardiac_utils.py:845-853): relabel RV->BG, bbox+20
     padding(os.path.join(data_dir, "seg_sa_ED.nii.gz"),
@@ -257,9 +260,29 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
         return None
     frames_zs = np.stack([np.transpose(sa_crop[:, :, z, :], (2, 0, 1))
                           for z in selected])  # (Zsel, T, X, Y)
-    combined_zs = track_multi_slice_fields(frames_zs, cfg,
-                                           register_batch=register_batch,
-                                           mesh=mesh)
+    fields_dev = track_multi_slice_fields(frames_zs, cfg,
+                                          register_batch=register_batch,
+                                          mesh=mesh, as_numpy=False)
+    return {"output_dir": output_dir, "selected": selected,
+            "fields_dev": fields_dev, "T": T, "dt": dt, "X": X, "Y": Y,
+            "Z": Z, "affine_crop": affine_crop, "inv_affine": inv_affine,
+            "eval_dice": eval_dice, "seg_crop": seg_crop,
+            "dice_rows": dice_rows}
+
+
+def finish_sa_motion(ctx: dict, output_name_stem: str
+                     ) -> Optional[pd.DataFrame]:
+    """Stage 2 of the SA strain driver: fetch the motion fields, warp
+    the ED contours through them, merge per-frame polydata and write the
+    strain tables (``cardiac_utils.py:938-987``)."""
+    output_dir = ctx["output_dir"]
+    selected = ctx["selected"]
+    T, dt = ctx["T"], ctx["dt"]
+    X, Y, Z = ctx["X"], ctx["Y"], ctx["Z"]
+    affine_crop, inv_affine = ctx["affine_crop"], ctx["inv_affine"]
+    eval_dice, seg_crop = ctx["eval_dice"], ctx["seg_crop"]
+    dice_rows = ctx["dice_rows"]
+    combined_zs = np.asarray(ctx["fields_dev"], dtype=np.float32)
 
     for zi, z in enumerate(selected):
         contour_ED = os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk")
@@ -317,3 +340,26 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
                   index=None, header=None)
         return df
     return None
+
+
+def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
+                                          output_name_stem: str,
+                                          cfg: RegConfig = RegConfig(),
+                                          eval_dice: bool = False,
+                                          register_batch=None,
+                                          mesh=None) -> Optional[pd.DataFrame]:
+    """Full SA strain driver (``cardiac_utils.py:840-987``), MIRTK-free.
+
+    Expects ``<data_dir>/{sa,seg_sa,seg_sa_ED}.nii.gz``; writes contour
+    VTKs + strain CSVs ``<output_name_stem>_{radial,circum}.csv``.
+    Returns the per-frame LV/Myo warp-Dice table when ``eval_dice``.
+    ``register_batch``: optional prebuilt (possibly mesh-sharded)
+    registration; its image_shape must match this subject's LV crop.
+    Composed from :func:`start_sa_motion_dispatch` +
+    :func:`finish_sa_motion` (cohort loops can pipeline the two).
+    """
+    ctx = start_sa_motion_dispatch(data_dir, output_dir, cfg, eval_dice,
+                                   register_batch, mesh)
+    if ctx is None:
+        return None
+    return finish_sa_motion(ctx, output_name_stem)
