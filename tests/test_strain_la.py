@@ -99,3 +99,25 @@ def test_full_la_strain_driver(tmp_path):
     assert tab.shape == (7, 6)
     assert np.isfinite(tab.loc["Global"].values).all()
     assert df is not None and np.nanmean(df.values[:, 0]) > 0.6
+
+
+def test_eval_strain_lax_cli_two_subjects(tmp_path):
+    """The LA strain CLI's one-deep pipeline handles a 2-subject cohort
+    (subject 2 dispatches while subject 1 finishes on host) and writes
+    the reference's Ell column schema."""
+    import pandas as pd
+
+    from ukbb_cardiac_tpu.cli import eval_strain_lax
+
+    data_root = tmp_path / "data"
+    for eid in ("11", "12"):
+        _write_la_subject(str(data_root / eid))
+    out_csv = tmp_path / "strain.csv"
+    eval_strain_lax.main(["--data_dir", str(data_root),
+                          "--output_csv", str(out_csv)])
+    df = pd.read_csv(out_csv, index_col=0)
+    assert list(df.index.astype(str)) == ["11", "12"]
+    assert list(df.columns) == ([f"Ell_{i} (%)" for i in range(1, 7)]
+                                + ["Ell_Global (%)"])
+    assert np.isfinite(df.values).all()
+    assert not (data_root / "11" / "cine_motion").exists()

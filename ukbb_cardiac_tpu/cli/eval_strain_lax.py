@@ -9,7 +9,8 @@ import shutil
 import pandas as pd
 
 from ukbb_cardiac_tpu.phenotype.qc import la_pass_quality_control
-from ukbb_cardiac_tpu.phenotype.strain_la import cine_2d_la_motion_and_strain_analysis
+from ukbb_cardiac_tpu.phenotype.strain_la import (finish_la_motion,
+                                                  start_la_motion_dispatch)
 
 COLUMNS = [f"Ell_{i} (%)" for i in range(1, 7)] + ["Ell_Global (%)"]
 
@@ -39,6 +40,28 @@ def main(argv=None):
     data_list = sorted(os.listdir(args.data_dir))
     end_idx = len(data_list) if args.end_idx == 0 else args.end_idx
     table, processed = [], []
+
+    def finish_one(data, data_dir, motion_dir, ctx):
+        finish_la_motion(ctx, os.path.join(data_dir, "strain_la_4ch"),
+                         eval_dice=args.eval_dice)
+        if args.eval_dice:
+            # keep the self-check table (the intermediate dir is removed)
+            dice_src = os.path.join(motion_dir,
+                                    "dice_cine_la_4ch_warp_ffd.csv")
+            if os.path.exists(dice_src):
+                shutil.move(dice_src, os.path.join(
+                    data_dir, "dice_cine_la_4ch_warp_ffd.csv"))
+        shutil.rmtree(motion_dir, ignore_errors=True)
+
+        longit_csv = os.path.join(data_dir, "strain_la_4ch_longit.csv")
+        if os.path.exists(longit_csv):
+            df_longit = pd.read_csv(longit_csv, index_col=0)
+            table.append([df_longit.iloc[i, :].min() for i in range(7)])
+            processed.append(data)
+
+    # one-deep pipeline (see eval_strain_sax): subject N's registration
+    # runs on device while subject N-1's host post-processing completes
+    in_flight = None
     for data in data_list[args.start_idx:end_idx]:
         print(data)
         data_dir = os.path.join(args.data_dir, data)
@@ -50,21 +73,12 @@ def main(argv=None):
 
         motion_dir = os.path.join(data_dir, "cine_motion")
         os.makedirs(motion_dir, exist_ok=True)
-        cine_2d_la_motion_and_strain_analysis(
-            data_dir, motion_dir, os.path.join(data_dir, "strain_la_4ch"),
-            eval_dice=args.eval_dice, mesh=mesh)
-        if args.eval_dice:
-            # keep the self-check table (the intermediate dir is removed)
-            dice_src = os.path.join(motion_dir, "dice_cine_la_4ch_warp_ffd.csv")
-            if os.path.exists(dice_src):
-                shutil.move(dice_src, os.path.join(data_dir, "dice_cine_la_4ch_warp_ffd.csv"))
-        shutil.rmtree(motion_dir, ignore_errors=True)
-
-        longit_csv = os.path.join(data_dir, "strain_la_4ch_longit.csv")
-        if os.path.exists(longit_csv):
-            df_longit = pd.read_csv(longit_csv, index_col=0)
-            table.append([df_longit.iloc[i, :].min() for i in range(7)])
-            processed.append(data)
+        ctx = start_la_motion_dispatch(data_dir, motion_dir, mesh=mesh)
+        if in_flight is not None:
+            finish_one(*in_flight)
+        in_flight = (data, data_dir, motion_dir, ctx)
+    if in_flight is not None:
+        finish_one(*in_flight)
 
     pd.DataFrame(table, index=processed, columns=COLUMNS).to_csv(args.output_csv)
 

@@ -26,7 +26,8 @@ from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_
 from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
 from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
     extract_contour, lv_slice_masks)
-from ukbb_cardiac_tpu.phenotype.strain import _sample_field, track_slice_fields
+from ukbb_cardiac_tpu.phenotype.strain import (_sample_field,
+                                               track_multi_slice_fields)
 from ukbb_cardiac_tpu.reg import RegConfig
 
 LA_LABEL = {"BG": 0, "LV": 1, "Myo": 2, "RV": 3, "LA": 4, "RA": 5}
@@ -233,18 +234,14 @@ def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
         f"{output_name_stem}_longit.csv")
 
 
-def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
-                                          output_name_stem: str,
-                                          cfg: RegConfig = RegConfig(),
-                                          eval_dice: bool = False,
-                                          register_batch=None,
-                                          mesh=None) -> Optional[pd.DataFrame]:
-    """Full LA strain driver (``cardiac_utils.py:1407-1537``), MIRTK-free.
-
-    Expects ``<data_dir>/{la_4ch,seg4_la_4ch,seg4_la_4ch_ED,seg_sa_ED}.nii.gz``.
-    ``register_batch``: optional prebuilt (possibly mesh-sharded)
-    registration matching this subject's crop shape.
-    """
+def start_la_motion_dispatch(data_dir: str, output_dir: str,
+                             cfg: RegConfig = RegConfig(),
+                             register_batch=None, mesh=None):
+    """Stage 1 of the LA strain driver: crop chain, ED contour, and the
+    registration+composition DISPATCHED as device programs (the fields
+    return as an in-flight device array).  Returns a context for
+    :func:`finish_la_motion` — cohort loops pipeline the two stages like
+    the SA driver (``phenotype/strain.py``)."""
     # LV-focused crop via relabelling (cardiac_utils.py:1412-1425):
     # Myo->LV, then RV/LA/RA -> BG, bbox + 20
     lv_name = os.path.join(output_dir, "seg4_la_4ch_lv_ED.nii.gz")
@@ -276,8 +273,24 @@ def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
     X, Y = la_crop.shape[:2]
 
     frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
-    combined = track_slice_fields(frames, cfg,
-                                  register_batch=register_batch, mesh=mesh)
+    fields_dev = track_multi_slice_fields(frames[None], cfg,
+                                          register_batch=register_batch,
+                                          mesh=mesh, as_numpy=False)
+    return {"output_dir": output_dir, "fields_dev": fields_dev, "T": T,
+            "dt": dt, "X": X, "Y": Y, "affine_crop": affine_crop,
+            "inv_affine": inv_affine}
+
+
+def finish_la_motion(ctx: dict, output_name_stem: str,
+                     eval_dice: bool = False) -> Optional[pd.DataFrame]:
+    """Stage 2 of the LA strain driver: fetch the fields, warp the ED
+    contour through them and write the strain tables
+    (``cardiac_utils.py:1496-1537``)."""
+    output_dir = ctx["output_dir"]
+    T, dt = ctx["T"], ctx["dt"]
+    X, Y = ctx["X"], ctx["Y"]
+    affine_crop, inv_affine = ctx["affine_crop"], ctx["inv_affine"]
+    combined = np.asarray(ctx["fields_dev"], dtype=np.float32)[0]
 
     poly_ED = load_polydata(os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
     world = poly_ED.points
@@ -318,3 +331,21 @@ def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
                   index=None, header=None)
         return df
     return None
+
+
+def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
+                                          output_name_stem: str,
+                                          cfg: RegConfig = RegConfig(),
+                                          eval_dice: bool = False,
+                                          register_batch=None,
+                                          mesh=None) -> Optional[pd.DataFrame]:
+    """Full LA strain driver (``cardiac_utils.py:1407-1537``), MIRTK-free.
+
+    Expects ``<data_dir>/{la_4ch,seg4_la_4ch,seg4_la_4ch_ED,seg_sa_ED}.nii.gz``.
+    ``register_batch``: optional prebuilt (possibly mesh-sharded)
+    registration matching this subject's crop shape.  Composed from
+    :func:`start_la_motion_dispatch` + :func:`finish_la_motion`.
+    """
+    ctx = start_la_motion_dispatch(data_dir, output_dir, cfg,
+                                   register_batch, mesh)
+    return finish_la_motion(ctx, output_name_stem, eval_dice)
