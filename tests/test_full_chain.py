@@ -12,12 +12,8 @@ with zero network access:
     → PheWAS on the resulting ventricular-volume IDPs
 """
 
-import os
-
 import numpy as np
 import pandas as pd
-
-import jax
 
 from test_data import _write_series
 from test_demo_pipeline import _tiny_models

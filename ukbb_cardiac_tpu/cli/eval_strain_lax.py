@@ -73,10 +73,20 @@ def main(argv=None):
 
         motion_dir = os.path.join(data_dir, "cine_motion")
         os.makedirs(motion_dir, exist_ok=True)
-        ctx = start_la_motion_dispatch(data_dir, motion_dir, mesh=mesh)
+        # a bad subject must not take the in-flight one's finished work
+        # down with it: finish N-1 before surfacing N's failure
+        try:
+            ctx = start_la_motion_dispatch(data_dir, motion_dir, mesh=mesh)
+        except Exception as exc:
+            print(f"  {data}: dispatch failed ({exc!r}); skipping.")
+            ctx = None
         if in_flight is not None:
             finish_one(*in_flight)
-        in_flight = (data, data_dir, motion_dir, ctx)
+        if ctx is None:
+            shutil.rmtree(motion_dir, ignore_errors=True)
+            in_flight = None
+        else:
+            in_flight = (data, data_dir, motion_dir, ctx)
     if in_flight is not None:
         finish_one(*in_flight)
 

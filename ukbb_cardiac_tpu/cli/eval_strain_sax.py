@@ -83,8 +83,15 @@ def main(argv=None):
 
         motion_dir = os.path.join(data_dir, "cine_motion")
         os.makedirs(motion_dir, exist_ok=True)
-        ctx = start_sa_motion_dispatch(data_dir, motion_dir,
-                                       eval_dice=args.eval_dice, mesh=mesh)
+        # a bad subject must not take the in-flight one's finished work
+        # down with it: finish N-1 before surfacing N's failure
+        try:
+            ctx = start_sa_motion_dispatch(data_dir, motion_dir,
+                                           eval_dice=args.eval_dice,
+                                           mesh=mesh)
+        except Exception as exc:
+            print(f"  {data}: dispatch failed ({exc!r}); skipping.")
+            ctx = None
         if in_flight is not None:
             finish_one(*in_flight)
         if ctx is None:

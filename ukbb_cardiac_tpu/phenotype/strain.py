@@ -125,8 +125,10 @@ def _field_programs(Z: int, T: int, X: int, Y: int, cfg: RegConfig,
             bwd_pairs = per_slice[:, T - 1:]
 
         def one(fwd_pair, bwd_pair):
-            forward = compose_chain(fwd_pair)
-            backward_rev = compose_chain(bwd_pair)
+            forward = compose_chain(fwd_pair, backend=cfg.warp_backend,
+                                    precision=cfg.warp_precision)
+            backward_rev = compose_chain(bwd_pair, backend=cfg.warp_backend,
+                                         precision=cfg.warp_precision)
             backward = jnp.concatenate(
                 [backward_rev[:1], backward_rev[1:][::-1]], axis=0)
             wf = ((T - jnp.arange(T)) / T).reshape(T, 1, 1, 1)
@@ -193,11 +195,14 @@ def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
 
 
 def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
-                       register_batch=None, mesh=None) -> np.ndarray:
+                       register_batch=None, mesh=None,
+                       as_numpy: bool = True) -> np.ndarray:
     """Single-slice wrapper around :func:`track_multi_slice_fields`.
-    frames: (T, X, Y) → (T, X, Y, 2)."""
-    return track_multi_slice_fields(frames[None], cfg, register_batch,
-                                    mesh=mesh)[0]
+    frames: (T, X, Y) → (T, X, Y, 2) (with the leading slice axis kept
+    when ``as_numpy=False`` — the device array is still in flight)."""
+    out = track_multi_slice_fields(frames[None], cfg, register_batch,
+                                   mesh=mesh, as_numpy=as_numpy)
+    return out[0] if as_numpy else out
 
 
 def start_sa_motion_dispatch(data_dir: str, output_dir: str,
@@ -247,12 +252,6 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
     inv_affine = np.linalg.inv(affine_crop)
     X, Y = sa_crop.shape[:2]
 
-    dice_rows = []
-    seg_crop = None
-    if eval_dice:
-        seg_crop = np.asanyarray(nifti.load(
-            os.path.join(output_dir, "seg_sa_crop.nii.gz")).dataobj)
-
     # one batched registration covers every (slice, direction, frame-pair)
     selected = [z for z in range(Z) if os.path.exists(
         os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk"))]
@@ -266,8 +265,7 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
     return {"output_dir": output_dir, "selected": selected,
             "fields_dev": fields_dev, "T": T, "dt": dt, "X": X, "Y": Y,
             "Z": Z, "affine_crop": affine_crop, "inv_affine": inv_affine,
-            "eval_dice": eval_dice, "seg_crop": seg_crop,
-            "dice_rows": dice_rows}
+            "eval_dice": eval_dice}
 
 
 def finish_sa_motion(ctx: dict, output_name_stem: str
@@ -280,8 +278,12 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
     T, dt = ctx["T"], ctx["dt"]
     X, Y, Z = ctx["X"], ctx["Y"], ctx["Z"]
     affine_crop, inv_affine = ctx["affine_crop"], ctx["inv_affine"]
-    eval_dice, seg_crop = ctx["eval_dice"], ctx["seg_crop"]
-    dice_rows = ctx["dice_rows"]
+    eval_dice = ctx["eval_dice"]
+    seg_crop = None
+    if eval_dice:
+        seg_crop = np.asanyarray(nifti.load(
+            os.path.join(output_dir, "seg_sa_crop.nii.gz")).dataobj)
+    dice_rows = []
     combined_zs = np.asarray(ctx["fields_dev"], dtype=np.float32)
 
     for zi, z in enumerate(selected):

@@ -26,8 +26,7 @@ from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_
 from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
 from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
     extract_contour, lv_slice_masks)
-from ukbb_cardiac_tpu.phenotype.strain import (_sample_field,
-                                               track_multi_slice_fields)
+from ukbb_cardiac_tpu.phenotype.strain import _sample_field, track_slice_fields
 from ukbb_cardiac_tpu.reg import RegConfig
 
 LA_LABEL = {"BG": 0, "LV": 1, "Myo": 2, "RV": 3, "LA": 4, "RA": 5}
@@ -273,9 +272,9 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
     X, Y = la_crop.shape[:2]
 
     frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
-    fields_dev = track_multi_slice_fields(frames[None], cfg,
-                                          register_batch=register_batch,
-                                          mesh=mesh, as_numpy=False)
+    fields_dev = track_slice_fields(frames, cfg,
+                                    register_batch=register_batch,
+                                    mesh=mesh, as_numpy=False)
     return {"output_dir": output_dir, "fields_dev": fields_dev, "T": T,
             "dt": dt, "X": X, "Y": Y, "affine_crop": affine_crop,
             "inv_affine": inv_affine}

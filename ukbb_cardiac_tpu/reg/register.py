@@ -440,7 +440,8 @@ def invert_field_batch(disp: jnp.ndarray, iters: int = 10,
     return jax.lax.fori_loop(0, iters, body, jnp.zeros_like(disp))
 
 
-def compose_chain(pair_fields: jnp.ndarray) -> jnp.ndarray:
+def compose_chain(pair_fields: jnp.ndarray, backend: str = "auto",
+                  precision: str = "float32") -> jnp.ndarray:
     """Prefix-compose a chain of pull-back pair transforms in ONE program.
 
     pair_fields: (K, X, Y, 2) where entry k maps frame k → k+1 (the
@@ -450,10 +451,10 @@ def compose_chain(pair_fields: jnp.ndarray) -> jnp.ndarray:
     each a full tunnel round-trip in the reference-style loop.
     """
     K, X, Y, _ = pair_fields.shape
-    backend = resolve_warp_backend("auto")
+    backend = resolve_warp_backend(backend)
 
     def step(acc, d):
-        new = compose_fields(d, acc, backend=backend)
+        new = compose_fields(d, acc, backend=backend, precision=precision)
         return new, new
 
     init = jnp.zeros((X, Y, 2))
