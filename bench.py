@@ -23,6 +23,11 @@ import numpy as np
 
 BASELINE_SECONDS = 25.0  # reference README.md:49 per subject, K80
 REPEATS = 7
+# Soft deadline for the EXTRA metrics (SAX-only, device-compute, strain):
+# the tunnel has shown multi-minute outage windows; once the deadline
+# passes, remaining extras are skipped (reported null) so the headline
+# metric's JSON line is always printed. Override with BENCH_DEADLINE_S.
+DEADLINE_S = float(__import__("os").environ.get("BENCH_DEADLINE_S", 300))
 
 
 def main():
@@ -98,15 +103,26 @@ def main():
     # rationale as timeit's use of min)
     value = float(np.min(times))
 
+    bench_start = time.time()
+
+    def past_deadline():
+        return time.time() - bench_start > DEADLINE_S
+
     # --- SAX-cine-only metrics (BASELINE.md row: 192x208x10x50, ~10 s on
     # the K80; north-star target <1 s/chip) --------------------------------
     # (a) wall-clock through the tunnel: dispatch one SA cine and fetch.
-    sax_wall = []
-    for _ in range(REPEATS):
-        t0 = time.time()
-        sa_engine.segment_sequence_dispatch(sa).result()
-        sax_wall.append(time.time() - t0)
-    sax_wall_s = float(np.min(sax_wall))
+    sax_wall_s = None
+    try:
+        sax_wall = []
+        for _ in range(REPEATS):
+            t0 = time.time()
+            sa_engine.segment_sequence_dispatch(sa).result()
+            sax_wall.append(time.time() - t0)
+            if past_deadline():
+                break
+        sax_wall_s = float(np.min(sax_wall))
+    except Exception:
+        pass
 
     # (b) device-compute estimate by two-point timing: pin the cine on
     # device once, then time 1 vs R back-to-back dispatches of the full
@@ -115,26 +131,33 @@ def main():
     # overhead appear identically in both points, so the difference
     # isolates the per-cine device compute — the number a directly-attached
     # TPU (no tunnel) would see as the marginal throughput cost.
-    pieces, shape = sa_engine._split_pieces(sa)
-    jax.block_until_ready(pieces)
-    fn = sa_engine._cine_fns(shape, len(pieces), "percentile")
-    p, s = sa_engine._params, sa_engine._state
+    sax_compute_s = None
+    try:
+        if not past_deadline():
+            pieces, shape = sa_engine._split_pieces(sa)
+            jax.block_until_ready(pieces)
+            fn = sa_engine._cine_fns(shape, len(pieces), "percentile")
+            p, s = sa_engine._params, sa_engine._state
 
-    def run_k(k):
-        for _ in range(k):
-            packed = fn(p, s, *pieces)
-        np.asarray(packed)  # one fetch regardless of k
+            def run_k(k):
+                for _ in range(k):
+                    packed = fn(p, s, *pieces)
+                np.asarray(packed)  # one fetch regardless of k
 
-    run_k(1)  # warm
-    R = 5
-    t1s, tRs = [], []
-    for _ in range(REPEATS):
-        t0 = time.time(); run_k(1); t1s.append(time.time() - t0)
-        t0 = time.time(); run_k(R); tRs.append(time.time() - t0)
-    sax_compute_s = float((np.min(tRs) - np.min(t1s)) / (R - 1))
+            run_k(1)  # warm
+            R = 5
+            t1s, tRs = [], []
+            for _ in range(REPEATS):
+                t0 = time.time(); run_k(1); t1s.append(time.time() - t0)
+                t0 = time.time(); run_k(R); tRs.append(time.time() - t0)
+                if past_deadline():
+                    break
+            sax_compute_s = float((np.min(tRs) - np.min(t1s)) / (R - 1))
+    except Exception:
+        pass
     # under extreme tunnel jitter the difference can come out <= 0; report
     # null rather than a nonsense figure
-    compute_valid = sax_compute_s > 0
+    compute_valid = sax_compute_s is not None and sax_compute_s > 0
 
     # --- SA strain motion tracking (the MIRTK replacement) ---------------
     # Workload mirrors the real driver: 3 slices x T=50 at the 96x96 LV
@@ -142,7 +165,12 @@ def main():
     # blending as batched device programs.  Baseline is the reference's
     # "several minutes" per subject on CPU MIRTK (README.md:51) taken as
     # an ASSUMED 180 s lower bound — the reference publishes no number.
-    strain_s = _bench_strain()
+    strain_s = None
+    try:
+        if not past_deadline():
+            strain_s = _bench_strain()
+    except Exception:
+        pass
 
     print(json.dumps({
         "metric": "full_subject_segmentation_sa_3xla_ao",
@@ -150,15 +178,18 @@ def main():
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 2),
         # SAX cine 192x208x10x50 (reference ~10 s/K80, README.md:49):
-        "sax_cine_wall_s": round(sax_wall_s, 3),          # incl. tunnel I/O
+        "sax_cine_wall_s": (round(sax_wall_s, 3)          # incl. tunnel I/O
+                            if sax_wall_s else None),
         "sax_cine_device_compute_s": (round(sax_compute_s, 3)
                                       if compute_valid else None),
-        "sax_cine_wall_vs_k80": round(10.0 / sax_wall_s, 2),
+        "sax_cine_wall_vs_k80": (round(10.0 / sax_wall_s, 2)
+                                 if sax_wall_s else None),
         "sax_cine_compute_vs_k80": (round(10.0 / sax_compute_s, 2)
                                     if compute_valid else None),
         # SA strain tracking, 3 slices x T=50 @ 96x96:
-        "strain_tracking_s": round(strain_s, 3),
-        "strain_vs_mirtk_assumed_180s": round(180.0 / strain_s, 1),
+        "strain_tracking_s": round(strain_s, 3) if strain_s else None,
+        "strain_vs_mirtk_assumed_180s": (round(180.0 / strain_s, 1)
+                                         if strain_s else None),
     }))
 
 
