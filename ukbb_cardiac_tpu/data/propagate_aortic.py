@@ -11,6 +11,7 @@ the dense supervision consumed by ``train_network_ao.py:233``.
 
 from __future__ import annotations
 
+import functools as _functools
 import os
 import shutil
 from typing import Dict, List
@@ -72,8 +73,19 @@ def build_propagation_plan(T: int, t_anno: List[int]) -> Dict[int, Dict[str, np.
     return prop_idx
 
 
+@_functools.lru_cache(maxsize=32)
+def _dense_program(X: int, Y: int, cfg: RegConfig):
+    """Cached jitted lattice->field synthesis (jax.jit keys on function
+    identity; building it per subject would recompile for every subject
+    of a cohort even though crop shapes repeat)."""
+    import jax
+
+    return jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
+
+
 def propagate_subject(data_dir: str, cfg: RegConfig = None,
-                      keep_motion_dir: bool = False) -> str:
+                      keep_motion_dir: bool = False,
+                      verbose: bool = False) -> str:
     """Propagate one subject's ED/ES aortic labels to every frame.
 
     Expects ``<data_dir>/{ao,ao_ED,ao_ES,label_ao,label_ao_ED,
@@ -146,16 +158,14 @@ def propagate_subject(data_dir: str, cfg: RegConfig = None,
                 pairs.append((source_t, target_t))
 
     if pairs:
-        import jax
-
         targets = np.stack([crop_img[:, :, 0, tt] for _, tt in pairs])
         sources = np.stack([crop_img[:, :, 0, st] for st, _ in pairs])
         controls = register_batch(targets, sources)
-        dense = jax.jit(jax.vmap(lambda *cs: total_field(cs, (X, Y), cfg)))
-        disps = np.asarray(dense(*controls))
+        disps = np.asarray(_dense_program(X, Y, cfg)(*controls))
 
     for k, (source_t, target_t) in enumerate(pairs):
-        print(f"{source_t} -> {target_t}")
+        if verbose:
+            print(f"{source_t} -> {target_t}")
         disp = disps[k]
         # pull-back on the FULL grid: the crop grid is a pure
         # voxel translation of the full grid (same axes/spacing),
