@@ -16,6 +16,8 @@ Energy matches ``par/ffd_cine_2d_motion.cfg``: SSD + 1e-1 bending energy,
 from __future__ import annotations
 
 
+import functools
+
 from dataclasses import dataclass
 from typing import Sequence, Tuple
 
@@ -469,6 +471,7 @@ def average_fields(fields: jnp.ndarray, weights: jnp.ndarray) -> jnp.ndarray:
     return jnp.sum(fields * w, axis=0)
 
 
+@functools.lru_cache(maxsize=64)
 def make_register_batch(image_shape: Tuple[int, int],
                         cfg: RegConfig = RegConfig(), mesh=None,
                         axis: str = "data"):
@@ -482,6 +485,10 @@ def make_register_batch(image_shape: Tuple[int, int],
     whole multi-level optimisation as a single program produces a graph
     the XLA compiler chews on for many minutes at no runtime benefit
     (dispatch overhead ~1 ms against ~10 ms steps).
+
+    The factory is lru_cached on (image_shape, cfg, mesh, axis): cohort
+    loops that rebuild it per subject reuse the jitted level programs
+    whenever the crop shape repeats, instead of retracing every subject.
 
     ``mesh``: optional ``jax.sharding.Mesh`` — the pair population shards
     over ``axis`` (registrations are mutually independent, so scaling
