@@ -41,28 +41,29 @@ from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch, total_field
 
 
 def evaluate_strain_by_length(contour_name_stem: str, T: int, dt: float,
-                              output_name_stem: str) -> None:
+                              output_name_stem: str, polys=None) -> None:
     """Lagrangian strain per line cell vs ED; per-AHA-segment tables
-    (``cardiac_utils.py:755-837``).  Reads ``<stem><fr:02d>.vtk``, writes
-    the Strain cell array back and ``<out>_radial.csv`` / ``<out>_circum.csv``."""
-    poly_ED = load_polydata(f"{contour_name_stem}{0:02d}.vtk")
+    (``cardiac_utils.py:755-837``).  Reads ``<stem><fr:02d>.vtk`` (or the
+    same polydata passed in-memory via ``polys`` — the driver already
+    holds the objects it just wrote, so reloading the text files doubled
+    the finish stage's cost), writes the Strain cell array back and
+    ``<out>_radial.csv`` / ``<out>_circum.csv``."""
+    poly_ED = (polys[0] if polys is not None
+               else load_polydata(f"{contour_name_stem}{0:02d}.vtk"))
     pts = poly_ED.points
-    n_lines = len(poly_ED.lines)
-    length_ED = np.zeros(n_lines)
-    for i, cell in enumerate(poly_ED.lines):
-        length_ED[i] = np.linalg.norm(pts[cell[0]] - pts[cell[1]])
+    lines_arr = np.asarray(poly_ED.lines)
+    length_ED = np.linalg.norm(pts[lines_arr[:, 0]] - pts[lines_arr[:, 1]],
+                               axis=1)
     seg_id = poly_ED.cell_scalars["Segment_ID"]
     dir_id = poly_ED.cell_scalars["Direction_ID"]
 
     table_strain = {"radial": np.zeros((17, T)), "circum": np.zeros((17, T))}
     for fr in range(T):
         filename = f"{contour_name_stem}{fr:02d}.vtk"
-        poly = load_polydata(filename)
+        poly = polys[fr] if polys is not None else load_polydata(filename)
         p = poly.points
-        strain = np.zeros(n_lines)
-        for i, cell in enumerate(poly.lines):
-            d = np.linalg.norm(p[cell[0]] - p[cell[1]])
-            strain[i] = (d - length_ED[i]) / length_ED[i] * 100
+        d = np.linalg.norm(p[lines_arr[:, 0]] - p[lines_arr[:, 1]], axis=1)
+        strain = (d - length_ED) / length_ED * 100
         poly.cell_scalars["Strain"] = strain
         save_polydata(poly, filename)
 
@@ -285,6 +286,7 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
             os.path.join(output_dir, "seg_sa_crop.nii.gz")).dataobj)
     dice_rows = []
     combined_zs = np.asarray(ctx["fields_dev"], dtype=np.float32)
+    polys_by_frame = [[] for _ in range(T)]
 
     for zi, z in enumerate(selected):
         contour_ED = os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk")
@@ -308,6 +310,7 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
             save_polydata(poly_fr,
                           os.path.join(output_dir,
                                        f"myo_contour_z{z:02d}_fr{fr:02d}.vtk"))
+            polys_by_frame[fr].append(poly_fr)
 
         if eval_dice:
             # warp each frame's segmentation back to the ED grid and Dice
@@ -323,19 +326,18 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
                     [np_categorical_dice(seg_crop[:, :, z, 0], warped, 1),
                      np_categorical_dice(seg_crop[:, :, z, 0], warped, 2)])
 
-    # merge slices per frame (vtkAppendPolyData twin, :969-984)
+    # merge slices per frame (vtkAppendPolyData twin, :969-984) — the
+    # per-slice polydata are still in memory (written above as artifacts)
+    merged = []
     for fr in range(T):
-        parts = []
-        for z in range(Z):
-            p = os.path.join(output_dir, f"myo_contour_z{z:02d}_fr{fr:02d}.vtk")
-            if os.path.exists(p):
-                parts.append(load_polydata(p))
-        if parts:
-            save_polydata(append_polydata(parts),
-                          os.path.join(output_dir, f"myo_contour_fr{fr:02d}.vtk"))
+        parts = [polys_by_frame[fr][zi] for zi in range(len(selected))]
+        m = append_polydata(parts)
+        save_polydata(m, os.path.join(output_dir,
+                                      f"myo_contour_fr{fr:02d}.vtk"))
+        merged.append(m)
 
     evaluate_strain_by_length(os.path.join(output_dir, "myo_contour_fr"),
-                              T, dt, output_name_stem)
+                              T, dt, output_name_stem, polys=merged)
     if eval_dice and dice_rows:
         df = pd.DataFrame(dice_rows)
         df.to_csv(os.path.join(output_dir, "dice_cine_warp_ffd.csv"),

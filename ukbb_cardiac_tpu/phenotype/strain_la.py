@@ -201,25 +201,27 @@ def extract_la_myocardial_contour(seg_la_name: str, seg_sa_name: str,
 
 
 def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
-                                 output_name_stem: str) -> None:
+                                 output_name_stem: str, polys=None) -> None:
     """Longitudinal strain table, 7 rows (6 segments + Global)
-    (``cardiac_utils.py:1325-1404``)."""
-    poly_ED = load_polydata(f"{contour_name_stem}{0:02d}.vtk")
+    (``cardiac_utils.py:1325-1404``).  ``polys``: optional in-memory
+    per-frame polydata (skips reloading the files the driver just
+    wrote; the Strain-annotated files are still written)."""
+    poly_ED = (polys[0] if polys is not None
+               else load_polydata(f"{contour_name_stem}{0:02d}.vtk"))
     pts = poly_ED.points
-    n_lines = len(poly_ED.lines)
-    length_ED = np.array([np.linalg.norm(pts[c[0]] - pts[c[1]])
-                          for c in poly_ED.lines])
+    lines_arr = np.asarray(poly_ED.lines)
+    length_ED = np.linalg.norm(pts[lines_arr[:, 0]] - pts[lines_arr[:, 1]],
+                               axis=1)
     seg_id = poly_ED.cell_scalars["Segment_ID"]
     dir_id = poly_ED.cell_scalars["Direction_ID"]
 
     table = np.zeros((7, T))
     for fr in range(T):
         filename = f"{contour_name_stem}{fr:02d}.vtk"
-        poly = load_polydata(filename)
+        poly = polys[fr] if polys is not None else load_polydata(filename)
         p = poly.points
-        strain = np.array([
-            (np.linalg.norm(p[c[0]] - p[c[1]]) - length_ED[i]) / length_ED[i] * 100
-            for i, c in enumerate(poly.lines)])
+        d = np.linalg.norm(p[lines_arr[:, 0]] - p[lines_arr[:, 1]], axis=1)
+        strain = (d - length_ED) / length_ED * 100
         poly.cell_scalars["Strain"] = strain
         save_polydata(poly, filename)
         for i in range(6):
@@ -296,6 +298,7 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
     vox = (inv_affine @ np.concatenate(
         [world, np.ones((len(world), 1))], axis=1).T).T[:, :3]
 
+    frame_polys = []
     for fr in range(T):
         disp = _sample_field(combined[fr], vox[:, :2])
         vox_fr = vox.copy()
@@ -308,10 +311,11 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
                            cell_scalars=dict(poly_ED.cell_scalars))
         save_polydata(poly_fr, os.path.join(
             output_dir, f"la_4ch_myo_contour_fr{fr:02d}.vtk"))
+        frame_polys.append(poly_fr)
 
     evaluate_la_strain_by_length(
         os.path.join(output_dir, "la_4ch_myo_contour_fr"), T, dt,
-        output_name_stem)
+        output_name_stem, polys=frame_polys)
 
     if eval_dice:
         seg_crop = np.asanyarray(nifti.load(
