@@ -20,7 +20,7 @@ bench-train:
 	$(PYTHON) bench_train.py
 
 native:
-	g++ -O3 -march=native -shared -fPIC \
+	g++ -O3 -shared -fPIC \
 	    ukbb_cardiac_tpu/native/hostops.cc \
 	    -o ukbb_cardiac_tpu/native/libhostops.so
 

@@ -12,6 +12,7 @@ from __future__ import annotations
 import ctypes
 import os
 import subprocess
+import threading
 from typing import Optional
 
 import numpy as np
@@ -22,24 +23,44 @@ _LIB = os.path.join(_HERE, "libhostops.so")
 
 _lib: Optional[ctypes.CDLL] = None
 _tried = False
+_lock = threading.Lock()
 
 
 def _build() -> bool:
+    # Build to a temp path and os.replace (atomic) so concurrent
+    # builders/loaders never see a half-written .so.  Plain -O3, NOT
+    # -march=native: a .so cached on shared storage and loaded on a
+    # different CPU would SIGILL at call time (dlopen cannot catch it).
+    tmp = f"{_LIB}.build.{os.getpid()}"
     try:
         subprocess.run(
-            ["g++", "-O3", "-march=native", "-shared", "-fPIC", _SRC,
-             "-o", _LIB],
+            ["g++", "-O3", "-shared", "-fPIC", _SRC, "-o", tmp],
             check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB)
         return True
     except (OSError, subprocess.SubprocessError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return False
 
 
 def get_lib() -> Optional[ctypes.CDLL]:
-    """The loaded library, building it if needed; None if unavailable."""
+    """The loaded library, building it if needed; None if unavailable.
+    Thread-safe: run_fleet drives subjects from a thread pool, and an
+    unsynchronized first-use build raced g++ against CDLL."""
     global _lib, _tried
     if _lib is not None or _tried:
         return _lib
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        return _load_locked()
+
+
+def _load_locked() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
     _tried = True
     if not os.path.exists(_LIB) or (os.path.getmtime(_LIB)
                                     < os.path.getmtime(_SRC)):
@@ -51,13 +72,9 @@ def get_lib() -> Optional[ctypes.CDLL]:
         return None
 
     i8p = np.ctypeslib.ndpointer(np.uint8, flags="C_CONTIGUOUS")
-    i32p = np.ctypeslib.ndpointer(np.int32, flags="C_CONTIGUOUS")
     i64p = np.ctypeslib.ndpointer(np.int64, flags="C_CONTIGUOUS")
     i16p = np.ctypeslib.ndpointer(np.int16, flags="C_CONTIGUOUS")
 
-    lib.cc_label_2d.restype = ctypes.c_int32
-    lib.cc_label_2d.argtypes = [i8p, ctypes.c_int32, ctypes.c_int32,
-                                ctypes.c_int32, i32p]
     lib.largest_cc_2d.restype = ctypes.c_int64
     lib.largest_cc_2d.argtypes = [i8p, ctypes.c_int32, ctypes.c_int32,
                                   ctypes.c_int32, i8p]
@@ -83,13 +100,29 @@ def available() -> bool:
     return get_lib() is not None
 
 
+def _require_2d(binary: np.ndarray) -> np.ndarray:
+    b = np.ascontiguousarray(np.asarray(binary).astype(np.uint8))
+    if b.ndim != 2:
+        raise ValueError(f"native CC kernels take 2D masks, got shape "
+                         f"{b.shape} (use ops/cc.py for 3D — it routes "
+                         f"to scipy)")
+    return b
+
+
+def _require_lib():
+    lib = get_lib()
+    if lib is None:
+        raise RuntimeError("native hostops library unavailable (no g++ or "
+                           "build failed); guard calls with "
+                           "native.available() or use ops/cc.py")
+    return lib
+
+
 def largest_cc_2d(binary: np.ndarray, connectivity: int = 1) -> np.ndarray:
     """Largest connected component (native); binary 2D array → bool mask."""
-    lib = get_lib()
-    b = np.ascontiguousarray(binary.astype(np.uint8))
-    ny, nx = 1, b.size
-    if b.ndim == 2:
-        ny, nx = b.shape[0], b.shape[1]
+    lib = _require_lib()
+    b = _require_2d(binary)
+    ny, nx = b.shape[0], b.shape[1]
     out = np.empty_like(b)
     # the kernel is orientation-agnostic: pass (nx=cols, ny=rows)
     lib.largest_cc_2d(b, np.int32(nx), np.int32(ny), np.int32(connectivity),
@@ -99,9 +132,9 @@ def largest_cc_2d(binary: np.ndarray, connectivity: int = 1) -> np.ndarray:
 
 def count_significant_cc_2d(binary: np.ndarray, pixel_thres: int = 10,
                             connectivity: int = 2) -> int:
-    lib = get_lib()
-    b = np.ascontiguousarray(binary.astype(np.uint8))
-    ny, nx = (b.shape[0], b.shape[1]) if b.ndim == 2 else (1, b.size)
+    lib = _require_lib()
+    b = _require_2d(binary)
+    ny, nx = b.shape[0], b.shape[1]
     return int(lib.count_significant_cc_2d(
         b, np.int32(nx), np.int32(ny), np.int32(connectivity),
         np.int64(pixel_thres)))
@@ -109,9 +142,9 @@ def count_significant_cc_2d(binary: np.ndarray, pixel_thres: int = 10,
 
 def remove_small_cc_2d(binary: np.ndarray, thres: int = 10,
                        connectivity: int = 1) -> np.ndarray:
-    lib = get_lib()
-    b = np.ascontiguousarray(binary.astype(np.uint8))
-    ny, nx = (b.shape[0], b.shape[1]) if b.ndim == 2 else (1, b.size)
+    lib = _require_lib()
+    b = _require_2d(binary)
+    ny, nx = b.shape[0], b.shape[1]
     out = np.empty_like(b)
     lib.remove_small_cc_2d(b, np.int32(nx), np.int32(ny),
                            np.int32(connectivity), np.int64(thres), out)
@@ -121,7 +154,11 @@ def remove_small_cc_2d(binary: np.ndarray, thres: int = 10,
 def label_areas_per_frame(volume: np.ndarray, n_labels: int) -> np.ndarray:
     """Per-frame per-label voxel counts for an (X, Y, Z, T) int volume.
     Returns (T, n_labels) int64."""
-    lib = get_lib()
+    lib = _require_lib()
+    volume = np.asarray(volume)
+    if volume.min() < np.iinfo(np.int16).min or \
+            volume.max() > np.iinfo(np.int16).max:
+        raise ValueError("label values exceed int16 range")
     v = np.ascontiguousarray(
         np.transpose(volume, (3, 0, 1, 2)).astype(np.int16))
     T = v.shape[0]

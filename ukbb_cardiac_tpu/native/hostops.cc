@@ -10,10 +10,11 @@
 //
 //   cc_label_2d      union-find connected-component labelling
 //                    (4- or 8-connectivity), one pass per frame
-//   cc_stats_2d      component sizes in the same pass
 //   largest_cc_2d    mask of the largest component
 //   count_significant_cc_2d  number of components above a pixel threshold
-//   label_areas_4d   per-label voxel counts over a 4D (X,Y,Z,T) volume
+//   remove_small_cc_2d       zero components below a pixel threshold
+//   label_areas_per_frame    per-frame per-label voxel counts (4D volume)
+//   dicom_scan       DICOM element walker for the Biobank attribute subset
 //
 // Built as a plain shared library; Python binds via ctypes
 // (ukbb_cardiac_tpu/native/__init__.py) with a numpy/scipy fallback.
@@ -139,18 +140,6 @@ void remove_small_cc_2d(const uint8_t* binary, int32_t nx, int32_t ny,
   if (nc > 0) cc_sizes(labels.data(), n, nc, sizes.data());
   for (int64_t i = 0; i < n; ++i) {
     out_mask[i] = (labels[i] > 0 && sizes[labels[i] - 1] >= thres);
-  }
-}
-
-// Per-label voxel counts over an int16 4D volume laid out (X,Y,Z,T)
-// C-order or any order — it is a flat histogram. counts has n_labels
-// entries; values outside [0, n_labels) are ignored.
-void label_areas(const int16_t* volume, int64_t n, int32_t n_labels,
-                 int64_t* counts) {
-  std::memset(counts, 0, sizeof(int64_t) * n_labels);
-  for (int64_t i = 0; i < n; ++i) {
-    int16_t v = volume[i];
-    if (v >= 0 && v < n_labels) counts[v]++;
   }
 }
 
@@ -355,7 +344,11 @@ int64_t dicom_scan(const uint8_t* buf, int64_t n, int64_t* out,
     }
     if (pos + (int64_t)length > n) return -2;
     int idx = dicom_tag_index(((uint32_t)group << 16) | elem);
-    if (idx >= 0 && count < out_cap) {
+    if (idx >= 0) {
+      // table full: DECLINE (-2) so the caller uses the pure-Python
+      // parser, instead of silently dropping later wanted tags (which
+      // would lose PixelData first and invert duplicate-value rules)
+      if (count >= out_cap) return -2;
       out[count * 4 + 0] = idx;
       out[count * 4 + 1] = pos;
       out[count * 4 + 2] = (int64_t)length;
