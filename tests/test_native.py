@@ -203,3 +203,52 @@ def test_remove_small_cc_preserves_values_native_and_scipy():
     assert out.dtype == mask.dtype
     assert set(np.unique(out)) == {0, 3}, np.unique(out)
     assert np.all(out[2:12, 2:12] == 3) and np.all(out[15:17, 15:17] == 0)
+
+
+def test_native_cc_rejects_non_2d():
+    """The CC kernels take 2D masks only — a 3D mask must raise, not be
+    silently flattened into one raster line (which merged components
+    across row/slice boundaries)."""
+    from ukbb_cardiac_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    with np.testing.assert_raises(ValueError):
+        native.largest_cc_2d(np.ones((4, 4, 2), np.uint8))
+    with np.testing.assert_raises(ValueError):
+        native.remove_small_cc_2d(np.ones((4, 4, 2), np.uint8))
+
+
+def test_label_areas_per_frame_rejects_out_of_range():
+    from ukbb_cardiac_tpu import native
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    vol = np.zeros((4, 4, 1, 2), np.int32)
+    vol[0, 0, 0, 0] = 40000  # outside int16
+    with np.testing.assert_raises(ValueError):
+        native.label_areas_per_frame(vol, 3)
+
+
+def test_dicom_scan_declines_when_table_overflows():
+    """>64 wanted-tag occurrences must return None (decline to the
+    pure-Python parser), not silently truncate."""
+    from ukbb_cardiac_tpu import native
+    from ukbb_cardiac_tpu.data.dicom import dcmwrite_minimal
+
+    if not native.available():
+        import pytest
+        pytest.skip("native library unavailable")
+    import io, os, tempfile
+    d = tempfile.mkdtemp()
+    path = os.path.join(d, "x.dcm")
+    dcmwrite_minimal(path, {"Rows": 2, "Columns": 2, "BitsAllocated": 16,
+                            "PixelRepresentation": 0},
+                     np.zeros((2, 2), np.uint16))
+    buf = open(path, "rb").read()
+    # concatenate the dataset portion enough times to exceed 64 wanted
+    # tags in one stream
+    body = buf + buf[132:] * 40
+    assert native.dicom_scan(body) is None
