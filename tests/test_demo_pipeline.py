@@ -122,3 +122,37 @@ def test_demo_pipeline_strain_stage_skips_gracefully(tmp_path):
     # non-strain outputs still produced end-to-end
     assert (data_dir / "1" / "seg_sa.nii.gz").exists()
     assert (csv_dir / "table_ventricular_volume.csv").exists()
+
+
+def test_demo_pipeline_runs_strain_on_quality_segmentations(tmp_path):
+    """Capstone: with segmentations already present (the deploy stage's
+    idempotent skip, deploy_network.py:62-67) that PASS the QC gates,
+    the demo orchestrator runs the strain stages for real and produces
+    the strain summary CSV — the full reference stage list end-to-end."""
+    import pandas as pd
+
+    data_dir = tmp_path / "demo_image"
+    model_dir = tmp_path / "trained_model"
+    csv_dir = tmp_path / "demo_csv"
+    for i in ("1",):
+        sub = data_dir / i
+        write_subject(str(sub), seqs=("sa", "la_2ch", "la_4ch", "ao"),
+                      X=96, Y=96, Z=8, T=6, with_seg=True)
+        # ED extracts the strain/wall-thickness stages read
+        for name in ("sa", "seg_sa"):
+            nim = nifti.load(str(sub / f"{name}.nii.gz"))
+            nifti.save(nifti.Nifti1Image(
+                np.asanyarray(nim.dataobj)[:, :, :, 0], nim.affine),
+                str(sub / f"{name}_ED.nii.gz"))
+    _tiny_models(str(model_dir))
+
+    from ukbb_cardiac_tpu.cli import demo_pipeline
+    demo_pipeline.main(["--data_dir", str(data_dir),
+                        "--model_dir", str(model_dir),
+                        "--csv_dir", str(csv_dir)])
+    # ground-truth seg_sa passed QC -> SA strain actually ran
+    strain_csv = csv_dir / "table_strain_sax.csv"
+    assert strain_csv.exists()
+    df = pd.read_csv(strain_csv, index_col=0)
+    assert len(df) == 1 and "Ecc_Global (%)" in df.columns
+    assert np.isfinite(df["Ecc_Global (%)"].values).all()
