@@ -234,21 +234,19 @@ def test_label_areas_per_frame_rejects_out_of_range():
 
 def test_dicom_scan_declines_when_table_overflows():
     """>64 wanted-tag occurrences must return None (decline to the
-    pure-Python parser), not silently truncate."""
+    pure-Python parser), not silently truncate — PixelData comes last in
+    a stream and would be the first thing silently lost."""
+    import struct
+
     from ukbb_cardiac_tpu import native
-    from ukbb_cardiac_tpu.data.dicom import dcmwrite_minimal
 
     if not native.available():
         import pytest
         pytest.skip("native library unavailable")
-    import io, os, tempfile
-    d = tempfile.mkdtemp()
-    path = os.path.join(d, "x.dcm")
-    dcmwrite_minimal(path, {"Rows": 2, "Columns": 2, "BitsAllocated": 16,
-                            "PixelRepresentation": 0},
-                     np.zeros((2, 2), np.uint16))
-    buf = open(path, "rb").read()
-    # concatenate the dataset portion enough times to exceed 64 wanted
-    # tags in one stream
-    body = buf + buf[132:] * 40
-    assert native.dicom_scan(body) is None
+    # raw implicit-VR-LE dataset (no preamble): 70 valid Rows elements —
+    # a well-formed stream whose wanted-tag count exceeds the 64-row table
+    el = struct.pack("<HHI", 0x0028, 0x0010, 2) + struct.pack("<H", 7)
+    stream = el * 70
+    assert native.dicom_scan(stream) is None
+    # just below the cap the scanner still handles it
+    assert native.dicom_scan(el * 60).shape == (60, 4)
