@@ -2,9 +2,10 @@
 
 The reference's strain pipeline shells out to ~300 sequential MIRTK CPU
 registrations per subject — "several minutes" (README.md:51, SURVEY §3.4).
-Here the whole (slice x direction x frame-pair) population runs as one
-batched JAX registration.  Workload mirrors the real driver: 3 slices,
-T=50 frames, 96x96 LV crop → 294 pairwise registrations + composition +
+Here the whole (slice x frame-pair) population runs as one batched JAX
+registration.  Workload mirrors the real driver: 3 slices, T=50 frames,
+96x96 LV crop → 150 pairwise registrations (inverse-consistent: the
+reverse transforms come from batched field inversion) + composition +
 blending.
 
 Not the driver bench (bench.py measures segmentation); prints one JSON
