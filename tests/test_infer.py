@@ -398,3 +398,14 @@ def test_compat_window_short_cine_duplicate_frames():
     assert prob.shape == (24, 24, 1, 3, 3)
     np.testing.assert_allclose(prob.sum(axis=-1), 1.0, atol=1e-4)
     assert np.isfinite(prob).all()
+
+
+def test_pad_stack_empty_raises():
+    """An empty subject stack raises a clear ValueError rather than an
+    opaque ZeroDivisionError (ADVICE r2)."""
+    import pytest
+
+    from ukbb_cardiac_tpu.infer.engine import pad_stack_to_multiple
+
+    with pytest.raises(ValueError, match="empty subject stack"):
+        pad_stack_to_multiple(np.zeros((0, 8, 8), np.float32), 4)

@@ -1,0 +1,181 @@
+"""Compressed-DICOM codec tests: JPEG lossless (SOF3), JPEG-LS, RLE.
+
+The reference handles compressed transfer syntaxes through SimpleITK
+(``data/biobank_utils.py:352-363``); this framework decodes them natively
+(VERDICT r2 #3).  Round-trip tests pin bit-exactness of the Python
+reference codecs; the native C++ decoders are cross-checked against the
+independent Python implementation in test_native_jpeg.py.
+"""
+
+import numpy as np
+import pytest
+
+from ukbb_cardiac_tpu.data import jpegcodec as jc
+
+
+def _cine_like(rng, rows, cols, maxv):
+    """Smooth synthetic frame with flat background — exercises both the
+    regular (gradient) and run (flat-region) coding paths."""
+    y, x = np.mgrid[0:rows, 0:cols]
+    img = np.zeros((rows, cols), np.float64)
+    img += maxv * 0.6 * np.exp(-((x - cols / 2) ** 2 + (y - rows / 2) ** 2)
+                               / (0.08 * rows * cols))
+    img += rng.randn(rows, cols) * maxv * 0.01
+    img[:3] = 0  # flat strip → run mode
+    return np.clip(img, 0, maxv).astype(np.uint16)
+
+
+class TestJpegLossless:
+    def test_roundtrip_smooth_16bit(self, rng):
+        img = _cine_like(rng, 40, 52, 4095)
+        data = jc.encode_jpeg_lossless(img, precision=12)
+        out = jc.decode_jpeg_lossless(data)
+        np.testing.assert_array_equal(out, img)
+
+    def test_roundtrip_random_8bit(self, rng):
+        img = rng.randint(0, 256, (17, 23)).astype(np.uint16)
+        out = jc.decode_jpeg_lossless(jc.encode_jpeg_lossless(img, 8))
+        np.testing.assert_array_equal(out, img)
+
+    @pytest.mark.parametrize("sv", [1, 2, 3, 4, 5, 6, 7])
+    def test_all_predictors(self, rng, sv):
+        img = _cine_like(rng, 12, 15, 1023)
+        out = jc.decode_jpeg_lossless(
+            jc.encode_jpeg_lossless(img, 10, sv=sv))
+        np.testing.assert_array_equal(out, img)
+
+    def test_extreme_diffs(self):
+        """Alternating 0/65535 exercises the SSSS=16 escape category."""
+        img = np.zeros((4, 6), np.uint16)
+        img[::2, ::2] = 65535
+        img[1::2, 1::2] = 65535
+        out = jc.decode_jpeg_lossless(jc.encode_jpeg_lossless(img, 16))
+        np.testing.assert_array_equal(out, img)
+
+    def test_byte_stuffing(self):
+        """An image tuned to emit 0xFF bytes in the entropy stream."""
+        rng = np.random.RandomState(3)
+        img = rng.randint(0, 65536, (16, 16)).astype(np.uint16)
+        data = jc.encode_jpeg_lossless(img, 16)
+        out = jc.decode_jpeg_lossless(data)
+        np.testing.assert_array_equal(out, img)
+
+    def test_known_tiny_bitstream(self):
+        """Pin the exact encoded bytes of a 1x2 8-bit image so the stream
+        format (not just the round trip) is regression-locked.
+
+        Image [[128, 130]]: first sample predicts 1<<(8-1)=128 → diff 0
+        (category 0); second predicts Ra=128 → diff 2 (category 2,
+        magnitude bits '10').  With the canonical table (cat0='00',
+        cat1='01', cat2='100'): bits 00 100 10 + 1-padding."""
+        img = np.array([[128, 130]], np.uint16)
+        data = jc.encode_jpeg_lossless(img, 8)
+        # entropy bytes live between the SOS payload and EOI
+        sos = data.rfind(b"\xff\xda")
+        ls = int.from_bytes(data[sos + 2:sos + 4], "big")
+        entropy = data[sos + 2 + ls:-2]
+        assert entropy == bytes([0b00100101])
+        np.testing.assert_array_equal(jc.decode_jpeg_lossless(data), img)
+
+    def test_rejects_lossy_sof(self):
+        img = np.zeros((4, 4), np.uint16)
+        data = bytearray(jc.encode_jpeg_lossless(img, 8))
+        i = data.find(b"\xff\xc3")
+        data[i + 1] = 0xC0  # pretend baseline DCT
+        with pytest.raises(jc.JpegDecodeError, match="not lossless"):
+            jc.decode_jpeg_lossless(bytes(data))
+
+
+class TestJpegLS:
+    def test_roundtrip_smooth_16bit(self, rng):
+        img = _cine_like(rng, 40, 52, 4095)
+        data = jc.encode_jpegls(img, precision=12)
+        out = jc.decode_jpegls(data)
+        np.testing.assert_array_equal(out, img)
+
+    def test_roundtrip_random_8bit(self, rng):
+        img = rng.randint(0, 256, (17, 23)).astype(np.uint16)
+        np.testing.assert_array_equal(
+            jc.decode_jpegls(jc.encode_jpegls(img, 8)), img)
+
+    def test_roundtrip_flat(self):
+        """All-flat image: pure run mode, including the end-of-line rule."""
+        img = np.full((9, 31), 77, np.uint16)
+        np.testing.assert_array_equal(
+            jc.decode_jpegls(jc.encode_jpegls(img, 8)), img)
+
+    def test_roundtrip_zero(self):
+        img = np.zeros((5, 8), np.uint16)
+        np.testing.assert_array_equal(
+            jc.decode_jpegls(jc.encode_jpegls(img, 12)), img)
+
+    def test_roundtrip_runs_with_interruptions(self, rng):
+        """Long runs broken by isolated spikes: run-interruption coding."""
+        img = np.full((20, 64), 500, np.uint16)
+        for r in range(20):
+            img[r, rng.randint(0, 64)] = rng.randint(0, 4096)
+        np.testing.assert_array_equal(
+            jc.decode_jpegls(jc.encode_jpegls(img, 12)), img)
+
+    def test_roundtrip_vertical_stripes(self):
+        """Ra>Rb and Ra<Rb interruption signs both exercised."""
+        img = np.tile(np.array([0, 4095], np.uint16), (16, 24))
+        np.testing.assert_array_equal(
+            jc.decode_jpegls(jc.encode_jpegls(img, 12)), img)
+
+    def test_roundtrip_16bit_extremes(self):
+        img = np.zeros((6, 6), np.uint16)
+        img[::2, ::2] = 65535
+        np.testing.assert_array_equal(
+            jc.decode_jpegls(jc.encode_jpegls(img, 16)), img)
+
+    def test_roundtrip_many_random(self, rng):
+        for _ in range(5):
+            rows = rng.randint(1, 30)
+            cols = rng.randint(1, 30)
+            P = int(rng.choice([8, 10, 12, 16]))
+            img = rng.randint(0, 1 << P, (rows, cols)).astype(np.uint16)
+            np.testing.assert_array_equal(
+                jc.decode_jpegls(jc.encode_jpegls(img, P)), img,
+                err_msg=f"shape=({rows},{cols}) P={P}")
+
+    def test_default_thresholds(self):
+        """T1/T2/T3 defaults per T.87 C.2.4.1.1.1 for 8- and 16-bit."""
+        assert jc._jls_default_thresholds(255, 0) == (3, 7, 21)
+        assert jc._jls_default_thresholds(65535, 0) == (18, 67, 276)
+
+    def test_near_lossless(self, rng):
+        """NEAR=2 (syntax .81): max abs error bounded by NEAR."""
+        img = _cine_like(rng, 24, 30, 4095)
+        data = jc.encode_jpegls(img, 12, near=2)
+        out = jc.decode_jpegls(data)
+        assert np.abs(out.astype(int) - img.astype(int)).max() <= 2
+
+
+class TestRLE:
+    def test_roundtrip_16bit(self, rng):
+        img = _cine_like(rng, 32, 40, 4095)
+        out = jc.decode_rle(jc.encode_rle(img), 32, 40, 2)
+        np.testing.assert_array_equal(out, img)
+
+    def test_roundtrip_8bit(self, rng):
+        img = rng.randint(0, 256, (11, 13)).astype(np.uint8)
+        out = jc.decode_rle(jc.encode_rle(img), 11, 13, 1)
+        np.testing.assert_array_equal(out, img)
+
+    def test_roundtrip_flat(self):
+        img = np.full((64, 64), 1234, np.uint16)
+        out = jc.decode_rle(jc.encode_rle(img), 64, 64, 2)
+        np.testing.assert_array_equal(out, img)
+
+    def test_header_and_planes(self):
+        """MSB byte plane first (PS3.5 G.2) with a 64-byte header."""
+        img = np.array([[0x1234, 0x5678]], np.uint16)
+        data = jc.encode_rle(img)
+        nseg = int.from_bytes(data[:4], "little")
+        assert nseg == 2
+        off0 = int.from_bytes(data[4:8], "little")
+        assert off0 == 64
+        # first segment decodes to the high bytes
+        seg0 = jc._packbits_decode(data[64:], 2)
+        assert seg0 == bytes([0x12, 0x56])

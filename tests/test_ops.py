@@ -313,3 +313,23 @@ def test_percentiles_bisect_matches_numpy():
             ref = [float(v) for v in np.percentile(x, qs)]
             for g, r in zip(got, ref):
                 assert abs(g - r) <= 2e-6 * max(abs(r), 1.0), (qs, g, r)
+
+
+def test_percentiles_bisect_propagates_nan():
+    """NaN voxels must propagate to every percentile, matching
+    np.percentile — the raw bisection would order NaN bit patterns above
+    +inf and silently shift thresholds (ADVICE r2)."""
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.ops.intensity import (percentiles_bisect,
+                                                rescale_intensity_jax)
+
+    x = np.random.RandomState(1).randn(40, 40).astype(np.float32)
+    x[3, 7] = np.nan
+    got = [float(v) for v in percentiles_bisect(jnp.asarray(x), (1.0, 99.0))]
+    assert all(np.isnan(g) for g in got), got
+    assert np.isnan(np.asarray(rescale_intensity_jax(jnp.asarray(x)))).all()
+    # and clean inputs are unaffected
+    clean = np.abs(x)
+    clean[3, 7] = 1.0
+    got = [float(v) for v in percentiles_bisect(jnp.asarray(clean), (50.0,))]
+    assert abs(got[0] - np.percentile(clean, 50.0)) < 1e-5

@@ -343,6 +343,38 @@ def test_fcn_checkpoint_with_genuine_tf_autonaming(tmp_path):
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-4)
 
 
+def _build_reference_unet(tf1, image, cfg):
+    """The reference UNet graph (network_ao.py:18-64) in its exact scope
+    structure and creation order; every variable name TF-generated.
+    Returns (logits, net) like the reference's ``UNet``."""
+    with tf1.variable_scope("UNet"):
+        net = {}
+        x = image
+        for l in range(cfg.n_level):       # down path (:30-40)
+            with tf1.variable_scope(f"conv{l}"):
+                s = 1 if l == 0 else 2
+                x = _auto_conv_bn_relu(tf1, x, cfg.n_filter[l], 3, s)
+                for _ in range(1, cfg.n_block[l]):
+                    x = _auto_conv_bn_relu(tf1, x, cfg.n_filter[l], 3)
+                net[f"conv{l}"] = x
+        l = cfg.n_level - 1                # up path (:43-54)
+        with tf1.variable_scope(f"conv{l}_up"):
+            net[f"conv{l}_up"] = net[f"conv{l}"]
+        for l in range(cfg.n_level - 2, -1, -1):
+            with tf1.variable_scope(f"conv{l}_up"):
+                x = _auto_conv_bn_relu(tf1, net[f"conv{l + 1}_up"],
+                                       cfg.n_filter[l], 3, 2,
+                                       transpose=True)
+                x = tf1.concat([net[f"conv{l}"], x], axis=-1)
+                for _ in range(cfg.n_block[l]):
+                    x = _auto_conv_bn_relu(tf1, x, cfg.n_filter[l], 3)
+                net[f"conv{l}_up"] = x
+        with tf1.variable_scope("conv_out"):   # (:57-63)
+            logits = _auto_conv(tf1, net["conv0_up"], cfg.n_class, 1,
+                                use_bias=True)
+    return logits, net
+
+
 def test_unet_checkpoint_with_genuine_tf_autonaming(tmp_path):
     """Reference UNet (network_ao.py:18-64) with its explicit variable
     scopes and TF-uniquified layer names; converted bundle forward == TF."""
@@ -356,31 +388,7 @@ def test_unet_checkpoint_with_genuine_tf_autonaming(tmp_path):
     with graph.as_default():
         tf1.set_random_seed(9)
         image_ph = tf1.placeholder(tf1.float32, [1, 32, 32, 1], name="image")
-        with tf1.variable_scope("UNet"):
-            net = {}
-            x = image_ph
-            for l in range(cfg.n_level):       # down path (:30-40)
-                with tf1.variable_scope(f"conv{l}"):
-                    s = 1 if l == 0 else 2
-                    x = _auto_conv_bn_relu(tf1, x, cfg.n_filter[l], 3, s)
-                    for _ in range(1, cfg.n_block[l]):
-                        x = _auto_conv_bn_relu(tf1, x, cfg.n_filter[l], 3)
-                    net[f"conv{l}"] = x
-            l = cfg.n_level - 1                # up path (:43-54)
-            with tf1.variable_scope(f"conv{l}_up"):
-                net[f"conv{l}_up"] = net[f"conv{l}"]
-            for l in range(cfg.n_level - 2, -1, -1):
-                with tf1.variable_scope(f"conv{l}_up"):
-                    x = _auto_conv_bn_relu(tf1, net[f"conv{l + 1}_up"],
-                                           cfg.n_filter[l], 3, 2,
-                                           transpose=True)
-                    x = tf1.concat([net[f"conv{l}"], x], axis=-1)
-                    for _ in range(cfg.n_block[l]):
-                        x = _auto_conv_bn_relu(tf1, x, cfg.n_filter[l], 3)
-                    net[f"conv{l}_up"] = x
-            with tf1.variable_scope("conv_out"):   # (:57-63)
-                logits = _auto_conv(tf1, net["conv0_up"], cfg.n_class, 1,
-                                    use_bias=True)
+        logits, _ = _build_reference_unet(tf1, image_ph, cfg)
 
         saver = tf1.train.Saver()
         with tf1.Session(graph=graph) as sess:
@@ -405,3 +413,173 @@ def test_unet_checkpoint_with_genuine_tf_autonaming(tmp_path):
     ours, _, _ = apply_unet(p2, s2, names2, cfg2, jnp.asarray(img),
                             train=False)
     np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-4)
+
+
+def _reference_biconv_lstm(tf1, cell_cls, features, lstm_input_shape,
+                           n_hidden, n_step, n_class):
+    """BiConv_LSTM (network_ao.py:255-319) in the reference's exact scope
+    structure and creation order, with the vendored contrib cell fixture;
+    every variable name is TF-generated."""
+    init = tf1.random_normal_initializer(stddev=0.3)
+    with tf1.variable_scope("LSTM"):
+        with tf1.variable_scope("forward"):
+            cell_fw = cell_cls(lstm_input_shape, n_hidden, [3, 3])
+            state_fw = cell_fw.zero_state(tf1.shape(features)[0], tf1.float32)
+            outs_fw = []
+            for t in range(n_step):
+                if t > 0:
+                    tf1.get_variable_scope().reuse_variables()
+                h, state_fw = cell_fw(features[:, t], state_fw)
+                outs_fw.append(h)
+        with tf1.variable_scope("backward"):
+            cell_bw = cell_cls(lstm_input_shape, n_hidden, [3, 3])
+            state_bw = cell_bw.zero_state(tf1.shape(features)[0], tf1.float32)
+            outs_bw = []
+            for t in range(n_step - 1, -1, -1):
+                if t < n_step - 1:
+                    tf1.get_variable_scope().reuse_variables()
+                h, state_bw = cell_bw(features[:, t], state_bw)
+                outs_bw.append(h)
+        with tf1.variable_scope("output"):
+            outs = []
+            for t in range(n_step):
+                if t > 0:
+                    tf1.get_variable_scope().reuse_variables()
+                cat = tf1.concat([outs_fw[t], outs_bw[n_step - 1 - t]],
+                                 axis=-1)
+                # tf.layers.conv2d(..., name='conv2d') — explicit name,
+                # reuse via the outer scope (network_ao.py:310-315)
+                with tf1.variable_scope("conv2d"):
+                    k = tf1.get_variable("kernel",
+                                         [1, 1, 2 * n_hidden, n_class],
+                                         initializer=init)
+                    b = tf1.get_variable("bias", [n_class],
+                                         initializer=tf1.zeros_initializer())
+                    outs.append(tf1.nn.bias_add(
+                        tf1.nn.conv2d(cat, k, strides=[1, 1, 1, 1],
+                                      padding="SAME"), b))
+            outputs = tf1.stack(outs, axis=1)
+    return outputs
+
+
+def test_unet_lstm_checkpoint_with_genuine_tf_autonaming(tmp_path):
+    """The flagship UNet-LSTM naming contract, closed without hand-pinning
+    (VERDICT r2 #1): the full UNet_LSTM_Model graph (network_ao.py:322-399)
+    rebuilt in the reference's creation order with the vendored contrib
+    Conv2DLSTMCell fixture (tests/fixtures/contrib_convlstm.py).  TF's own
+    variable-scope machinery emits conv_2d_lstm_cell/{kernel,biases} and
+    every per-scope counter; the checkpoint round-trips through
+    ckpt/tf_reader.py and the full-scan deploy forward equals the TF
+    unrolled forward (T == n_step, zero initial state on both sides)."""
+    import tensorflow.compat.v1 as tf1
+
+    from tests.fixtures.contrib_convlstm import Conv2DLSTMCell
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+
+    cfg = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(2, 4, 4),
+                              n_block=(1, 2, 1))
+    N, T, X, Y, n_hidden = 1, 4, 32, 32, 4
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(21)
+        images_ph = tf1.placeholder(tf1.float32, [N, T, X, Y, 1],
+                                    name="image")
+        # merge T into batch, UNet features, back to NTXYC (:333-347)
+        flat = tf1.reshape(images_ph, [N * T, X, Y, 1])
+        _, net = _build_reference_unet(tf1, flat, cfg)
+        features = tf1.reshape(net["conv0_up"], [N, T, X, Y, cfg.n_filter[0]])
+        outputs = _reference_biconv_lstm(tf1, Conv2DLSTMCell, features,
+                                         [X, Y, cfg.n_filter[0]], n_hidden,
+                                         T, cfg.n_class)
+        prob = tf1.nn.softmax(outputs, name="prob")   # (:395)
+
+        saver = tf1.train.Saver()
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            img = np.random.RandomState(17).rand(N, T, X, Y, 1).astype(
+                np.float32)
+            ref_prob = sess.run(prob, {images_ph: img})
+            prefix = str(tmp_path / "UNet-LSTM_genuine.ckpt")
+            saver.save(sess, prefix)
+        # the names below are ASSERTED, not used for construction: TF's
+        # uniquifier generated them; the converter must find them
+        var_names = sorted(v.op.name for v in tf1.global_variables())
+        for expect in ["LSTM/forward/conv_2d_lstm_cell/kernel",
+                       "LSTM/forward/conv_2d_lstm_cell/biases",
+                       "LSTM/backward/conv_2d_lstm_cell/kernel",
+                       "LSTM/backward/conv_2d_lstm_cell/biases",
+                       "LSTM/output/conv2d/kernel",
+                       "LSTM/output/conv2d/bias",
+                       "UNet/conv0/conv2d/kernel",
+                       "UNet/conv_out/conv2d/kernel"]:
+            assert expect in var_names, (expect, var_names)
+        # contrib kernel shape: (3, 3, in_ch + n_hidden, 4 * n_hidden)
+        kshape = [v for v in tf1.global_variables()
+                  if v.op.name == "LSTM/forward/conv_2d_lstm_cell/kernel"
+                  ][0].shape.as_list()
+        assert kshape == [3, 3, cfg.n_filter[0] + n_hidden, 4 * n_hidden]
+
+    bundle = convert_tf_checkpoint(prefix)
+    kind, cfg2, names2, p2, s2, extra = store.load_model(bundle)
+    assert kind == "unet_lstm" and extra["bidirectional"] is True
+    assert cfg2 == cfg
+
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    eng = AorticEngine(kind, cfg2, names2, p2, s2, bidirectional=True)
+    # engine input is (X, Y, Z, T); Z plays the TF batch role
+    seq = np.transpose(img[0, :, :, :, 0], (1, 2, 0))[:, :, None, :]
+    ours = eng.prob_sequence(seq, window="full")     # (X, Y, 1, T, C)
+    ours_ntxyc = np.transpose(ours[:, :, 0], (2, 0, 1, 3))[None]
+    np.testing.assert_allclose(ours_ntxyc, ref_prob, atol=2e-4, rtol=1e-3)
+
+
+def test_conv_lstm_unidirectional_genuine_tf_autonaming(tmp_path):
+    """Conv_LSTM (network_ao.py:214-252): the unidirectional head's
+    TF-generated names (LSTM/conv_2d_lstm_cell, LSTM/conv2d) and scan
+    numerics vs the TF unrolled loop."""
+    import tensorflow.compat.v1 as tf1
+
+    from tests.fixtures.contrib_convlstm import Conv2DLSTMCell
+    from ukbb_cardiac_tpu.models import convlstm
+
+    N, T, X, Y, C, n_hidden, n_class = 1, 3, 16, 16, 2, 3, 3
+    init = tf1.random_normal_initializer(stddev=0.3)
+    graph = tf1.Graph()
+    with graph.as_default():
+        tf1.set_random_seed(23)
+        feat_ph = tf1.placeholder(tf1.float32, [N, T, X, Y, C])
+        with tf1.variable_scope("LSTM"):                    # (:224)
+            cell = Conv2DLSTMCell([X, Y, C], n_hidden, [3, 3])
+            state = cell.zero_state(tf1.shape(feat_ph)[0], tf1.float32)
+            outs = []
+            for t in range(T):                              # (:240-250)
+                if t > 0:
+                    tf1.get_variable_scope().reuse_variables()
+                h, state = cell(feat_ph[:, t], state)
+                with tf1.variable_scope("conv2d"):
+                    k = tf1.get_variable("kernel", [1, 1, n_hidden, n_class],
+                                         initializer=init)
+                    b = tf1.get_variable("bias", [n_class],
+                                         initializer=tf1.zeros_initializer())
+                    outs.append(tf1.nn.bias_add(
+                        tf1.nn.conv2d(h, k, strides=[1, 1, 1, 1],
+                                      padding="SAME"), b))
+            outputs = tf1.stack(outs, axis=1)
+        with tf1.Session(graph=graph) as sess:
+            sess.run(tf1.global_variables_initializer())
+            feats = np.random.RandomState(29).randn(N, T, X, Y, C).astype(
+                np.float32)
+            ref = sess.run(outputs, {feat_ph: feats})
+            tfv = {v.op.name: sess.run(v) for v in tf1.global_variables()}
+    assert set(tfv) == {"LSTM/conv_2d_lstm_cell/kernel",
+                        "LSTM/conv_2d_lstm_cell/biases",
+                        "LSTM/conv2d/kernel", "LSTM/conv2d/bias"}
+
+    params = {"LSTM": {
+        "conv_2d_lstm_cell": {
+            "kernel": jnp.asarray(tfv["LSTM/conv_2d_lstm_cell/kernel"]),
+            "biases": jnp.asarray(tfv["LSTM/conv_2d_lstm_cell/biases"])},
+        "conv2d": {"kernel": jnp.asarray(tfv["LSTM/conv2d/kernel"]),
+                   "bias": jnp.asarray(tfv["LSTM/conv2d/bias"])}}}
+    ours = convlstm.apply_conv_lstm(params, jnp.asarray(feats))
+    np.testing.assert_allclose(np.asarray(ours), ref, atol=2e-4, rtol=1e-3)

@@ -58,3 +58,29 @@ def test_stage_timer_thread_safe_spans():
     for i in range(4):
         expected |= {f"t{i}", f"t{i}/inner"}
     assert keys == expected, keys
+
+
+def test_stage_timer_summary_concurrent_with_new_spans():
+    """summary() must tolerate worker threads opening NEW span names
+    concurrently (snapshot under the lock, ADVICE r2)."""
+    import threading
+
+    from ukbb_cardiac_tpu.utils.timing import StageTimer
+
+    timer = StageTimer()
+    stop = threading.Event()
+
+    def writer():
+        i = 0
+        while not stop.is_set() and i < 20000:
+            timer.record(f"span{i}", 0.001)
+            i += 1
+
+    t = threading.Thread(target=writer)
+    t.start()
+    try:
+        for _ in range(50):
+            timer.summary()
+    finally:
+        stop.set()
+        t.join()

@@ -108,6 +108,8 @@ def pad_stack_to_multiple(stack: np.ndarray, n: int):
     existing subjects (works when the stack is SMALLER than ``n``, unlike
     a plain ``stack[:pad_n]`` slice).  Returns (padded, original_count)."""
     S = stack.shape[0]
+    if S == 0:
+        raise ValueError("empty subject stack: nothing to pad or cycle")
     pad_n = (-S) % n
     if pad_n:
         reps = -(-pad_n // S)

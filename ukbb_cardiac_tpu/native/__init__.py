@@ -92,6 +92,12 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.dicom_scan.restype = ctypes.c_int64
     lib.dicom_scan.argtypes = [ctypes.c_char_p, ctypes.c_int64, i64p,
                                ctypes.c_int64]
+    u16p = np.ctypeslib.ndpointer(np.uint16, flags="C_CONTIGUOUS")
+    i32_ref = ctypes.POINTER(ctypes.c_int32)
+    for fn in (lib.jpeg_sof3_decode, lib.jpegls_decode):
+        fn.restype = ctypes.c_int32
+        fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, u16p,
+                       ctypes.c_int64, i32_ref, i32_ref]
     _lib = lib
     return _lib
 
@@ -168,6 +174,39 @@ def label_areas_per_frame(volume: np.ndarray, n_labels: int) -> np.ndarray:
                               np.int32(T), np.int32(n_labels),
                               counts.reshape(-1))
     return counts
+
+
+def _jpeg_decode(fn_name: str, data: bytes, expected_pixels):
+    lib = get_lib()
+    if lib is None:
+        return None
+    cap = int(expected_pixels) if expected_pixels else (1 << 22)
+    out = np.empty(cap, dtype=np.uint16)
+    rows = ctypes.c_int32(0)
+    cols = ctypes.c_int32(0)
+    rc = getattr(lib, fn_name)(data, np.int64(len(data)), out,
+                               np.int64(cap), ctypes.byref(rows),
+                               ctypes.byref(cols))
+    if rc == -3 and expected_pixels:  # header dims exceed the caller's hint
+        return _jpeg_decode(fn_name, data, None)
+    if rc != 0:
+        from ukbb_cardiac_tpu.data.jpegcodec import JpegDecodeError
+        kind = {-1: "malformed", -2: "unsupported"}.get(rc, f"error {rc}")
+        raise JpegDecodeError(f"native {fn_name}: {kind} stream")
+    return out[:rows.value * cols.value].reshape(rows.value, cols.value)
+
+
+def jpeg_sof3_decode(data: bytes, expected_pixels=None):
+    """Native JPEG lossless (SOF3) decode → (rows, cols) uint16, or None
+    when the library is unavailable (callers fall back to
+    data/jpegcodec.py).  Raises JpegDecodeError on bad streams."""
+    return _jpeg_decode("jpeg_sof3_decode", data, expected_pixels)
+
+
+def jpegls_decode(data: bytes, expected_pixels=None):
+    """Native JPEG-LS decode → (rows, cols) uint16, or None when the
+    library is unavailable."""
+    return _jpeg_decode("jpegls_decode", data, expected_pixels)
 
 
 def dicom_scan(buf: bytes):

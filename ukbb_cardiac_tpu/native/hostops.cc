@@ -360,4 +360,499 @@ int64_t dicom_scan(const uint8_t* buf, int64_t n, int64_t* out,
   return count;
 }
 
+// ---------------------------------------------------------------------------
+// Compressed-DICOM pixel decoders: JPEG lossless (ITU-T T.81 Annex H,
+// SOF3) and JPEG-LS (ITU-T T.87).  These are the per-pixel hot loops of
+// converting compressed UKB re-releases (the reference degrades through
+// SimpleITK, biobank_utils.py:352-363); the Python reference
+// implementation lives in data/jpegcodec.py and the two are
+// cross-checked bit-exactly in tests/test_native_jpeg.py.
+// Return codes: >=0 ok, -1 malformed, -2 unsupported, -3 output too small.
+// ---------------------------------------------------------------------------
+
+struct BitReader {
+  const uint8_t* buf;
+  int64_t n;
+  int64_t pos;
+  uint64_t acc;
+  int nbits;
+  bool prev_ff;
+  bool jls;  // JPEG-LS 7-bit stuffing vs JPEG 0x00 byte stuffing
+  bool err;
+};
+
+static void br_fill(BitReader& r) {
+  if (r.pos >= r.n) {  // tolerate missing final padding: zero bits
+    r.acc <<= 8;
+    r.nbits += 8;
+    return;
+  }
+  uint8_t byte = r.buf[r.pos];
+  if (!r.jls && r.prev_ff) {
+    if (byte == 0x00) {  // stuffed byte after 0xFF
+      r.pos++;
+      r.prev_ff = false;
+      br_fill(r);
+      return;
+    }
+    r.err = true;  // marker inside entropy data
+    r.acc <<= 8;
+    r.nbits += 8;
+    return;
+  }
+  r.pos++;
+  if (r.jls && r.prev_ff) {
+    r.acc = (r.acc << 7) | (byte & 0x7F);
+    r.nbits += 7;
+  } else {
+    r.acc = (r.acc << 8) | byte;
+    r.nbits += 8;
+  }
+  r.prev_ff = (byte == 0xFF);
+}
+
+static inline uint32_t br_read(BitReader& r, int nbits) {
+  while (r.nbits < nbits) br_fill(r);
+  int shift = r.nbits - nbits;
+  uint32_t val = (uint32_t)((r.acc >> shift) & ((1u << nbits) - 1u));
+  r.acc &= ((uint64_t)1 << shift) - 1;
+  r.nbits = shift;
+  return val;
+}
+
+static inline int br_unary(BitReader& r, int limit) {
+  int count = 0;
+  while (br_read(r, 1) == 0) {
+    if (++count > limit || r.err) {
+      r.err = true;
+      return count;
+    }
+  }
+  return count;
+}
+
+// --- JPEG lossless (SOF3) --------------------------------------------------
+
+static inline int32_t sof3_predict(int32_t ra, int32_t rb, int32_t rc,
+                                   int sv) {
+  switch (sv) {
+    case 1: return ra;
+    case 2: return rb;
+    case 3: return rc;
+    case 4: return ra + rb - rc;
+    case 5: return ra + ((rb - rc) >> 1);
+    case 6: return rb + ((ra - rc) >> 1);
+    default: return (ra + rb) >> 1;  // 7
+  }
+}
+
+// Decode a single-component JPEG lossless (SOF3) stream into out
+// (row-major uint16).  Writes image dims into *rows/*cols.
+int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
+                         int64_t out_cap, int32_t* rows_out,
+                         int32_t* cols_out) {
+  if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  int64_t pos = 2;
+  int P = 0, rows = 0, cols = 0, sv = 0, pt = 0, comp_table = 0;
+  bool have_sof = false, have_sos = false;
+  // Huffman table: symbol + canonical code per category
+  int bits_count[17] = {0};
+  uint8_t huffval[64];
+  int nsym = 0;
+  int64_t entropy_start = -1;
+
+  while (pos + 4 <= n) {
+    if (data[pos] != 0xFF) return -1;
+    uint8_t marker = data[pos + 1];
+    if (marker == 0xD9) break;
+    int length = (data[pos + 2] << 8) | data[pos + 3];
+    const uint8_t* seg = data + pos + 4;
+    int seg_len = length - 2;
+    if (pos + 2 + length > n) return -1;
+    if (marker == 0xC3) {
+      if (seg_len < 8) return -1;
+      P = seg[0];
+      rows = (seg[1] << 8) | seg[2];
+      cols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return -2;  // multi-component
+      have_sof = true;
+    } else if (marker >= 0xC0 && marker <= 0xCF && marker != 0xC4 &&
+               marker != 0xC8 && marker != 0xCC) {
+      return -2;  // a SOF other than lossless
+    } else if (marker == 0xC4) {
+      int p = 0;
+      while (p < seg_len) {
+        int tc_th = seg[p];
+        if ((tc_th & 0x0F) == 0 || true) {
+          // accept any table id; last one with matching id wins below
+        }
+        int cnt = 0;
+        for (int i = 0; i < 16; ++i) cnt += seg[p + 1 + i];
+        if (cnt > 64 || p + 17 + cnt > seg_len) return -1;
+        // store only the table the scan will use (id resolved at SOS —
+        // DICOM streams carry exactly one table, so keep the last)
+        for (int i = 0; i < 16; ++i) bits_count[i] = seg[p + 1 + i];
+        nsym = cnt;
+        for (int i = 0; i < cnt; ++i) huffval[i] = seg[p + 17 + i];
+        p += 17 + cnt;
+      }
+    } else if (marker == 0xDD) {
+      return -2;  // restart intervals
+    } else if (marker == 0xDA) {
+      if (seg_len < 6 || seg[0] != 1) return -2;
+      comp_table = seg[2] >> 4;
+      (void)comp_table;
+      sv = seg[3];
+      pt = seg[5] & 0x0F;
+      have_sos = true;
+      entropy_start = pos + 2 + length;
+      break;
+    }
+    pos += 2 + length;
+  }
+  if (!have_sof || !have_sos || nsym == 0) return -1;
+  if (sv < 1 || sv > 7) return -2;
+  if ((int64_t)rows * cols > out_cap) return -3;
+  *rows_out = rows;
+  *cols_out = cols;
+
+  // canonical decode tables per length: mincode/maxcode/valptr
+  int32_t mincode[17], maxcode[17], valptr[17];
+  {
+    int code = 0, k = 0;
+    for (int l = 1; l <= 16; ++l) {
+      valptr[l] = k;
+      mincode[l] = code;
+      code += bits_count[l - 1];
+      k += bits_count[l - 1];
+      maxcode[l] = code - 1;  // -1 when no codes of this length
+      if (bits_count[l - 1] == 0) maxcode[l] = -1;
+      code <<= 1;
+    }
+  }
+
+  BitReader r{data, n, entropy_start, 0, 0, false, false, false};
+  int32_t defaultv = 1 << (P - 1 - pt);
+  for (int row = 0; row < rows; ++row) {
+    for (int col = 0; col < cols; ++col) {
+      // Huffman-decode the category
+      int code = br_read(r, 1);
+      int l = 1;
+      while (l <= 16 && (maxcode[l] < 0 || code > maxcode[l])) {
+        code = (code << 1) | br_read(r, 1);
+        ++l;
+      }
+      if (l > 16 || r.err) return -1;
+      int ssss = huffval[valptr[l] + code - mincode[l]];
+      int32_t diff;
+      if (ssss == 0) {
+        diff = 0;
+      } else if (ssss == 16) {
+        diff = 32768;
+      } else {
+        uint32_t mag = br_read(r, ssss);
+        diff = (mag >= (1u << (ssss - 1)))
+                   ? (int32_t)mag
+                   : (int32_t)mag - (1 << ssss) + 1;
+      }
+      int32_t px;
+      if (row == 0) {
+        px = (col == 0) ? defaultv : (int32_t)out[col - 1];
+      } else if (col == 0) {
+        px = (int32_t)out[(int64_t)(row - 1) * cols];
+      } else {
+        px = sof3_predict((int32_t)out[(int64_t)row * cols + col - 1],
+                          (int32_t)out[(int64_t)(row - 1) * cols + col],
+                          (int32_t)out[(int64_t)(row - 1) * cols + col - 1],
+                          sv);
+      }
+      out[(int64_t)row * cols + col] = (uint16_t)((px + diff) & 0xFFFF);
+    }
+  }
+  return r.err ? -1 : 0;
+}
+
+// --- JPEG-LS (T.87) --------------------------------------------------------
+
+static const int kJlsJ[32] = {0, 0, 0, 0, 1, 1, 1, 1, 2, 2,  2,  2,  3,  3,
+                              3, 3, 4, 4, 5, 5, 6, 6, 7, 7,  8,  9,  10, 11,
+                              12, 13, 14, 15};
+
+struct JlsState {
+  int maxval, near, t1, t2, t3, reset;
+  int range, qbpp, limit;
+  int32_t A[367], B[365], C[365], N[367], Nn[2];
+  int run_index;
+};
+
+static void jls_init(JlsState& s, int maxval, int near, int t1, int t2,
+                     int t3, int reset) {
+  s.maxval = maxval;
+  s.near = near;
+  s.t1 = t1;
+  s.t2 = t2;
+  s.t3 = t3;
+  s.reset = reset;
+  s.range = (maxval + 2 * near) / (2 * near + 1) + 1;
+  s.qbpp = 0;
+  while ((1 << s.qbpp) < s.range) s.qbpp++;
+  int bpp = 2;
+  while ((1 << bpp) < maxval + 1) bpp++;
+  if (bpp < 2) bpp = 2;
+  s.limit = 2 * (bpp + (bpp > 8 ? bpp : 8));
+  int a_init = (s.range + 32) / 64;
+  if (a_init < 2) a_init = 2;
+  for (int i = 0; i < 367; ++i) {
+    s.A[i] = a_init;
+    s.N[i] = 1;
+  }
+  for (int i = 0; i < 365; ++i) s.B[i] = s.C[i] = 0;
+  s.Nn[0] = s.Nn[1] = 0;
+  s.run_index = 0;
+}
+
+static void jls_defaults(int maxval, int near, int* t1, int* t2, int* t3) {
+  auto clampv = [&](int v, int lo) {
+    if (v < lo) v = lo;
+    if (v > maxval) v = maxval;
+    return v;
+  };
+  if (maxval >= 128) {
+    int factor = ((maxval < 4095 ? maxval : 4095) + 128) >> 8;
+    *t1 = clampv(factor * (3 - 2) + 2 + 3 * near, near + 1);
+    *t2 = clampv(factor * (7 - 3) + 3 + 5 * near, *t1);
+    *t3 = clampv(factor * (21 - 4) + 4 + 7 * near, *t2);
+  } else {
+    *t1 = clampv(3 + 3 * near > 2 ? 3 + 3 * near : 2, near + 1);
+    *t2 = clampv(7 + 5 * near, *t1);
+    *t3 = clampv(21 + 7 * near, *t2);
+  }
+}
+
+static inline int jls_quantize(const JlsState& s, int d) {
+  if (d <= -s.t3) return -4;
+  if (d <= -s.t2) return -3;
+  if (d <= -s.t1) return -2;
+  if (d < -s.near) return -1;
+  if (d <= s.near) return 0;
+  if (d < s.t1) return 1;
+  if (d < s.t2) return 2;
+  if (d < s.t3) return 3;
+  return 4;
+}
+
+static inline int32_t jls_med(int32_t ra, int32_t rb, int32_t rc) {
+  int32_t mx = ra > rb ? ra : rb, mn = ra < rb ? ra : rb;
+  if (rc >= mx) return mn;
+  if (rc <= mn) return mx;
+  return ra + rb - rc;
+}
+
+static inline int32_t jls_golomb_read(BitReader& r, int k, int limit,
+                                      int qbpp) {
+  int high = br_unary(r, limit);
+  if (high < limit - qbpp - 1)
+    return ((int32_t)high << k) | (k ? (int32_t)br_read(r, k) : 0);
+  return (int32_t)br_read(r, qbpp) + 1;
+}
+
+static inline int32_t jls_reconstruct(const JlsState& s, int32_t px,
+                                      int32_t signed_err) {
+  int32_t rec = px + signed_err * (2 * s.near + 1);
+  if (rec < -s.near)
+    rec += s.range * (2 * s.near + 1);
+  else if (rec > s.maxval + s.near)
+    rec -= s.range * (2 * s.near + 1);
+  if (rec < 0) rec = 0;
+  if (rec > s.maxval) rec = s.maxval;
+  return rec;
+}
+
+// Decode a single-component JPEG-LS stream into out (row-major uint16).
+int32_t jpegls_decode(const uint8_t* data, int64_t n, uint16_t* out,
+                      int64_t out_cap, int32_t* rows_out,
+                      int32_t* cols_out) {
+  if (n < 4 || data[0] != 0xFF || data[1] != 0xD8) return -1;
+  int64_t pos = 2;
+  int P = 0, rows = 0, cols = 0, near = 0;
+  int maxval_override = 0, t1o = 0, t2o = 0, t3o = 0, reset = 64;
+  bool have_sof = false;
+  int64_t entropy_start = -1;
+
+  while (pos + 4 <= n) {
+    if (data[pos] != 0xFF) return -1;
+    uint8_t marker = data[pos + 1];
+    if (marker == 0xD9) break;
+    int length = (data[pos + 2] << 8) | data[pos + 3];
+    const uint8_t* seg = data + pos + 4;
+    int seg_len = length - 2;
+    if (pos + 2 + length > n) return -1;
+    if (marker == 0xF7) {  // SOF55
+      if (seg_len < 8) return -1;
+      P = seg[0];
+      rows = (seg[1] << 8) | seg[2];
+      cols = (seg[3] << 8) | seg[4];
+      if (seg[5] != 1) return -2;
+      have_sof = true;
+    } else if (marker == 0xF8) {  // LSE
+      if (seg_len >= 11 && seg[0] == 1) {
+        maxval_override = (seg[1] << 8) | seg[2];
+        t1o = (seg[3] << 8) | seg[4];
+        t2o = (seg[5] << 8) | seg[6];
+        t3o = (seg[7] << 8) | seg[8];
+        int rs = (seg[9] << 8) | seg[10];
+        if (rs) reset = rs;
+      }
+    } else if (marker == 0xDA) {
+      if (seg_len < 6 || seg[0] != 1) return -2;
+      near = seg[3];
+      if (seg[4] != 0) return -2;  // interleaved
+      entropy_start = pos + 2 + length;
+      break;
+    }
+    pos += 2 + length;
+  }
+  if (!have_sof || entropy_start < 0) return -1;
+  if (P < 2 || P > 16) return -2;
+  if ((int64_t)rows * cols > out_cap) return -3;
+  *rows_out = rows;
+  *cols_out = cols;
+
+  int maxval = maxval_override ? maxval_override : (1 << P) - 1;
+  int t1, t2, t3;
+  if (t1o || t2o || t3o) {
+    t1 = t1o;
+    t2 = t2o;
+    t3 = t3o;
+  } else {
+    jls_defaults(maxval, near, &t1, &t2, &t3);
+  }
+  JlsState s;
+  jls_init(s, maxval, near, t1, t2, t3, reset);
+
+  BitReader r{data, n, entropy_start, 0, 0, false, true, false};
+
+  for (int row = 0; row < rows; ++row) {
+    uint16_t* cur = out + (int64_t)row * cols;
+    const uint16_t* prev = row ? out + (int64_t)(row - 1) * cols : nullptr;
+    const uint16_t* prev2 = row >= 2 ? out + (int64_t)(row - 2) * cols
+                                     : nullptr;
+    int col = 0;
+    while (col < cols) {
+      if (r.err) return -1;
+      int32_t rb = prev ? prev[col] : 0;
+      int32_t rd = (col + 1 < cols) ? (prev ? prev[col + 1] : 0) : rb;
+      int32_t ra, rc;
+      if (col == 0) {
+        ra = rb;
+        rc = prev2 ? prev2[0] : 0;
+      } else {
+        ra = cur[col - 1];
+        rc = prev ? prev[col - 1] : 0;
+      }
+      int q = 81 * jls_quantize(s, rd - rb) + 9 * jls_quantize(s, rb - rc) +
+              jls_quantize(s, rc - ra);
+      int sign = 1;
+      if (q < 0) {
+        q = -q;
+        sign = -1;
+      }
+      if (q == 0) {
+        // ---- run mode ----
+        int32_t runval = ra;
+        bool eol = false;
+        for (;;) {
+          if (br_read(r, 1) == 1) {
+            int seg_len2 = 1 << kJlsJ[s.run_index];
+            int fill = seg_len2 < cols - col ? seg_len2 : cols - col;
+            for (int i = 0; i < fill; ++i) cur[col + i] = (uint16_t)runval;
+            col += fill;
+            if (fill == seg_len2 && s.run_index < 31) s.run_index++;
+            if (col == cols) {
+              eol = true;
+              break;
+            }
+          } else {
+            int jbits = kJlsJ[s.run_index];
+            int cnt = jbits ? (int)br_read(r, jbits) : 0;
+            if (cnt > cols - col) return -1;
+            for (int i = 0; i < cnt; ++i) cur[col + i] = (uint16_t)runval;
+            col += cnt;
+            break;
+          }
+          if (r.err) return -1;
+        }
+        if (eol) continue;
+        // run interruption sample
+        rb = prev ? prev[col] : 0;
+        ra = col ? cur[col - 1] : (prev ? prev[0] : 0);
+        int ad = ra - rb;
+        if (ad < 0) ad = -ad;
+        int ritype = (ad <= s.near) ? 1 : 0;
+        int32_t px = ritype ? ra : rb;
+        int ri_sign = (!ritype && ra > rb) ? -1 : 1;
+        int qq = 365 + ritype;
+        int32_t temp_a = s.A[qq] + (ritype ? (s.N[qq] >> 1) : 0);
+        int k = 0;
+        while ((s.N[qq] << k) < temp_a) k++;
+        int32_t emerrval = jls_golomb_read(
+            r, k, s.limit - kJlsJ[s.run_index] - 1, s.qbpp);
+        if (r.err) return -1;
+        int32_t temp = emerrval + ritype;
+        int emap = temp & 1;
+        int32_t errvalabs = (temp + emap) / 2;
+        int neg_pred = (k != 0 || 2 * s.Nn[ritype] >= s.N[qq]) ? 1 : 0;
+        int32_t errval = (emap == neg_pred) ? -errvalabs : errvalabs;
+        if (errval < 0) s.Nn[ritype]++;
+        s.A[qq] += (emerrval + 1 - ritype) >> 1;
+        if (s.N[qq] == s.reset) {
+          s.A[qq] >>= 1;
+          s.N[qq] >>= 1;
+          s.Nn[ritype] >>= 1;
+        }
+        s.N[qq]++;
+        if (s.run_index > 0) s.run_index--;
+        cur[col] = (uint16_t)jls_reconstruct(s, px, ri_sign * errval);
+        col++;
+        continue;
+      }
+      // ---- regular mode ----
+      int32_t px = jls_med(ra, rb, rc) + sign * s.C[q];
+      if (px < 0) px = 0;
+      if (px > s.maxval) px = s.maxval;
+      int k = 0;
+      while ((s.N[q] << k) < s.A[q]) k++;
+      int32_t merrval = jls_golomb_read(r, k, s.limit, s.qbpp);
+      if (r.err) return -1;
+      int32_t errval;
+      if (s.near == 0 && k == 0 && 2 * s.B[q] <= -s.N[q]) {
+        errval = (merrval & 1) ? (merrval - 1) / 2 : -(merrval / 2) - 1;
+      } else {
+        errval = (merrval % 2 == 0) ? merrval / 2 : -((merrval + 1) / 2);
+      }
+      // update (A.6)
+      s.B[q] += errval * (2 * s.near + 1);
+      s.A[q] += errval < 0 ? -errval : errval;
+      if (s.N[q] == s.reset) {
+        s.A[q] >>= 1;
+        s.B[q] = s.B[q] >= 0 ? (s.B[q] >> 1) : -((1 - s.B[q]) >> 1);
+        s.N[q] >>= 1;
+      }
+      s.N[q]++;
+      if (s.B[q] <= -s.N[q]) {
+        s.B[q] += s.N[q];
+        if (s.C[q] > -128) s.C[q]--;
+        if (s.B[q] <= -s.N[q]) s.B[q] = -s.N[q] + 1;
+      } else if (s.B[q] > 0) {
+        s.B[q] -= s.N[q];
+        if (s.C[q] < 127) s.C[q]++;
+        if (s.B[q] > 0) s.B[q] = 0;
+      }
+      cur[col] = (uint16_t)jls_reconstruct(s, px, sign * errval);
+      col++;
+    }
+  }
+  return r.err ? -1 : 0;
+}
+
 }  // extern "C"

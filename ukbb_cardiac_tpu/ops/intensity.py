@@ -34,8 +34,13 @@ def percentiles_bisect(x, qs):
     all requested ranks probed per pass, ~1 ms for the same cine.
     Returns a list of f32 scalars, one per ``qs`` entry (static floats),
     with numpy/jnp 'linear' interpolation between bracketing ranks.
+
+    NaN inputs propagate (every returned percentile is NaN), matching
+    ``np.percentile`` and the reference — the raw bisection would instead
+    order NaN bit patterns above +inf and silently shift the thresholds.
     """
     flat = jnp.asarray(x).astype(jnp.float32).reshape(-1)
+    has_nan = jnp.any(jnp.isnan(flat))
     N = flat.shape[0]
     b = jax.lax.bitcast_convert_type(flat, jnp.uint32)
     key = jnp.where((b >> 31) == 1, ~b, b | jnp.uint32(0x80000000))
@@ -65,6 +70,7 @@ def percentiles_bisect(x, qs):
     neg = (lo >> 31) == 0
     bits = jnp.where(neg, ~lo, lo & jnp.uint32(0x7FFFFFFF))
     vals = jax.lax.bitcast_convert_type(bits, jnp.float32)
+    vals = jnp.where(has_nan, jnp.nan, vals)
     idx = {r: i for i, r in enumerate(ranks)}
     return [vals[idx[k0]] + (vals[idx[k1]] - vals[idx[k0]]) * jnp.float32(f)
             for (k0, k1, f) in targets]

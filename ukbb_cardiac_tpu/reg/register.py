@@ -606,6 +606,8 @@ def make_register_batch(image_shape: Tuple[int, int],
         targets = jnp.asarray(targets)
         sources = jnp.asarray(sources)
         B_in = targets.shape[0]
+        if B_in == 0:
+            raise ValueError("empty registration batch: no frame pairs")
         if n_shard > 1:
             # pad the pair population to the mesh axis and shard it; the
             # padded (cycled) pairs register to redundant lattices that

@@ -59,8 +59,12 @@ class StageTimer:
             self._records[name].append(seconds)
 
     def summary(self) -> Dict[str, Dict[str, float]]:
+        # snapshot under the lock: fleet worker threads may open new span
+        # names while a reporter iterates
+        with self._lock:
+            records = {name: list(vals) for name, vals in self._records.items()}
         out = {}
-        for name, vals in self._records.items():
+        for name, vals in records.items():
             out[name] = {
                 "count": len(vals),
                 "total_s": sum(vals),
