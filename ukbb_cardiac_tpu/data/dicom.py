@@ -23,6 +23,15 @@ import numpy as np
 
 IMPLICIT_LE = "1.2.840.10008.1.2"
 EXPLICIT_LE = "1.2.840.10008.1.2.1"
+# compressed transfer syntaxes decoded natively (VERDICT r2 #3; the
+# reference degrades through SimpleITK, biobank_utils.py:352-363)
+JPEG_LOSSLESS_P14 = "1.2.840.10008.1.2.4.57"   # SOF3, any predictor
+JPEG_LOSSLESS_SV1 = "1.2.840.10008.1.2.4.70"   # SOF3, selection value 1
+JPEG_LS_LOSSLESS = "1.2.840.10008.1.2.4.80"
+JPEG_LS_NEAR = "1.2.840.10008.1.2.4.81"
+RLE_LOSSLESS = "1.2.840.10008.1.2.5"
+COMPRESSED_SYNTAXES = {JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+                       JPEG_LS_LOSSLESS, JPEG_LS_NEAR, RLE_LOSSLESS}
 
 # tag -> attribute name (the subset biobank_utils touches)
 _TAGS = {
@@ -83,9 +92,6 @@ class DicomImage:
 
     @property
     def pixel_array(self) -> np.ndarray:
-        raw = self._attrs.get("PixelData")
-        if raw is None:
-            raise AttributeError("PixelData")
         bits = int(self._attrs.get("BitsAllocated", 16))
         signed = int(self._attrs.get("PixelRepresentation", 0)) == 1
         if bits == 16:
@@ -97,11 +103,38 @@ class DicomImage:
         rows = int(self._attrs["Rows"])
         cols = int(self._attrs["Columns"])
         n_frames = int(self._attrs.get("NumberOfFrames", 1))
+        frags = self._attrs.get("PixelDataFragments")
+        if frags is not None:
+            frames = [self._decode_frame(f, rows, cols, bits)
+                      for f in _frames_from_fragments(
+                          frags, n_frames,
+                          self._attrs.get("BasicOffsetTable", []))]
+            arr = np.stack(frames).astype(dtype)
+            return arr if n_frames > 1 else arr[0]
+        raw = self._attrs.get("PixelData")
+        if raw is None:
+            raise AttributeError("PixelData")
         arr = np.frombuffer(raw, dtype=dtype,
                             count=rows * cols * n_frames)
         if n_frames > 1:
             return arr.reshape(n_frames, rows, cols)
         return arr.reshape(rows, cols)
+
+    def _decode_frame(self, frag: bytes, rows: int, cols: int,
+                      bits: int) -> np.ndarray:
+        from ukbb_cardiac_tpu import native
+        from ukbb_cardiac_tpu.data import jpegcodec as jc
+
+        syntax = self._attrs.get("TransferSyntaxUID")
+        if syntax in (JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1):
+            out = native.jpeg_sof3_decode(frag, rows * cols)
+            return out if out is not None else jc.decode_jpeg_lossless(frag)
+        if syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR):
+            out = native.jpegls_decode(frag, rows * cols)
+            return out if out is not None else jc.decode_jpegls(frag)
+        if syntax == RLE_LOSSLESS:
+            return jc.decode_rle(frag, rows, cols, bits // 8)
+        raise UnsupportedDicom(f"transfer syntax {syntax}")
 
 
 def _decode_value(name: str, vr: Optional[str], raw: bytes):
@@ -130,8 +163,65 @@ def _decode_value(name: str, vr: Optional[str], raw: bytes):
 _EXPLICIT_LONG_VRS = {b"OB", b"OW", b"OF", b"SQ", b"UT", b"UN"}
 
 
+def _frames_from_fragments(frags, n_frames: int, bot):
+    """Group encapsulated fragments into per-frame byte strings (PS3.5
+    A.4): one fragment per frame is the common case; a frame may span
+    several fragments, resolved via the Basic Offset Table."""
+    if n_frames == len(frags):
+        return list(frags)
+    if n_frames == 1:
+        return [b"".join(frags)]
+    if len(bot) == n_frames:
+        # offsets are byte positions of each frame's first fragment,
+        # counted from the start of the fragment stream (item headers
+        # included)
+        starts = []
+        off = 0
+        for i, f in enumerate(frags):
+            starts.append(off)
+            off += 8 + len(f)
+        frames = []
+        for j in range(n_frames):
+            lo = starts.index(bot[j])
+            hi = starts.index(bot[j + 1]) if j + 1 < n_frames else len(frags)
+            frames.append(b"".join(frags[lo:hi]))
+        return frames
+    raise UnsupportedDicom(
+        f"cannot map {len(frags)} pixel fragments onto {n_frames} frames "
+        "without a Basic Offset Table")
+
+
+def _parse_encapsulated(buf: bytes, pos: int, attrs: Dict[str, object]) -> int:
+    """Parse encapsulated (compressed) PixelData items (PS3.5 A.4):
+    the first item is the Basic Offset Table, the rest are fragments.
+    Returns the position after the sequence delimiter."""
+    n = len(buf)
+    first = True
+    frags = []
+    bot: list = []
+    while pos + 8 <= n:
+        group, elem = struct.unpack_from("<HH", buf, pos)
+        length = struct.unpack_from("<I", buf, pos + 4)[0]
+        pos += 8
+        if (group, elem) == (0xFFFE, 0xE0DD):
+            break
+        if (group, elem) != (0xFFFE, 0xE000) or length == 0xFFFFFFFF:
+            raise UnsupportedDicom("malformed encapsulated pixel data")
+        if first:
+            bot = [struct.unpack_from("<I", buf, pos + 4 * i)[0]
+                   for i in range(length // 4)]
+            first = False
+        else:
+            frags.append(bytes(buf[pos:pos + length]))
+        pos += length
+    attrs["PixelDataFragments"] = frags
+    attrs["BasicOffsetTable"] = bot
+    return pos
+
+
 def _parse_dataset(buf: bytes, pos: int, explicit: bool,
-                   attrs: Dict[str, object], stop_at: Optional[int] = None):
+                   attrs: Dict[str, object], stop_at: Optional[int] = None,
+                   encapsulated_ok: bool = False):
     n = len(buf)
     end = n if stop_at is None else stop_at
     while pos + 8 <= end:
@@ -164,13 +254,12 @@ def _parse_dataset(buf: bytes, pos: int, explicit: bool,
 
         if length == 0xFFFFFFFF:
             if (group, elem) == (0x7FE0, 0x0010):
+                if encapsulated_ok:
+                    pos = _parse_encapsulated(buf, pos, attrs)
+                    continue
                 raise UnsupportedDicom(
-                    "encapsulated (compressed) pixel data — this reader "
-                    "supports uncompressed little-endian transfer syntaxes "
-                    "only (standard for UKB cardiac releases; some "
-                    "re-releases contained JPEG-LS series). Decompress "
-                    "first, e.g. `gdcmconv --raw in.dcm out.dcm` or "
-                    "dcmtk's `dcmdjpls`/`dcmdjpeg`.")
+                    "encapsulated (compressed) pixel data under an "
+                    "uncompressed transfer syntax — malformed stream")
             pos = _skip_undefined(buf, pos, explicit)
             continue
 
@@ -269,16 +358,22 @@ def _dcmread_pure(buf: bytes) -> DicomImage:
             pos += hdr + length
         if transfer == IMPLICIT_LE:
             explicit = False
-        elif transfer == EXPLICIT_LE:
+        elif transfer == EXPLICIT_LE or transfer in COMPRESSED_SYNTAXES:
+            # encapsulated syntaxes always carry an explicit-VR-LE dataset
             explicit = True
         else:
             raise UnsupportedDicom(
                 f"transfer syntax {transfer} — this reader supports "
-                "implicit/explicit VR little endian only (1.2.840.10008.1.2"
-                "[.1]). Convert compressed/big-endian files first, e.g. "
-                "`gdcmconv --raw in.dcm out.dcm` or dcmtk's `dcmdjpls`/"
-                "`dcmconv`.")
-        _parse_dataset(buf, pos, explicit, attrs)
+                "implicit/explicit VR little endian, JPEG lossless "
+                "(.4.57/.4.70), JPEG-LS (.4.80/.4.81) and RLE (1.2.5). "
+                "Convert other files first, e.g. `gdcmconv --raw`.")
+        if transfer in COMPRESSED_SYNTAXES:
+            # needed by pixel_array to pick the decoder; omitted for
+            # uncompressed files so the native-scanner fast path and this
+            # one produce identical attribute sets
+            attrs["TransferSyntaxUID"] = transfer
+        _parse_dataset(buf, pos, explicit, attrs,
+                       encapsulated_ok=transfer in COMPRESSED_SYNTAXES)
     else:
         # raw dataset without preamble: assume implicit VR LE
         _parse_dataset(buf, 0, False, attrs)
@@ -300,12 +395,15 @@ _NAME_TO_TAG = {v: k for k, v in _TAGS.items()}
 
 
 def dcmwrite_minimal(path: str, attrs: Dict[str, object],
-                     pixel: Optional[np.ndarray] = None) -> None:
+                     pixel: Optional[np.ndarray] = None,
+                     transfer_syntax: str = EXPLICIT_LE) -> None:
     """Write a minimal explicit-VR-little-endian DICOM file.
 
     Used for synthetic fixtures and tests (the reference relies on real
     UKB DICOMs that cannot ship with the repo). ``pixel`` is a (rows,
-    cols) int16/uint16 array.
+    cols) int16/uint16 array.  With a compressed ``transfer_syntax`` the
+    pixel data is encoded (data/jpegcodec.py) and written encapsulated
+    (one fragment per frame, empty Basic Offset Table).
     """
     body = bytearray()
 
@@ -339,7 +437,40 @@ def dcmwrite_minimal(path: str, attrs: Dict[str, object],
     for (group, elem), vr, raw in sorted(items):
         put(group, elem, vr, raw)
     if pixel is not None:
-        put(0x7FE0, 0x0010, "OW", np.ascontiguousarray(pixel).tobytes())
+        if transfer_syntax == EXPLICIT_LE:
+            put(0x7FE0, 0x0010, "OW", np.ascontiguousarray(pixel).tobytes())
+        elif transfer_syntax in COMPRESSED_SYNTAXES:
+            from ukbb_cardiac_tpu.data import jpegcodec as jc
+
+            pix = np.asarray(pixel)
+            frames = pix[None] if pix.ndim == 2 else pix
+            P = int(attrs.get("BitsAllocated", 16))
+
+            def encode(frame):
+                u = frame.astype(np.int64)
+                if u.min() < 0:
+                    raise ValueError("compressed writer takes unsigned "
+                                     "sample values")
+                if transfer_syntax in (JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1):
+                    return jc.encode_jpeg_lossless(u, P, sv=1)
+                if transfer_syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR):
+                    return jc.encode_jpegls(u, P)
+                return jc.encode_rle(frame)
+
+            # encapsulated OB, undefined length (PS3.5 A.4)
+            body.extend(struct.pack("<HH", 0x7FE0, 0x0010))
+            body.extend(b"OB\x00\x00")
+            body.extend(struct.pack("<I", 0xFFFFFFFF))
+            body.extend(struct.pack("<HHI", 0xFFFE, 0xE000, 0))  # empty BOT
+            for frame in frames:
+                blob = encode(frame)
+                if len(blob) % 2:
+                    blob += b"\x00"
+                body.extend(struct.pack("<HHI", 0xFFFE, 0xE000, len(blob)))
+                body.extend(blob)
+            body.extend(struct.pack("<HHI", 0xFFFE, 0xE0DD, 0))
+        else:
+            raise UnsupportedDicom(f"cannot write syntax {transfer_syntax}")
 
     meta = bytearray()
 
@@ -351,7 +482,7 @@ def dcmwrite_minimal(path: str, attrs: Dict[str, object],
         meta.extend(struct.pack("<H", len(val)))
         meta.extend(val)
 
-    put_meta(0x0002, 0x0010, "UI", EXPLICIT_LE.encode())
+    put_meta(0x0002, 0x0010, "UI", transfer_syntax.encode())
 
     with open(path, "wb") as f:
         f.write(b"\x00" * 128 + b"DICM")
