@@ -23,11 +23,13 @@ import numpy as np
 
 BASELINE_SECONDS = 25.0  # reference README.md:49 per subject, K80
 REPEATS = 7
-# Soft deadline for the EXTRA metrics (SAX-only, device-compute, strain):
-# the tunnel has shown multi-minute outage windows; once the deadline
-# passes, remaining extras are skipped (reported null) so the headline
-# metric's JSON line is always printed. Override with BENCH_DEADLINE_S.
-DEADLINE_S = float(__import__("os").environ.get("BENCH_DEADLINE_S", 300))
+# Soft deadline for the EXTRA metrics (SAX-only, device-compute, cohort,
+# strain): the tunnel has shown multi-minute outage windows; once the
+# deadline passes, remaining extras are skipped (reported null) so the
+# headline metric's JSON line is always printed.  Override with
+# BENCH_DEADLINE_S.
+DEADLINE_S = float(__import__("os").environ.get("BENCH_DEADLINE_S", 480))
+COHORT_N = int(__import__("os").environ.get("BENCH_COHORT_N", 16))
 
 
 def main():
@@ -100,8 +102,10 @@ def main():
     # min, not median: the tunnel adds multi-second noise that varies by
     # the minute (measured 2.2-7.4 s for identical code); noise is strictly
     # additive so the minimum estimates the software's true cost (the same
-    # rationale as timeit's use of min)
+    # rationale as timeit's use of min).  The median is reported alongside
+    # so the noise story is self-documenting in the artifact (VERDICT r2 #9).
     value = float(np.min(times))
+    value_median = float(np.median(times))
 
     bench_start = time.time()
 
@@ -111,7 +115,7 @@ def main():
     # --- SAX-cine-only metrics (BASELINE.md row: 192x208x10x50, ~10 s on
     # the K80; north-star target <1 s/chip) --------------------------------
     # (a) wall-clock through the tunnel: dispatch one SA cine and fetch.
-    sax_wall_s = None
+    sax_wall_s = sax_wall_median_s = None
     try:
         sax_wall = []
         for _ in range(REPEATS):
@@ -121,6 +125,7 @@ def main():
             if past_deadline():
                 break
         sax_wall_s = float(np.min(sax_wall))
+        sax_wall_median_s = float(np.median(sax_wall))
     except Exception:
         pass
 
@@ -159,12 +164,24 @@ def main():
     # null rather than a nonsense figure
     compute_valid = sax_compute_s is not None and sax_compute_s > 0
 
+    # --- cohort sustained throughput (VERDICT r2 #2) ---------------------
+    # >=16 phantom subjects through segmentation -> volumes -> wall
+    # thickness -> strain with cross-stage overlap (subject N+1's device
+    # work under subject N's host post-processing).
+    cohort = {}
+    try:
+        if not past_deadline():
+            cohort = _bench_cohort(sa_engine, sax_compute_s
+                                   if compute_valid else None)
+    except Exception:
+        pass
+
     # --- SA strain motion tracking (the MIRTK replacement) ---------------
     # Workload mirrors the real driver: 3 slices x T=50 at the 96x96 LV
     # crop -> 150 pairwise FFD registrations + inversion + composition +
-    # blending as batched device programs.  Baseline is the reference's
-    # "several minutes" per subject on CPU MIRTK (README.md:51) taken as
-    # an ASSUMED 180 s lower bound — the reference publishes no number.
+    # blending as batched device programs.  The reference publishes no
+    # MIRTK number ("several minutes" per subject on CPU, README.md:51),
+    # so only the measured time is reported; see README for context.
     strain_s = None
     try:
         if not past_deadline():
@@ -177,20 +194,187 @@ def main():
         "value": round(value, 3),
         "unit": "s",
         "vs_baseline": round(BASELINE_SECONDS / value, 2),
+        "value_median_s": round(value_median, 3),
         # SAX cine 192x208x10x50 (reference ~10 s/K80, README.md:49):
         "sax_cine_wall_s": (round(sax_wall_s, 3)          # incl. tunnel I/O
                             if sax_wall_s else None),
+        "sax_cine_wall_median_s": (round(sax_wall_median_s, 3)
+                                   if sax_wall_median_s else None),
         "sax_cine_device_compute_s": (round(sax_compute_s, 3)
                                       if compute_valid else None),
         "sax_cine_wall_vs_k80": (round(10.0 / sax_wall_s, 2)
                                  if sax_wall_s else None),
         "sax_cine_compute_vs_k80": (round(10.0 / sax_compute_s, 2)
                                     if compute_valid else None),
-        # SA strain tracking, 3 slices x T=50 @ 96x96:
+        # cohort: deploy -> volumes -> wall thickness -> strain, pipelined:
+        "cohort_subjects": cohort.get("n"),
+        "cohort_wall_s": cohort.get("wall_s"),
+        "cohort_subjects_per_s": cohort.get("subjects_per_s"),
+        "cohort_device_duty": cohort.get("device_duty"),
+        # SA strain tracking, 3 slices x T=50 @ 96x96 (measured; the
+        # reference's MIRTK path takes "several minutes" on CPU):
         "strain_tracking_s": round(strain_s, 3) if strain_s else None,
-        "strain_vs_mirtk_assumed_180s": (round(180.0 / strain_s, 1)
-                                         if strain_s else None),
     }))
+
+
+def _bench_cohort(sa_engine, seg_compute_hint=None) -> dict:
+    """Sustained cohort throughput: COHORT_N phantom subjects through
+    segmentation → volumes → wall thickness → strain with cross-stage
+    overlap (``parallel/cohort.py``).  This is the number the reference's
+    manual sharding story competes on (``eval_strain_sax.py:26-34``).
+
+    Deploy runs with the bench's random weights (identical device cost to
+    trained ones); the post-segment hook then substitutes the phantom's
+    ground-truth segmentation so the QC gates pass and the phenotype and
+    strain stages do their real work on anatomically meaningful labels.
+
+    Device duty = N * (per-subject device-compute seconds, two-point
+    calibrated) / cohort wall.  Through this host's TPU tunnel the wall
+    carries a multi-second per-fetch transfer floor that a
+    directly-attached chip would not have, which depresses the duty
+    figure accordingly.
+    """
+    import os
+    import shutil
+    import sys
+    import tempfile
+    from concurrent.futures import ThreadPoolExecutor
+
+    import jax
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from phantom import sax_phantom
+
+    from ukbb_cardiac_tpu.io import nifti
+    from ukbb_cardiac_tpu.parallel.cohort import (process_subject_sa,
+                                                  run_cohort_sa)
+    from ukbb_cardiac_tpu.phenotype.strain import track_multi_slice_fields
+    from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch
+
+    N = COHORT_N
+    X, Y, Z, T = 160, 160, 10, 20
+    root = tempfile.mkdtemp(prefix="bench_cohort_")
+    truth = {}
+
+    def gen(i):
+        name = f"subj{i:02d}"
+        d = os.path.join(root, name)
+        os.makedirs(d, exist_ok=True)
+        image, seg = sax_phantom(X, Y, Z, T, rng=np.random.RandomState(i))
+        affine = np.diag([-1.8, -1.8, 10.0, 1.0])
+        affine[:3, 3] = (X * 1.8 / 2, Y * 1.8 / 2, -Z * 10.0 / 2)
+        hdr = nifti.Nifti1Header()
+        hdr.dim[0] = 4
+        hdr.dim[1:5] = image.shape
+        hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+        nifti.save(nifti.Nifti1Image(image, affine, hdr),
+                   os.path.join(d, "sa.nii.gz"))
+        truth[name] = (seg, affine)
+
+    def hook(data_dir):
+        # replace the random-weight prediction with the phantom truth so
+        # QC passes and downstream stages process real anatomy
+        name = os.path.basename(data_dir.rstrip("/"))
+        seg, affine = truth[name]
+        es = int(np.argmin(np.sum(seg == 1, axis=(0, 1, 2))))
+        nifti.save(nifti.Nifti1Image(seg, affine),
+                   os.path.join(data_dir, "seg_sa.nii.gz"))
+        for fr_name, fr in (("ED", 0), ("ES", es)):
+            nifti.save(nifti.Nifti1Image(seg[:, :, :, fr], affine),
+                       os.path.join(data_dir, f"seg_sa_{fr_name}.nii.gz"))
+
+    try:
+        with ThreadPoolExecutor(max_workers=4) as pool:
+            list(pool.map(gen, range(N + 1)))
+
+        cfg = RegConfig()
+        # warm-up subject: compiles the deploy bucket and the strain
+        # programs for this cohort's shapes (cache-persisted)
+        warm = os.path.join(root, f"subj{N:02d}")
+        process_subject_sa(sa_engine, warm, cfg=cfg,
+                           skip_existing_seg=False, post_segment_hook=hook)
+
+        # strain device-compute calibration on the warm subject's crop
+        strain_dev = None
+        try:
+            nim = nifti.load(os.path.join(warm, "sa.nii.gz"))
+            img = np.asanyarray(nim.dataobj).astype(np.float32)
+            # the strain driver crops to the LV bbox+20; approximate the
+            # same crop from the truth seg (identical to what the driver
+            # computed for this subject)
+            seg0 = truth[f"subj{N:02d}"][0][:, :, :, 0]
+            xs, ys = np.nonzero((seg0 > 0).any(axis=2))[0], \
+                np.nonzero((seg0 > 0).any(axis=2))[1]
+            x0, x1 = max(xs.min() - 20, 0), min(xs.max() + 20, X)
+            y0, y1 = max(ys.min() - 20, 0), min(ys.max() + 20, Y)
+            crop = img[x0:x1, y0:y1]
+            zsel = [Z // 4, Z // 2, 3 * Z // 4]
+            frames = np.stack([np.transpose(crop[:, :, z, :], (2, 0, 1))
+                               for z in zsel])
+            rb = make_register_batch(frames.shape[2:], cfg)
+
+            def run_k(k):
+                for _ in range(k):
+                    out = track_multi_slice_fields(frames, cfg,
+                                                   register_batch=rb,
+                                                   as_numpy=False)
+                np.asarray(out)
+
+            run_k(1)
+            R = 4
+            t1s, tRs = [], []
+            for _ in range(3):
+                t0 = time.time(); run_k(1); t1s.append(time.time() - t0)
+                t0 = time.time(); run_k(R); tRs.append(time.time() - t0)
+            d = (np.min(tRs) - np.min(t1s)) / (R - 1)
+            strain_dev = float(d) if d > 0 else None
+        except Exception:
+            pass
+
+        # segmentation device-compute at the cohort shape
+        seg_dev = seg_compute_hint
+        try:
+            cine = np.asanyarray(nifti.load(
+                os.path.join(warm, "sa.nii.gz")).dataobj).astype(np.int16)
+            pieces, shape = sa_engine._split_pieces(cine)
+            jax.block_until_ready(pieces)
+            fn = sa_engine._cine_fns(shape, len(pieces), "percentile")
+            p, s = sa_engine._params, sa_engine._state
+
+            def seg_k(k):
+                for _ in range(k):
+                    packed = fn(p, s, *pieces)
+                np.asarray(packed)
+
+            seg_k(1)
+            R = 4
+            t1s, tRs = [], []
+            for _ in range(3):
+                t0 = time.time(); seg_k(1); t1s.append(time.time() - t0)
+                t0 = time.time(); seg_k(R); tRs.append(time.time() - t0)
+            d = (np.min(tRs) - np.min(t1s)) / (R - 1)
+            if d > 0:
+                seg_dev = float(d)
+        except Exception:
+            pass
+
+        subjects = [f"subj{i:02d}" for i in range(N)]
+        res = run_cohort_sa(root, sa_engine, subjects=subjects, workers=3,
+                            cfg=cfg, skip_existing_seg=False,
+                            post_segment_hook=hook, verbose=False)
+        n_ok = len(res.fleet.succeeded)
+        out = {"n": n_ok, "wall_s": round(res.wall_seconds, 2),
+               "subjects_per_s": round(n_ok / res.wall_seconds, 3)
+               if res.wall_seconds > 0 else None}
+        if seg_dev is not None and strain_dev is not None and n_ok:
+            out["device_duty"] = round(
+                n_ok * (seg_dev + strain_dev) / res.wall_seconds, 3)
+        else:
+            out["device_duty"] = None
+        return out
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _bench_strain() -> float:

@@ -17,7 +17,6 @@ import time
 
 import numpy as np
 
-BASELINE_SECONDS = 180.0  # "several minutes", lower bound (README.md:51)
 T, X, Y = 50, 96, 96
 N_SLICES = 3
 
@@ -62,7 +61,9 @@ def main():
         "metric": f"sa_strain_motion_tracking_{N_SLICES}slices_T{T}",
         "value": round(value, 3),
         "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / value, 1),
+        # no vs_baseline: the reference publishes only "several minutes"
+        # for its MIRTK path (README.md:51) — no ratio is claimed against
+        # an assumed denominator
     }))
 
 

@@ -17,6 +17,67 @@ import time
 import numpy as np
 
 REPEATS = 3
+# bf16 dense peak per chip and HBM bandwidth, by device kind (public
+# figures; None -> report achieved TFLOP/s with mfu null)
+PEAKS = {
+    "TPU v4": (275e12, 1228e9),
+    "TPU v5 lite": (197e12, 819e9),   # v5e
+    "TPU v5e": (197e12, 819e9),
+    "TPU v5p": (459e12, 2765e9),
+    "TPU v6 lite": (918e12, 1640e9),  # v6e
+    "TPU v6e": (918e12, 1640e9),
+}
+
+
+def fcn_train_flops_and_bytes(cfg, n, X, Y, compute_bytes=2):
+    """Analytic per-step cost model for the FCN training step.
+
+    FLOPs: 2*MACs for every conv in the forward graph
+    (``network.py:170-230``); backward ≈ 2× forward (grad-input +
+    grad-weight convs), so training ≈ 3× forward.  BN/ReLU/softmax are
+    bandwidth, not FLOPs.  Bytes: activations written+read once each way
+    in ``compute_bytes`` precision plus parameters read ~3× in f32 — a
+    lower-bound HBM model assuming perfect fusion (no rematerialisation).
+    """
+    macs = 0
+    act_elems = 0
+    param_elems = 0
+
+    def conv(cin, cout, k, x, y):
+        nonlocal macs, act_elems, param_elems
+        macs += n * x * y * k * k * cin * cout
+        act_elems += n * x * y * cout
+        param_elems += k * k * cin * cout
+
+    x, y = X, Y
+    cin = 1
+    for l in range(cfg.n_level):
+        if l > 0:
+            x, y = x // 2, y // 2
+        for _ in range(cfg.n_block[l]):
+            conv(cin, cfg.n_filter[l], 3, x, y)
+            cin = cfg.n_filter[l]
+    # same-dim 1x1 projections + upsample to full res (as interpolation
+    # matmuls, cost ~ 2 separable passes of factor-sized stencils)
+    x, y = X, Y
+    for l in range(cfg.n_level):
+        xl, yl = X // (2 ** l), Y // (2 ** l)
+        conv(cfg.n_filter[l], cfg.same_dim, 1, xl, yl)
+        if l > 0:
+            f = 2 ** l
+            # separable tent interpolation: rows then cols
+            macs += n * cfg.same_dim * (X * yl * (2 * f - 1)
+                                        + X * Y * (2 * f - 1))
+            act_elems += n * X * Y * cfg.same_dim
+    conv(cfg.same_dim * cfg.n_level, cfg.fc, 1, X, Y)
+    conv(cfg.fc, cfg.fc, 1, X, Y)
+    conv(cfg.fc, cfg.n_class, 1, X, Y)
+
+    fwd_flops = 2 * macs
+    train_flops = 3 * fwd_flops
+    bytes_moved = (3 * act_elems * compute_bytes    # fwd write, bwd read+write
+                   + 3 * param_elems * 4)           # read fwd/bwd + optimizer
+    return train_flops, bytes_moved
 # two-point measurement: time N steps and 4N steps, each ended by a
 # forcing scalar fetch (block_until_ready does not reliably wait over
 # this host's tunnel, and the fetch itself costs a tunnel round-trip in
@@ -85,11 +146,30 @@ def main():
 
     # min over repeats: tunnel noise is strictly additive (see bench.py)
     sec_per_step = float(np.min(times))
+
+    # --- analytic MFU / roofline (VERDICT r2 #6) -------------------------
+    flops, hbm_bytes = fcn_train_flops_and_bytes(cfg, batch_slices, 192, 192)
+    achieved = flops / sec_per_step
+    kind = jax.devices()[0].device_kind
+    peak, bw = PEAKS.get(kind, (None, None))
+    mfu = achieved / peak if peak else None
+    verdict = None
+    if peak:
+        t_mxu = flops / peak
+        t_hbm = hbm_bytes / bw
+        bound = "MXU" if t_mxu >= t_hbm else "HBM"
+        verdict = (f"{bound}-bound roofline: t_mxu={t_mxu*1e3:.2f} ms "
+                   f"t_hbm={t_hbm*1e3:.2f} ms measured={sec_per_step*1e3:.2f} ms")
     print(json.dumps({
         "metric": "fcn_sa_train_step_images_per_s",
         "value": round(batch_slices / sec_per_step, 2),
         "unit": "images/s",
         "vs_baseline": None,
+        "step_flops_G": round(flops / 1e9, 1),
+        "achieved_tflops": round(achieved / 1e12, 2),
+        "device_kind": kind,
+        "mfu": round(mfu, 3) if mfu is not None else None,
+        "roofline": verdict,
     }))
 
 

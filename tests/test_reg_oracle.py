@@ -138,3 +138,50 @@ def test_strain_physiological_ranges_on_incompressible_phantom(tmp_path):
     # independent of the strain tables, motion quality stays high
     dice = np.nanmean(df.values, axis=0)
     assert dice[0] > 0.95 and dice[1] > 0.90, dice
+
+
+def test_nmi_contrast_shifted_recovery():
+    """NMI's actual job (VERDICT r2 #7): recover a known warp when the
+    source's intensities are remapped through a monotone nonlinearity —
+    SSD's brightness-constancy assumption is broken, NMI's is not.
+    Operating point mirrors ``par/ffd_aortic_motion.cfg`` (NMI + small
+    bending energy)."""
+    X = Y = 96
+    rng = np.random.RandomState(3)
+    base = ndimage.gaussian_filter(rng.rand(X, Y), 2.5)
+    base = (base - base.min()) / (base.max() - base.min())
+    tgt_gray = (base * 1000.0).astype(np.float32)
+
+    # monotone, strongly nonlinear remap: gamma + offset + rescale
+    src_gray = (np.power(base, 2.2) * 430.0 + 200.0).astype(np.float32)
+
+    s_true = 16
+    Cx, Cy = lattice_shape((X, Y), s_true)
+    ctrl = rng.randn(Cx, Cy, 2).astype(np.float32) * 2.0
+    disp_true = np.asarray(bspline_dense_field(jnp.asarray(ctrl), (X, Y),
+                                               s_true))
+    # target = warped ORIGINAL contrast; source = unwarped REMAPPED one
+    tgt = np.asarray(warp_image(jnp.asarray(tgt_gray),
+                                jnp.asarray(disp_true)))
+
+    cfg = RegConfig(spacing=8, levels=2, iters=60, lr=0.5, be_weight=1e-3,
+                    metric="nmi")
+    reg = make_register_pair((X, Y), cfg)
+    controls = reg(jnp.asarray(tgt), jnp.asarray(src_gray))
+    disp_est = np.asarray(total_field(controls, (X, Y), cfg))
+
+    m = 12
+    epe = np.linalg.norm((disp_est - disp_true)[m:-m, m:-m], axis=-1)
+    true_mag = np.linalg.norm(disp_true[m:-m, m:-m], axis=-1)
+    assert epe.mean() < 0.75, f"mean EPE {epe.mean():.3f} px"
+    assert epe.mean() < true_mag.mean(), "no better than identity"
+
+    # control experiment: SSD on the same contrast-shifted pair must do
+    # clearly worse than NMI (it chases brightness, not structure)
+    cfg_ssd = RegConfig(spacing=8, levels=2, iters=60, lr=0.5,
+                        be_weight=1e-3, metric="ssd")
+    reg_ssd = make_register_pair((X, Y), cfg_ssd)
+    disp_ssd = np.asarray(total_field(
+        reg_ssd(jnp.asarray(tgt), jnp.asarray(src_gray)), (X, Y), cfg_ssd))
+    epe_ssd = np.linalg.norm((disp_ssd - disp_true)[m:-m, m:-m], axis=-1)
+    assert epe.mean() < epe_ssd.mean(), (epe.mean(), epe_ssd.mean())

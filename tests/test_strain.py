@@ -149,3 +149,33 @@ def test_eval_strain_sax_cli(tmp_path):
     # intermediate dir removed, per-subject tables kept
     assert not (subj / "cine_motion").exists()
     assert (subj / "strain_sa_radial.csv").exists()
+
+
+def test_reference_scheme_both_directions(sax_subject, tmp_path):
+    """The reference's exact both-directions registration scheme
+    (inverse_consistent=False; cardiac_utils.py:882-922) is exercised
+    and agrees with the default inverse-consistent path: warp-Dice in
+    tolerance and matching global strain signs/magnitudes (VERDICT r2 #5)."""
+    import pandas as pd
+
+    cfg = RegConfig(spacing=8, levels=2, iters=30, lr=0.5, be_weight=1e-2)
+    results = {}
+    for mode, inv in (("default", True), ("reference", False)):
+        out_dir = tmp_path / f"motion_{mode}"
+        out_dir.mkdir()
+        df = cine_2d_sa_motion_and_strain_analysis(
+            str(sax_subject), str(out_dir),
+            str(tmp_path / f"strain_{mode}"), cfg, eval_dice=True,
+            inverse_consistent=inv)
+        assert df is not None
+        circ = pd.read_csv(str(tmp_path / f"strain_{mode}_circum.csv"),
+                           index_col=0)
+        results[mode] = (np.nanmean(df.values[:, 0]), circ.loc["Global"])
+    dice_default, circ_default = results["default"]
+    dice_ref, circ_ref = results["reference"]
+    # both schemes track well and agree closely
+    assert dice_ref > 0.7, dice_ref
+    assert abs(dice_ref - dice_default) < 0.05, (dice_ref, dice_default)
+    # peak global circumferential strain within 3 percentage points
+    assert abs(circ_ref.min() - circ_default.min()) < 3.0, \
+        (circ_ref.min(), circ_default.min())

@@ -99,7 +99,8 @@ def _finish_subject_sequence(ctx: dict, seq_name: str, seg4: bool,
     per-subject average over the run is the meaningful figure."""
     prefix = seg_prefix(seq_name, seg4)
     data_dir, nim, orig_image = ctx["data_dir"], ctx["nim"], ctx["image"]
-    pred = ctx["pending"].result().astype(np.float64)
+    pred = ctx["pending"].result().astype(np.int16)
+    ctx["pred"] = pred  # for pipelines that consume the seg in memory
     seg_time = time.time() - ctx["start"]
     print(f"  Segmentation time = {seg_time:.3f}s")
 
@@ -149,7 +150,7 @@ def deploy_subject_ed_es(engine: InferenceEngine, data_dir: str, seq_name: str,
         print(f"  Segmenting {fr} frame ...")
         start = time.time()
         image = rescale_intensity(image.astype(np.float32), (1.0, 99.0))
-        pred = engine.segment_volume(image).astype(np.float64)
+        pred = engine.segment_volume(image).astype(np.int16)
         times.append(time.time() - start)
         print(f"  Segmentation time = {times[-1]:.3f}s")
         if save_seg:

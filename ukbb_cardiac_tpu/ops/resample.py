@@ -9,6 +9,7 @@ registration module builds its warp on top of these.
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 from jax.scipy.ndimage import map_coordinates
 
@@ -18,11 +19,37 @@ def sample_2d(image, coords_x, coords_y, order=1, cval=0.0):
     return map_coordinates(image, [coords_x, coords_y], order=order, mode="constant", cval=cval)
 
 
-def affine_transform_2d(image, matrix, offset, order=1, cval=0.0):
+def tent_sample_2d(image, cx, cy, precision="float32"):
+    """Bilinear sampling as tent-basis matmuls (MXU path).
+
+    Arbitrary-index gathers lower to scalar loads on TPU (~8 ns/element —
+    they dominated both the registration warp and the on-device training
+    augmenter, measured); the same bilinear interpolation written as
+    ``out = Σ_rk img[r,k]·tent(cx-r)·tent(cy-k)`` is two matmuls XLA
+    tiles onto the MXU (see ``reg/register.py`` for the gradient-carrying
+    variant).  Out-of-range coordinates fade to 0 exactly like
+    ``map_coordinates(mode='constant', cval=0)``.
+    """
+    X, Y = image.shape
+    r = jnp.arange(X, dtype=jnp.float32)
+    k = jnp.arange(Y, dtype=jnp.float32)
+    TY = jax.nn.relu(1.0 - jnp.abs(cy[..., None] - k))      # (X, Y, k)
+    M = jnp.einsum("ijk,rk->ijr", TY, image.astype(jnp.float32),
+                   precision=precision,
+                   preferred_element_type=jnp.float32)
+    TX = jax.nn.relu(1.0 - jnp.abs(cx[..., None] - r))      # (X, Y, r)
+    return jnp.sum(TX * M, axis=-1)
+
+
+def affine_transform_2d(image, matrix, offset, order=1, cval=0.0,
+                        backend="auto"):
     """Pull-back affine warp: out[i] = image[matrix @ i + offset].
 
     Matches ``scipy.ndimage.affine_transform(image, matrix, offset, order)``
     as used by the reference augmenter (``image_utils.py:102-107``).
+    ``backend='auto'`` routes to the tent-basis MXU sampler on TPU when
+    ``cval == 0`` (order 0 samples at rounded coordinates — exactly one
+    tent is active, reproducing NN); 'gather' keeps ``map_coordinates``.
     """
     X, Y = image.shape
     xs = jnp.arange(X, dtype=jnp.float32)
@@ -30,6 +57,13 @@ def affine_transform_2d(image, matrix, offset, order=1, cval=0.0):
     gx, gy = jnp.meshgrid(xs, ys, indexing="ij")
     sx = matrix[0, 0] * gx + matrix[0, 1] * gy + offset[0]
     sy = matrix[1, 0] * gx + matrix[1, 1] * gy + offset[1]
+    if backend == "auto":
+        backend = "mxu" if (jax.default_backend() == "tpu"
+                            and cval == 0.0) else "gather"
+    if backend == "mxu":
+        if order == 0:
+            sx, sy = jnp.round(sx), jnp.round(sy)
+        return tent_sample_2d(image, sx, sy)
     return sample_2d(image, sx, sy, order=order, cval=cval)
 
 

@@ -1,5 +1,7 @@
 """Parallelism: device meshes (training/inference) + subject fleets."""
 
+from ukbb_cardiac_tpu.parallel.cohort import (CohortResult, process_subject_sa,
+                                              run_cohort_sa)
 from ukbb_cardiac_tpu.parallel.fleet import FleetResult, run_fleet, shard_subjects
 from ukbb_cardiac_tpu.parallel.mesh import (
     batch_sharding,

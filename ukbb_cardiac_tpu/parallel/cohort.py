@@ -1,0 +1,221 @@
+"""Cohort driver: sustained-throughput end-to-end subject processing.
+
+The reference's cohort story is manual process sharding with per-stage
+scripts run back-to-back over the whole cohort (``demo_pipeline.py:63-122``,
+``eval_strain_sax.py:26-34``): every stage walks all subjects before the
+next starts, and within a stage the device idles while host code writes
+files.  This driver runs the full SA chain per subject —
+
+    segmentation → volumes → wall thickness → strain motion tracking
+
+— with subjects processed by a small worker pool (``parallel/fleet.py``)
+so that *stages overlap across subjects*: subject N+1's segmentation and
+registration run on the device while subject N's contour warps, VTK and
+CSV writes run on the host.  Device programs from all workers serialize
+on the chip through JAX's async dispatch queue, which is exactly what
+keeps it busy; host stages release the GIL in numpy/zlib/file I/O.
+
+The per-subject work matches the reference CLIs file-for-file:
+``deploy_network.py`` outputs, ``eval_ventricular_volume.py`` rows,
+``eval_wall_thickness.py`` tables, ``eval_strain_sax.py`` summary rows.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+from typing import Dict, List, Optional, Sequence
+
+import pandas as pd
+
+from ukbb_cardiac_tpu.parallel.fleet import FleetResult, run_fleet
+
+
+class CohortResult:
+    def __init__(self):
+        self.fleet: Optional[FleetResult] = None
+        self.volume_rows: Dict[str, dict] = {}
+        self.wt_rows: Dict[str, list] = {}
+        self.wt_max_rows: Dict[str, list] = {}
+        self.strain_rows: Dict[str, list] = {}
+        self.stage_seconds: Dict[str, Dict[str, float]] = {}
+        self.wall_seconds: float = 0.0
+
+    @property
+    def subjects_per_s(self) -> float:
+        n = len(self.fleet.succeeded) if self.fleet else 0
+        return n / self.wall_seconds if self.wall_seconds > 0 else 0.0
+
+
+def process_subject_sa(engine, data_dir: str,
+                       cfg=None, register_batch=None,
+                       eval_dice: bool = False,
+                       result: Optional[CohortResult] = None,
+                       skip_existing_seg: bool = True,
+                       post_segment_hook=None) -> Dict[str, float]:
+    """The full SA chain for one subject directory; returns stage seconds.
+
+    ``engine`` is the shared :class:`InferenceEngine`; registration
+    programs are cached per shape (``reg.make_register_batch``), so
+    concurrent subjects reuse one compiled program set.
+    ``post_segment_hook(data_dir)``, if given, runs between segmentation
+    and the phenotype stages (custom QC, relabeling, or — in benchmarks
+    without trained weights — substituting reference segmentations).
+    """
+    from ukbb_cardiac_tpu.infer.deploy import (_finish_subject_sequence,
+                                               _start_subject_sequence)
+    from ukbb_cardiac_tpu.phenotype.qc import sa_pass_quality_control
+    from ukbb_cardiac_tpu.phenotype.strain import (finish_sa_motion,
+                                                   start_sa_motion_dispatch)
+    from ukbb_cardiac_tpu.phenotype.ventricle import (
+        ventricular_volume_measures, ventricular_volume_measures_from_seg)
+    from ukbb_cardiac_tpu.phenotype.wall_thickness import \
+        evaluate_wall_thickness
+
+    subject = os.path.basename(data_dir.rstrip("/"))
+    stages: Dict[str, float] = {}
+
+    # --- 1. segmentation (deploy_network.py semantics) --------------------
+    t0 = time.time()
+    seg_name = os.path.join(data_dir, "seg_sa.nii.gz")
+    pred_mem = header_mem = None
+    if not (skip_existing_seg and os.path.exists(seg_name)):
+        ctx = _start_subject_sequence(engine, data_dir, "sa", seg4=False)
+        if ctx is not None:
+            _finish_subject_sequence(ctx, "sa", seg4=False, save_seg=True)
+            pred_mem = ctx.get("pred")
+            header_mem = ctx["nim"].header
+    if post_segment_hook is not None:
+        post_segment_hook(data_dir)
+        pred_mem = header_mem = None  # the hook may have replaced the files
+    stages["segment"] = time.time() - t0
+
+    # --- 2. ventricular volumes (eval_ventricular_volume.py) --------------
+    t0 = time.time()
+    if pred_mem is not None:
+        # seg is still in memory: files are outputs, not inter-stage IPC
+        vol_row = ventricular_volume_measures_from_seg(pred_mem, header_mem)
+    else:
+        vol_row = ventricular_volume_measures(
+            os.path.join(data_dir, "sa.nii.gz"), seg_name)
+    stages["volumes"] = time.time() - t0
+
+    # --- 3. wall thickness (eval_wall_thickness.py, QC-gated) -------------
+    t0 = time.time()
+    wt_row = wt_max_row = None
+    seg_ed = os.path.join(data_dir, "seg_sa_ED.nii.gz")
+    qc_ok = os.path.exists(seg_ed) and sa_pass_quality_control(seg_ed)
+    if qc_ok:
+        evaluate_wall_thickness(
+            seg_ed, os.path.join(data_dir, "wall_thickness_ED"))
+        mean_csv = os.path.join(data_dir, "wall_thickness_ED.csv")
+        max_csv = os.path.join(data_dir, "wall_thickness_ED_max.csv")
+        if os.path.exists(mean_csv):
+            wt_row = list(pd.read_csv(mean_csv,
+                                      index_col=0)["Thickness"].values)
+        if os.path.exists(max_csv):
+            wt_max_row = list(pd.read_csv(max_csv,
+                                          index_col=0)["Thickness_Max"].values)
+    stages["wall_thickness"] = time.time() - t0
+
+    # --- 4. strain motion tracking (eval_strain_sax.py) -------------------
+    t0 = time.time()
+    strain_row = None
+    if qc_ok:
+        motion_dir = os.path.join(data_dir, "cine_motion")
+        os.makedirs(motion_dir, exist_ok=True)
+        try:
+            kwargs = {} if cfg is None else {"cfg": cfg}
+            sctx = start_sa_motion_dispatch(data_dir, motion_dir,
+                                            eval_dice=eval_dice,
+                                            register_batch=register_batch,
+                                            **kwargs)
+            if sctx is not None:
+                finish_sa_motion(sctx, os.path.join(data_dir, "strain_sa"))
+        finally:
+            shutil.rmtree(motion_dir, ignore_errors=True)
+        radial_csv = os.path.join(data_dir, "strain_sa_radial.csv")
+        circum_csv = os.path.join(data_dir, "strain_sa_circum.csv")
+        if os.path.exists(radial_csv) and os.path.exists(circum_csv):
+            df_radial = pd.read_csv(radial_csv, index_col=0)
+            df_circum = pd.read_csv(circum_csv, index_col=0)
+            strain_row = ([df_circum.iloc[i, :].min() for i in range(17)] +
+                          [df_radial.iloc[i, :].max() for i in range(17)])
+    stages["strain"] = time.time() - t0
+
+    if result is not None:
+        # per-subject slots: no cross-subject races beyond dict insert
+        # (GIL-atomic)
+        if vol_row is not None:
+            result.volume_rows[subject] = vol_row
+        if wt_row is not None:
+            result.wt_rows[subject] = wt_row
+        if wt_max_row is not None:
+            result.wt_max_rows[subject] = wt_max_row
+        if strain_row is not None:
+            result.strain_rows[subject] = strain_row
+        result.stage_seconds[subject] = stages
+    return stages
+
+
+def run_cohort_sa(data_root: str, engine,
+                  subjects: Optional[Sequence[str]] = None,
+                  workers: int = 3, cfg=None, register_batch=None,
+                  eval_dice: bool = False, output_dir: Optional[str] = None,
+                  verbose: bool = True, post_segment_hook=None,
+                  skip_existing_seg: bool = True) -> CohortResult:
+    """Process a cohort end-to-end with cross-stage overlap.
+
+    ``workers`` worker threads each drive whole subjects; the single
+    chip serializes the device programs of all of them (keeping it
+    busy) while host stages of different subjects run concurrently.
+    Returns a :class:`CohortResult`; with ``output_dir`` set, writes the
+    four aggregate CSVs in the reference CLIs' schemas.
+    """
+    subjects = sorted(subjects if subjects is not None
+                      else os.listdir(data_root))
+    result = CohortResult()
+
+    def one(subject: str):
+        process_subject_sa(engine, os.path.join(data_root, subject),
+                           cfg=cfg, register_batch=register_batch,
+                           eval_dice=eval_dice, result=result,
+                           skip_existing_seg=skip_existing_seg,
+                           post_segment_hook=post_segment_hook)
+
+    t0 = time.time()
+    result.fleet = run_fleet(subjects, one, workers=workers, verbose=verbose)
+    result.wall_seconds = time.time() - t0
+
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        write_cohort_csvs(result, output_dir)
+    return result
+
+
+def write_cohort_csvs(result: CohortResult, output_dir: str) -> None:
+    """Aggregate CSVs in the reference CLI schemas
+    (``eval_ventricular_volume.py:78-81``, ``eval_wall_thickness.py:64-80``,
+    ``eval_strain_sax.py:66-75``)."""
+    if result.volume_rows:
+        pd.DataFrame.from_dict(result.volume_rows, orient="index").to_csv(
+            os.path.join(output_dir, "table_ventricular_volume.csv"))
+    from ukbb_cardiac_tpu.cli.eval_wall_thickness import (MAX_COLUMNS,
+                                                          MEAN_COLUMNS)
+    if result.wt_rows:
+        pd.DataFrame.from_dict(result.wt_rows, orient="index")\
+            .set_axis(MEAN_COLUMNS, axis=1)\
+            .to_csv(os.path.join(output_dir, "table_wall_thickness.csv"))
+    if result.wt_max_rows:
+        pd.DataFrame.from_dict(result.wt_max_rows, orient="index")\
+            .set_axis(MAX_COLUMNS, axis=1)\
+            .to_csv(os.path.join(output_dir, "table_wall_thickness_max.csv"))
+    strain_cols = ([f"Ecc_AHA_{i} (%)" for i in range(1, 17)] +
+                   ["Ecc_Global (%)"] +
+                   [f"Err_AHA_{i} (%)" for i in range(1, 17)] +
+                   ["Err_Global (%)"])
+    if result.strain_rows:
+        pd.DataFrame.from_dict(result.strain_rows, orient="index")\
+            .set_axis(strain_cols, axis=1)\
+            .to_csv(os.path.join(output_dir, "table_strain_sax.csv"))

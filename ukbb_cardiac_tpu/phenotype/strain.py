@@ -35,7 +35,7 @@ import jax.numpy as jnp
 from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, append_polydata, load_polydata, save_polydata
 from ukbb_cardiac_tpu.ops import np_categorical_dice
-from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_target
+from ukbb_cardiac_tpu.ops.crop import foreground_bbox
 from ukbb_cardiac_tpu.phenotype.myo_contour import extract_myocardial_contour
 from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch, total_field
 
@@ -209,7 +209,8 @@ def track_slice_fields(frames: np.ndarray, cfg: RegConfig,
 def start_sa_motion_dispatch(data_dir: str, output_dir: str,
                              cfg: RegConfig = RegConfig(),
                              eval_dice: bool = False,
-                             register_batch=None, mesh=None):
+                             register_batch=None, mesh=None,
+                             inverse_consistent: bool = True):
     """Stage 1 of the SA strain driver: crop chain, ED contours, and
     DISPATCH of the whole registration+composition as device programs.
 
@@ -220,18 +221,32 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
     (contour warps, VTK/CSV writes) — the deploy engine's pipelining
     pattern applied to strain.
     """
-    # LV-focused crop (cardiac_utils.py:845-853): relabel RV->BG, bbox+20
-    padding(os.path.join(data_dir, "seg_sa_ED.nii.gz"),
-            os.path.join(data_dir, "seg_sa_ED.nii.gz"),
-            os.path.join(output_dir, "seg_sa_lv_ED.nii.gz"), 3, 0)
-    auto_crop_image(os.path.join(output_dir, "seg_sa_lv_ED.nii.gz"),
-                    os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"), 20)
-    resample_to_target(os.path.join(data_dir, "sa.nii.gz"),
-                       os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"),
-                       os.path.join(output_dir, "sa_crop.nii.gz"))
-    resample_to_target(os.path.join(data_dir, "seg_sa.nii.gz"),
-                       os.path.join(output_dir, "seg_sa_lv_crop_ED.nii.gz"),
-                       os.path.join(output_dir, "seg_sa_crop.nii.gz"), interp="nn")
+    # LV-focused crop (cardiac_utils.py:845-853): relabel RV->BG, bbox+20.
+    # The reference's chain is padding -> auto_crop -> two transform-image
+    # resamples through four intermediate files; the crop target shares
+    # the source grid, so the "resample" is an exact axis-aligned slice —
+    # done in memory (the per-subject NIfTI round trips were a top host
+    # cost of the cohort pipeline).
+    ed_nim = nifti.load(os.path.join(data_dir, "seg_sa_ED.nii.gz"))
+    seg_ed = np.asanyarray(ed_nim.dataobj)
+    if seg_ed.ndim == 4:
+        seg_ed = seg_ed[:, :, :, 0]
+    lv_ed = np.array(seg_ed)
+    lv_ed[lv_ed == 3] = 0                        # padding(..., 3, 0)
+    x1, x2, y1, y2, z1, z2 = foreground_bbox(lv_ed, 20)
+
+    sa_nim = nifti.load(os.path.join(data_dir, "sa.nii.gz"))
+    sa_full = np.asanyarray(sa_nim.dataobj)
+    if sa_full.ndim == 3:
+        sa_full = sa_full[..., None]
+    affine_crop = np.copy(sa_nim.affine)
+    affine_crop[:3, 3] = (affine_crop @ np.array([x1, y1, z1, 1.0]))[:3]
+    sa_crop_mem = sa_full[x1:x2, y1:y2, z1:z2].astype(np.float32)
+    seg_full = np.asanyarray(
+        nifti.load(os.path.join(data_dir, "seg_sa.nii.gz")).dataobj)
+    if seg_full.ndim == 3:
+        seg_full = seg_full[..., None]
+    seg_crop_mem = seg_full[x1:x2, y1:y2, z1:z2]
 
     # ED contours on the three representative slices (basal/mid/apical).
     # Clear stale contour files first: slice selection below trusts any
@@ -244,12 +259,10 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
                                os.path.join(output_dir, "myo_contour_ED_z"),
                                three_slices=True)
 
-    nim = nifti.load(os.path.join(output_dir, "sa_crop.nii.gz"))
-    Z = int(nim.header["dim"][3])
-    T = int(nim.header["dim"][4])
-    dt = float(nim.header["pixdim"][4])
-    sa_crop = np.asanyarray(nim.dataobj).astype(np.float32)
-    affine_crop = nim.affine
+    sa_crop = sa_crop_mem
+    Z = sa_crop.shape[2]
+    T = sa_crop.shape[3]
+    dt = float(sa_nim.header["pixdim"][4])
     inv_affine = np.linalg.inv(affine_crop)
     X, Y = sa_crop.shape[:2]
 
@@ -260,13 +273,13 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
         return None
     frames_zs = np.stack([np.transpose(sa_crop[:, :, z, :], (2, 0, 1))
                           for z in selected])  # (Zsel, T, X, Y)
-    fields_dev = track_multi_slice_fields(frames_zs, cfg,
-                                          register_batch=register_batch,
-                                          mesh=mesh, as_numpy=False)
+    fields_dev = track_multi_slice_fields(
+        frames_zs, cfg, register_batch=register_batch, mesh=mesh,
+        inverse_consistent=inverse_consistent, as_numpy=False)
     return {"output_dir": output_dir, "selected": selected,
             "fields_dev": fields_dev, "T": T, "dt": dt, "X": X, "Y": Y,
             "Z": Z, "affine_crop": affine_crop, "inv_affine": inv_affine,
-            "eval_dice": eval_dice}
+            "eval_dice": eval_dice, "seg_crop": seg_crop_mem}
 
 
 def finish_sa_motion(ctx: dict, output_name_stem: str
@@ -280,10 +293,7 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
     X, Y, Z = ctx["X"], ctx["Y"], ctx["Z"]
     affine_crop, inv_affine = ctx["affine_crop"], ctx["inv_affine"]
     eval_dice = ctx["eval_dice"]
-    seg_crop = None
-    if eval_dice:
-        seg_crop = np.asanyarray(nifti.load(
-            os.path.join(output_dir, "seg_sa_crop.nii.gz")).dataobj)
+    seg_crop = ctx["seg_crop"] if eval_dice else None
     dice_rows = []
     combined_zs = np.asarray(ctx["fields_dev"], dtype=np.float32)
     polys_by_frame = [[] for _ in range(T)]
@@ -350,8 +360,9 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
                                           output_name_stem: str,
                                           cfg: RegConfig = RegConfig(),
                                           eval_dice: bool = False,
-                                          register_batch=None,
-                                          mesh=None) -> Optional[pd.DataFrame]:
+                                          register_batch=None, mesh=None,
+                                          inverse_consistent: bool = True
+                                          ) -> Optional[pd.DataFrame]:
     """Full SA strain driver (``cardiac_utils.py:840-987``), MIRTK-free.
 
     Expects ``<data_dir>/{sa,seg_sa,seg_sa_ED}.nii.gz``; writes contour
@@ -363,7 +374,8 @@ def cine_2d_sa_motion_and_strain_analysis(data_dir: str, output_dir: str,
     :func:`finish_sa_motion` (cohort loops can pipeline the two).
     """
     ctx = start_sa_motion_dispatch(data_dir, output_dir, cfg, eval_dice,
-                                   register_batch, mesh)
+                                   register_batch, mesh,
+                                   inverse_consistent=inverse_consistent)
     if ctx is None:
         return None
     return finish_sa_motion(ctx, output_name_stem)

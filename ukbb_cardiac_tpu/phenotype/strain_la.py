@@ -22,7 +22,7 @@ from scipy.ndimage import map_coordinates
 from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, load_polydata, save_polydata
 from ukbb_cardiac_tpu.ops import get_largest_cc, np_categorical_dice, remove_small_cc
-from ukbb_cardiac_tpu.ops.sequence import auto_crop_image, padding, resample_to_target
+from ukbb_cardiac_tpu.ops.crop import foreground_bbox
 from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
 from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
     extract_contour, lv_slice_masks)
@@ -244,32 +244,39 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
     :func:`finish_la_motion` — cohort loops pipeline the two stages like
     the SA driver (``phenotype/strain.py``)."""
     # LV-focused crop via relabelling (cardiac_utils.py:1412-1425):
-    # Myo->LV, then RV/LA/RA -> BG, bbox + 20
-    lv_name = os.path.join(output_dir, "seg4_la_4ch_lv_ED.nii.gz")
-    padding(os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"),
-            os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"), lv_name, 2, 1)
+    # Myo->LV, then RV/LA/RA -> BG, bbox + 20.  Like the SA driver, the
+    # reference's padding/auto_crop/transform-image chain reduces to an
+    # exact in-memory slice (the crop target shares the source grid).
+    ed_nim = nifti.load(os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"))
+    seg_ed = np.asanyarray(ed_nim.dataobj)
+    if seg_ed.ndim == 4:
+        seg_ed = seg_ed[:, :, :, 0]
+    lv_ed = np.array(seg_ed)
+    lv_ed[lv_ed == 2] = 1                        # Myo -> LV
     for lab in (3, 4, 5):
-        padding(lv_name, lv_name, lv_name, lab, 0)
-    auto_crop_image(lv_name,
-                    os.path.join(output_dir, "seg4_la_4ch_lv_crop_ED.nii.gz"), 20)
-    resample_to_target(os.path.join(data_dir, "la_4ch.nii.gz"),
-                       os.path.join(output_dir, "seg4_la_4ch_lv_crop_ED.nii.gz"),
-                       os.path.join(output_dir, "la_4ch_crop.nii.gz"))
-    resample_to_target(os.path.join(data_dir, "seg4_la_4ch.nii.gz"),
-                       os.path.join(output_dir, "seg4_la_4ch_lv_crop_ED.nii.gz"),
-                       os.path.join(output_dir, "seg4_la_4ch_crop.nii.gz"),
-                       interp="nn")
+        lv_ed[lv_ed == lab] = 0
+    x1, x2, y1, y2, z1, z2 = foreground_bbox(lv_ed, 20)
+
+    la_nim = nifti.load(os.path.join(data_dir, "la_4ch.nii.gz"))
+    la_full = np.asanyarray(la_nim.dataobj)
+    if la_full.ndim == 3:
+        la_full = la_full[..., None]
+    affine_crop = np.copy(la_nim.affine)
+    affine_crop[:3, 3] = (affine_crop @ np.array([x1, y1, z1, 1.0]))[:3]
+    la_crop = la_full[x1:x2, y1:y2, z1:z2].astype(np.float32)
+    seg4_full = np.asanyarray(
+        nifti.load(os.path.join(data_dir, "seg4_la_4ch.nii.gz")).dataobj)
+    if seg4_full.ndim == 3:
+        seg4_full = seg4_full[..., None]
+    seg_crop_mem = seg4_full[x1:x2, y1:y2, z1:z2]
 
     extract_la_myocardial_contour(
         os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz"),
         os.path.join(data_dir, "seg_sa_ED.nii.gz"),
         os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
 
-    nim = nifti.load(os.path.join(output_dir, "la_4ch_crop.nii.gz"))
-    T = int(nim.header["dim"][4])
-    dt = float(nim.header["pixdim"][4])
-    la_crop = np.asanyarray(nim.dataobj).astype(np.float32)
-    affine_crop = nim.affine
+    T = la_crop.shape[3]
+    dt = float(la_nim.header["pixdim"][4])
     inv_affine = np.linalg.inv(affine_crop)
     X, Y = la_crop.shape[:2]
 
@@ -279,7 +286,7 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
                                     mesh=mesh, as_numpy=False)
     return {"output_dir": output_dir, "fields_dev": fields_dev, "T": T,
             "dt": dt, "X": X, "Y": Y, "affine_crop": affine_crop,
-            "inv_affine": inv_affine}
+            "inv_affine": inv_affine, "seg_crop": seg_crop_mem}
 
 
 def finish_la_motion(ctx: dict, output_name_stem: str,
@@ -318,8 +325,7 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
         output_name_stem, polys=frame_polys)
 
     if eval_dice:
-        seg_crop = np.asanyarray(nifti.load(
-            os.path.join(output_dir, "seg4_la_4ch_crop.nii.gz")).dataobj)
+        seg_crop = ctx["seg_crop"]
         gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
         rows = []
         for fr in range(T):

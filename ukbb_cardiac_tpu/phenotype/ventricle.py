@@ -28,14 +28,22 @@ def ventricular_volume_measures(image_name: str, seg_name: str) -> Optional[Dict
     if not (os.path.exists(image_name) and os.path.exists(seg_name)):
         return None
     nim = nifti.load(image_name)
-    pixdim = nim.header["pixdim"][1:4]
+    seg = np.asanyarray(nifti.load(seg_name).dataobj)
+    return ventricular_volume_measures_from_seg(seg, nim.header)
+
+
+def ventricular_volume_measures_from_seg(seg: np.ndarray,
+                                         header) -> Dict[str, float]:
+    """Array-based core of :func:`ventricular_volume_measures` — lets
+    pipelines (``parallel/cohort.py``) compute volumes from the
+    segmentation still in memory instead of re-reading the file they
+    just wrote.  ``header`` is the cine's NIfTI header (pixdim/dim)."""
+    pixdim = header["pixdim"][1:4]
     volume_per_pix = pixdim[0] * pixdim[1] * pixdim[2] * 1e-3  # mL
 
-    duration_per_cycle = nim.header["dim"][4] * nim.header["pixdim"][4]
+    duration_per_cycle = header["dim"][4] * header["pixdim"][4]
     heart_rate = (60.0 / duration_per_cycle if duration_per_cycle > 0
                   else np.float64("nan"))
-
-    seg = np.asanyarray(nifti.load(seg_name).dataobj)
 
     frame = {"ED": 0}
     vol_t = np.sum(seg == 1, axis=(0, 1, 2)) * volume_per_pix
