@@ -298,17 +298,18 @@ def _bench_cohort(sa_engine, seg_compute_hint=None) -> dict:
         # strain device-compute calibration on the warm subject's crop
         strain_dev = None
         try:
+            from ukbb_cardiac_tpu.ops.crop import foreground_bbox
+
             nim = nifti.load(os.path.join(warm, "sa.nii.gz"))
             img = np.asanyarray(nim.dataobj).astype(np.float32)
-            # the strain driver crops to the LV bbox+20; approximate the
-            # same crop from the truth seg (identical to what the driver
-            # computed for this subject)
-            seg0 = truth[f"subj{N:02d}"][0][:, :, :, 0]
-            xs, ys = np.nonzero((seg0 > 0).any(axis=2))[0], \
-                np.nonzero((seg0 > 0).any(axis=2))[1]
-            x0, x1 = max(xs.min() - 20, 0), min(xs.max() + 20, X)
-            y0, y1 = max(ys.min() - 20, 0), min(ys.max() + 20, Y)
-            crop = img[x0:x1, y0:y1]
+            # EXACTLY the strain driver's crop (phenotype/strain.py):
+            # relabel RV (3) -> BG on the truth ED seg, then bbox+20 —
+            # same shape, so the calibration hits the same compiled
+            # programs the cohort runs
+            seg0 = np.array(truth[f"subj{N:02d}"][0][:, :, :, 0])
+            seg0[seg0 == 3] = 0
+            x0, x1b, y0, y1b, _, _ = foreground_bbox(seg0, 20)
+            crop = img[x0:x1b, y0:y1b]
             zsel = [Z // 4, Z // 2, 3 * Z // 4]
             frames = np.stack([np.transpose(crop[:, :, z, :], (2, 0, 1))
                                for z in zsel])

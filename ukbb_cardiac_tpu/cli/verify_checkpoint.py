@@ -313,6 +313,10 @@ def main(argv=None):
         return 2
 
     # --- Dice on real subjects -------------------------------------------
+    if args.data_dir and kind != "fcn":
+        print(f"NOTE: --data_dir Dice check is implemented for FCN "
+              f"checkpoints only; SKIPPED for kind={kind} (the forward "
+              "comparison above still ran)")
     if args.data_dir and kind == "fcn":
         from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
                                                    SegmentationModel)

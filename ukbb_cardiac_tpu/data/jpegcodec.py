@@ -323,10 +323,14 @@ def decode_jpeg_lossless(data: bytes) -> np.ndarray:
             sos_end = start + length
     if P is None or sos_end is None:
         raise JpegDecodeError("missing SOF3/SOS markers")
+    if not 2 <= P <= 16 or pt > P - 1:
+        raise JpegDecodeError(f"bad SOF3 precision P={P} pt={pt}")
     if comp_table not in tables:
         raise JpegDecodeError("missing Huffman table")
     if not 1 <= sv <= 7:
         raise JpegDecodeError(f"predictor selection value {sv}")
+    if any(v > 16 for v in tables[comp_table][0]):
+        raise JpegDecodeError("DHT symbol outside the 0..16 categories")
 
     vals, lengths = tables[comp_table]
     codes = _canonical_codes(lengths)
@@ -388,11 +392,12 @@ def _jls_default_thresholds(maxval: int, near: int) -> Tuple[int, int, int]:
         t2 = clamp(factor * (7 - 3) + 3 + 5 * near, t1)
         t3 = clamp(factor * (21 - 4) + 4 + 7 * near, t2)
     else:
-        factor = min(256, maxval + 1)
-        t1 = clamp(3 + 3 * near if factor <= 0 else
-                   max(2, 3 + 3 * near), near + 1)
-        t2 = clamp(7 + 5 * near, t1)
-        t3 = clamp(21 + 7 * near, t2)
+        # small-alphabet branch: FACTOR = 256/(MAXVAL+1),
+        # Ti = max(floor_i, BASIC_Ti/FACTOR + k*NEAR)
+        factor = 256 // (maxval + 1)
+        t1 = clamp(max(2, 3 // factor + 3 * near), near + 1)
+        t2 = clamp(max(3, 7 // factor + 5 * near), t1)
+        t3 = clamp(max(4, 21 // factor + 7 * near), t2)
     return t1, t2, t3
 
 
@@ -706,6 +711,8 @@ def decode_jpegls(data: bytes) -> np.ndarray:
             sos_end = start + length
     if P is None or sos_end is None:
         raise JpegDecodeError("missing SOF55/SOS markers")
+    if not 2 <= P <= 16:
+        raise JpegDecodeError(f"bad JPEG-LS precision P={P}")
     maxval = maxval_override if maxval_override else (1 << P) - 1
     if t_override and any(t_override):
         t1, t2, t3 = t_override
@@ -751,6 +758,11 @@ def decode_jpegls(data: bytes) -> np.ndarray:
                             n = r.read(_J[st.run_index])
                         else:
                             n = 0
+                        if n > cols - col - 1:
+                            # a '0' segment must leave room for its
+                            # interruption sample
+                            raise JpegDecodeError(
+                                "run literal overruns the line")
                         recon[row, col:col + n] = runval
                         col += n
                         break

@@ -57,15 +57,18 @@ def es_frame(pred: np.ndarray, seq_name: str, seg4: bool) -> int:
 
 
 def _start_subject_sequence(engine: InferenceEngine, data_dir: str,
-                            seq_name: str, seg4: bool) -> Optional[dict]:
+                            seq_name: str, seg4: bool,
+                            force: bool = False) -> Optional[dict]:
     """Read one subject's cine and dispatch its segmentation.
 
     Returns an in-flight context (finish with
     :func:`_finish_subject_sequence`) or None if skipped — same skip
-    rules as the reference (``deploy_network.py:62-71``)."""
+    rules as the reference (``deploy_network.py:62-71``); ``force``
+    re-segments even when the output exists (cohort re-runs with a new
+    model)."""
     prefix = seg_prefix(seq_name, seg4)
     seg_name = os.path.join(data_dir, f"{prefix}_{seq_name}.nii.gz")
-    if os.path.exists(seg_name):
+    if os.path.exists(seg_name) and not force:
         return None
     image_name = os.path.join(data_dir, f"{seq_name}.nii.gz")
     if not os.path.exists(image_name):

@@ -189,6 +189,10 @@ def _jpeg_decode(fn_name: str, data: bytes, expected_pixels):
                                ctypes.byref(cols))
     if rc == -3 and expected_pixels:  # header dims exceed the caller's hint
         return _jpeg_decode(fn_name, data, None)
+    if rc == -3:
+        # larger than the default working buffer: let the caller fall
+        # back to the pure-Python decoder rather than fail the frame
+        return None
     if rc != 0:
         from ukbb_cardiac_tpu.data.jpegcodec import JpegDecodeError
         kind = {-1: "malformed", -2: "unsupported"}.get(rc, f"error {rc}")

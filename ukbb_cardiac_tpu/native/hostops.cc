@@ -512,6 +512,9 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
   }
   if (!have_sof || !have_sos || nsym == 0) return -1;
   if (sv < 1 || sv > 7) return -2;
+  if (P < 2 || P > 16 || pt > P - 1) return -1;   // shift UB on bad headers
+  for (int i = 0; i < nsym; ++i)
+    if (huffval[i] > 16) return -1;               // SSSS categories are 0..16
   if ((int64_t)rows * cols > out_cap) return -3;
   *rows_out = rows;
   *cols_out = cols;
@@ -623,9 +626,15 @@ static void jls_defaults(int maxval, int near, int* t1, int* t2, int* t3) {
     *t2 = clampv(factor * (7 - 3) + 3 + 5 * near, *t1);
     *t3 = clampv(factor * (21 - 4) + 4 + 7 * near, *t2);
   } else {
-    *t1 = clampv(3 + 3 * near > 2 ? 3 + 3 * near : 2, near + 1);
-    *t2 = clampv(7 + 5 * near, *t1);
-    *t3 = clampv(21 + 7 * near, *t2);
+    // T.87 C.2.4.1.1.1 small-alphabet branch: FACTOR = 256/(MAXVAL+1),
+    // Ti = max(floor_i, BASIC_Ti/FACTOR + k*NEAR)
+    int factor = 256 / (maxval + 1);
+    int v1 = 3 / factor + 3 * near;
+    *t1 = clampv(v1 > 2 ? v1 : 2, near + 1);
+    int v2 = 7 / factor + 5 * near;
+    *t2 = clampv(v2 > 3 ? v2 : 3, *t1);
+    int v3 = 21 / factor + 7 * near;
+    *t3 = clampv(v3 > 4 ? v3 : 4, *t2);
   }
 }
 
@@ -775,7 +784,11 @@ int32_t jpegls_decode(const uint8_t* data, int64_t n, uint16_t* out,
           } else {
             int jbits = kJlsJ[s.run_index];
             int cnt = jbits ? (int)br_read(r, jbits) : 0;
-            if (cnt > cols - col) return -1;
+            // a '0' run segment is always followed by an interruption
+            // sample, so the literal count must leave >=1 column free;
+            // cnt == cols - col would put that sample one past the row
+            // (out-of-bounds write on untrusted input)
+            if (cnt > cols - col - 1) return -1;
             for (int i = 0; i < cnt; ++i) cur[col + i] = (uint16_t)runval;
             col += cnt;
             break;

@@ -81,7 +81,8 @@ def process_subject_sa(engine, data_dir: str,
     seg_name = os.path.join(data_dir, "seg_sa.nii.gz")
     pred_mem = header_mem = None
     if not (skip_existing_seg and os.path.exists(seg_name)):
-        ctx = _start_subject_sequence(engine, data_dir, "sa", seg4=False)
+        ctx = _start_subject_sequence(engine, data_dir, "sa", seg4=False,
+                                      force=not skip_existing_seg)
         if ctx is not None:
             _finish_subject_sequence(ctx, "sa", seg4=False, save_seg=True)
             pred_mem = ctx.get("pred")
@@ -122,6 +123,13 @@ def process_subject_sa(engine, data_dir: str,
     # --- 4. strain motion tracking (eval_strain_sax.py) -------------------
     t0 = time.time()
     strain_row = None
+    radial_csv = os.path.join(data_dir, "strain_sa_radial.csv")
+    circum_csv = os.path.join(data_dir, "strain_sa_circum.csv")
+    for stale in (radial_csv, circum_csv):
+        # never harvest a previous run's tables if this run's motion
+        # dispatch declines the subject
+        if os.path.exists(stale):
+            os.remove(stale)
     if qc_ok:
         motion_dir = os.path.join(data_dir, "cine_motion")
         os.makedirs(motion_dir, exist_ok=True)
@@ -135,8 +143,6 @@ def process_subject_sa(engine, data_dir: str,
                 finish_sa_motion(sctx, os.path.join(data_dir, "strain_sa"))
         finally:
             shutil.rmtree(motion_dir, ignore_errors=True)
-        radial_csv = os.path.join(data_dir, "strain_sa_radial.csv")
-        circum_csv = os.path.join(data_dir, "strain_sa_circum.csv")
         if os.path.exists(radial_csv) and os.path.exists(circum_csv):
             df_radial = pd.read_csv(radial_csv, index_col=0)
             df_circum = pd.read_csv(circum_csv, index_col=0)
@@ -173,8 +179,10 @@ def run_cohort_sa(data_root: str, engine,
     Returns a :class:`CohortResult`; with ``output_dir`` set, writes the
     four aggregate CSVs in the reference CLIs' schemas.
     """
-    subjects = sorted(subjects if subjects is not None
-                      else os.listdir(data_root))
+    if subjects is None:
+        subjects = [d for d in os.listdir(data_root)
+                    if os.path.isdir(os.path.join(data_root, d))]
+    subjects = sorted(subjects)
     result = CohortResult()
 
     def one(subject: str):
