@@ -99,3 +99,142 @@ def test_cohort_deploy_stage_runs_when_seg_missing(tmp_path, tiny_engine):
     assert os.path.exists(os.path.join(d, "seg_sa.nii.gz"))
     assert os.path.exists(os.path.join(d, "seg_sa_ED.nii.gz"))
     assert "subj00" in res.volume_rows
+
+
+def test_run_cohort_cli(tmp_path):
+    """The cohort CLI end-to-end: model bundle → aggregate CSVs +
+    manifest; exit 0 with no failures."""
+    import jax
+
+    from ukbb_cardiac_tpu.ckpt import store
+    from ukbb_cardiac_tpu.cli import run_cohort
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=4, fc=4)
+    p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    bundle = str(tmp_path / "fcn.npz")
+    store.save_model(bundle, "fcn", cfg, n, p, s, {})
+
+    root = _cohort(tmp_path, 2)
+    out = str(tmp_path / "csv")
+    manifest = str(tmp_path / "manifest.json")
+    rc = run_cohort.main(["--data_dir", root, "--model_path", bundle,
+                          "--output_dir", out, "--workers", "2",
+                          "--manifest", manifest])
+    assert rc == 0
+    assert os.path.exists(os.path.join(out, "table_strain_sax.csv"))
+    import json
+    m = json.load(open(manifest))
+    assert len(m["succeeded"]) == 2 and not m["failed"]
+    assert all(set(v) == {"segment", "volumes", "wall_thickness", "strain"}
+               for v in m["stage_seconds"].values())
+
+
+def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
+    """The COMPLETE per-subject pipeline over a cohort: SA chain + LA
+    deploys + atrial volumes + LA strain + aortic areas, with the
+    reference CLI schemas (demo_pipeline.py:63-122 as ONE overlapped
+    cohort driver)."""
+    from phantom import ao_phantom, seg4_la_phantom
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.io import nifti
+    from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+    from ukbb_cardiac_tpu.parallel import run_cohort_full
+
+    from phantom import la_phantom, sax_phantom
+
+    root = tmp_path / "cohort"
+    n_subj = 2
+    X = Y = 96
+    T = 6
+    for i in range(n_subj):
+        d = str(root / f"subj{i:02d}")
+        os.makedirs(d)
+        rng = np.random.RandomState(i)
+
+        def save(name, data, affine, dt=0.04):
+            hdr = nifti.Nifti1Header()
+            hdr.dim[0] = data.ndim
+            hdr.dim[1:1 + data.ndim] = data.shape
+            hdr.pixdim[1:4] = (1.8, 1.8, 10.0)
+            if data.ndim == 4:
+                hdr.pixdim[4] = dt
+            nifti.save(nifti.Nifti1Image(data, affine, hdr),
+                       os.path.join(d, name))
+
+        # SA stack, world-consistent with the LA plane below
+        affine_sa = np.diag([-1.8, -1.8, 10.0, 1.0])
+        affine_sa[:3, 3] = (80.0, 90.0, -40.0)
+        sa_img, sa_seg = sax_phantom(X, Y, 8, T, rng=rng)
+        save("sa.nii.gz", sa_img, affine_sa)
+        save("seg_sa.nii.gz", sa_seg.astype(np.float64), affine_sa)
+        es = int(np.argmin(np.sum(sa_seg == 1, axis=(0, 1, 2))))
+        for name, fr in (("ED", 0), ("ES", es)):
+            save(f"sa_{name}.nii.gz", sa_img[:, :, :, fr], affine_sa)
+            save(f"seg_sa_{name}.nii.gz",
+                 sa_seg[:, :, :, fr].astype(np.float64), affine_sa)
+
+        # 4ch LA plane: world long axis runs along the in-plane y axis
+        affine_la = np.array([[-1.8, 0, 0, 80.0],
+                              [0, 0, 10.0, 0.0],
+                              [0, -1.8, 0, 90.0],
+                              [0, 0, 0, 1.0]])
+        la4_img, seg4 = seg4_la_phantom(X, Y, T, rng=rng)
+        save("la_4ch.nii.gz", la4_img, affine_la)
+        save("seg4_la_4ch.nii.gz", seg4.astype(np.float64), affine_la)
+        save("seg4_la_4ch_ED.nii.gz", seg4[:, :, :, 0].astype(np.float64),
+             affine_la)
+        # 3-class la_4ch (LA=1, RA=2) + la_2ch for atrial volumes
+        seg_la4 = np.zeros_like(seg4)
+        seg_la4[seg4 == 4] = 1
+        seg_la4[seg4 == 5] = 2
+        save("seg_la_4ch.nii.gz", seg_la4.astype(np.float64), affine_la)
+        la2_img, seg_la2 = la_phantom(X, Y, T, n_class=2, rng=rng)
+        save("la_2ch.nii.gz", la2_img, affine_la)
+        save("seg_la_2ch.nii.gz", seg_la2.astype(np.float64), affine_la)
+        # aortic cine + ground truth
+        ao_img, seg_ao = ao_phantom(X, Y, T, rng=rng)
+        save("ao.nii.gz", ao_img, np.diag([-1.8, -1.8, 10.0, 1.0]))
+        save("seg_ao.nii.gz", seg_ao.astype(np.float64),
+             np.diag([-1.8, -1.8, 10.0, 1.0]))
+
+    def eng(n_class):
+        from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
+                                                   SegmentationModel)
+        cfg = fcn_mod.FCNConfig(n_class=n_class, n_level=3,
+                                n_filter=(2, 4, 4), n_block=(1, 1, 1),
+                                same_dim=4, fc=4)
+        p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+        return InferenceEngine(SegmentationModel.from_fcn(p, s, n, cfg))
+
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(2, 4, 4),
+                               n_block=(1, 1, 1))
+    up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    up.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 2, 4, 3))
+    engines = {"sa": tiny_engine, "la_2ch": eng(2), "la_4ch": eng(3),
+               "seg4": eng(6),
+               "ao": AorticEngine("unet_lstm", ucfg, un, up, us,
+                                  bidirectional=True)}
+    out = str(tmp_path / "csv")
+    pressure = {0: 40.0, 1: 45.0}  # eid -> central PP; subjects are subjNN
+    res = run_cohort_full(str(root), engines, workers=2, output_dir=out,
+                          verbose=False)
+    assert len(res.fleet.succeeded) == n_subj, res.fleet.failed
+    # every full-pipeline stage ran for every subject
+    for subj, st in res.stage_seconds.items():
+        assert {"segment", "volumes", "wall_thickness", "strain",
+                "segment_la", "atrial_volumes", "strain_la",
+                "aortic"} <= set(st), st
+    # aggregate CSVs
+    atrial = pd.read_csv(os.path.join(out, "table_atrial_volume.csv"),
+                         index_col=0)
+    assert atrial.shape == (n_subj, 8)
+    lax = pd.read_csv(os.path.join(out, "table_strain_lax.csv"), index_col=0)
+    assert lax.shape == (n_subj, 7)
+    # longitudinal strain of a contracting-LV phantom is negative
+    assert (lax["Ell_Global (%)"] < 0).all()
+    # LA deploys skipped (ground-truth segs exist) but files are present
+    for f in ("seg_la_2ch.nii.gz", "seg4_la_4ch.nii.gz", "seg_ao.nii.gz"):
+        assert os.path.exists(os.path.join(root, "subj00", f))

@@ -1,0 +1,70 @@
+"""Whole-cohort end-to-end SA processing with cross-stage overlap.
+
+Replaces the reference's stage-by-stage cohort walks — deploy over all
+subjects, then each eval script over all subjects, optionally sharded by
+hand with ``--start_idx/--end_idx`` (``demo_pipeline.py:63-122``,
+``eval_strain_sax.py:26-34``) — with one command that runs
+
+    segmentation → ventricular volumes → wall thickness → strain
+
+per subject over a worker pool: subject N+1's device work (segmentation,
+FFD registration) runs while subject N's host post-processing (contour
+warps, VTK/CSV writes) completes.  Outputs per subject match the
+individual CLIs file-for-file; four aggregate CSVs are written to
+``--output_dir`` in the same schemas.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(description=__doc__)
+    parser.add_argument("--data_dir", metavar="dir_name", required=True)
+    parser.add_argument("--model_path", metavar="path", required=True,
+                        help="FCN checkpoint: TF prefix or converted .npz")
+    parser.add_argument("--output_dir", metavar="dir_name", required=True,
+                        help="Aggregate CSV directory")
+    parser.add_argument("--workers", type=int, default=3)
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 activations for segmentation")
+    parser.add_argument("--eval_dice", action="store_true")
+    parser.add_argument("--force", action="store_true",
+                        help="Re-segment even when seg_sa.nii.gz exists")
+    parser.add_argument("--manifest", metavar="json_name", default="",
+                        help="Write the fleet manifest (per-subject "
+                             "status/seconds) to this JSON file")
+    args = parser.parse_args(argv)
+
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.infer.deploy import load_segmentation_model
+    from ukbb_cardiac_tpu.infer.engine import InferenceEngine
+    from ukbb_cardiac_tpu.parallel.cohort import run_cohort_sa
+
+    model = load_segmentation_model(
+        args.model_path, jnp.bfloat16 if args.bf16 else None)
+    engine = InferenceEngine(model)
+
+    result = run_cohort_sa(args.data_dir, engine, workers=args.workers,
+                           eval_dice=args.eval_dice,
+                           output_dir=args.output_dir,
+                           skip_existing_seg=not args.force)
+    n_ok = len(result.fleet.succeeded)
+    print(f"cohort: {n_ok} succeeded, {len(result.fleet.failed)} failed, "
+          f"{len(result.fleet.skipped)} skipped in "
+          f"{result.wall_seconds:.1f}s "
+          f"({result.subjects_per_s:.3f} subjects/s)")
+    if args.manifest:
+        with open(args.manifest, "w") as f:
+            json.dump({**result.fleet.to_manifest(),
+                       "wall_seconds": result.wall_seconds,
+                       "stage_seconds": result.stage_seconds}, f, indent=2)
+    return 0 if not result.fleet.failed else 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -39,6 +39,9 @@ class CohortResult:
         self.wt_rows: Dict[str, list] = {}
         self.wt_max_rows: Dict[str, list] = {}
         self.strain_rows: Dict[str, list] = {}
+        self.atrial_rows: Dict[str, dict] = {}
+        self.la_strain_rows: Dict[str, list] = {}
+        self.aortic_rows: Dict[str, list] = {}
         self.stage_seconds: Dict[str, Dict[str, float]] = {}
         self.wall_seconds: float = 0.0
 
@@ -227,3 +230,181 @@ def write_cohort_csvs(result: CohortResult, output_dir: str) -> None:
         pd.DataFrame.from_dict(result.strain_rows, orient="index")\
             .set_axis(strain_cols, axis=1)\
             .to_csv(os.path.join(output_dir, "table_strain_sax.csv"))
+
+
+def process_subject_full(engines: Dict[str, object], data_dir: str,
+                         cfg=None, register_batch=None,
+                         pressure_value=None,
+                         eval_dice: bool = False,
+                         result: Optional[CohortResult] = None,
+                         skip_existing_seg: bool = True,
+                         post_segment_hook=None) -> Dict[str, float]:
+    """The COMPLETE per-subject pipeline (``demo_pipeline.py:63-122``):
+
+        SA chain (segment → volumes → wall thickness → strain)
+        → LA deploys (la_2ch, la_4ch, la_4ch --seg4) → atrial volumes
+        → LA strain → aortic deploy → aortic areas
+
+    ``engines``: {'sa': InferenceEngine, 'la_2ch': ..., 'la_4ch': ...,
+    'seg4': ..., 'ao': AorticEngine} — any entry may be absent/None to
+    skip its stage (its phenotype stages then skip on missing files,
+    like the reference).  ``pressure_value``: this subject's central
+    pulse pressure for distensibility (NaN → NaN distensibility).
+    """
+    from ukbb_cardiac_tpu.infer.deploy import (_finish_subject_sequence,
+                                               _start_subject_sequence)
+    from ukbb_cardiac_tpu.phenotype.aorta import aortic_area_measures
+    from ukbb_cardiac_tpu.phenotype.atrium import atrial_volume_measures
+    from ukbb_cardiac_tpu.phenotype.qc import la_pass_quality_control
+    from ukbb_cardiac_tpu.phenotype.strain_la import (finish_la_motion,
+                                                      start_la_motion_dispatch)
+
+    subject = os.path.basename(data_dir.rstrip("/"))
+    stages = process_subject_sa(
+        engines.get("sa"), data_dir, cfg=cfg, register_batch=register_batch,
+        eval_dice=eval_dice, result=result,
+        skip_existing_seg=skip_existing_seg,
+        post_segment_hook=post_segment_hook) if engines.get("sa") else {}
+
+    # --- LA deploys (deploy_network.py la_2ch / la_4ch / --seg4) ----------
+    t0 = time.time()
+    for seq, seg4 in (("la_2ch", False), ("la_4ch", False),
+                      ("la_4ch", True)):
+        eng = engines.get("seg4" if seg4 else seq)
+        if eng is None:
+            continue
+        ctx = _start_subject_sequence(eng, data_dir, seq, seg4=seg4,
+                                      force=not skip_existing_seg)
+        if ctx is not None:
+            _finish_subject_sequence(ctx, seq, seg4=seg4, save_seg=True)
+    if post_segment_hook is not None:
+        post_segment_hook(data_dir)
+    stages["segment_la"] = time.time() - t0
+
+    # --- atrial volumes (eval_atrial_volume.py) ---------------------------
+    t0 = time.time()
+    atrial_row = atrial_volume_measures(data_dir)
+    stages["atrial_volumes"] = time.time() - t0
+
+    # --- LA strain (eval_strain_lax.py) -----------------------------------
+    t0 = time.time()
+    la_strain_row = None
+    longit_csv = os.path.join(data_dir, "strain_la_4ch_longit.csv")
+    if os.path.exists(longit_csv):
+        os.remove(longit_csv)
+    seg4_ed = os.path.join(data_dir, "seg4_la_4ch_ED.nii.gz")
+    if os.path.exists(seg4_ed) and \
+            os.path.exists(os.path.join(data_dir, "seg_sa_ED.nii.gz")) and \
+            la_pass_quality_control(seg4_ed):
+        motion_dir = os.path.join(data_dir, "cine_la_motion")
+        os.makedirs(motion_dir, exist_ok=True)
+        try:
+            kwargs = {} if cfg is None else {"cfg": cfg}
+            ctx = start_la_motion_dispatch(data_dir, motion_dir, **kwargs)
+            if ctx is not None:
+                finish_la_motion(ctx, os.path.join(data_dir,
+                                                   "strain_la_4ch"),
+                                 eval_dice=eval_dice)
+        finally:
+            shutil.rmtree(motion_dir, ignore_errors=True)
+        if os.path.exists(longit_csv):
+            df_l = pd.read_csv(longit_csv, index_col=0)
+            la_strain_row = [df_l.iloc[i, :].min() for i in range(7)]
+    stages["strain_la"] = time.time() - t0
+
+    # --- aortic deploy + areas (deploy_network_ao.py, eval_aortic_area) ---
+    t0 = time.time()
+    aortic_row = None
+    ao_engine = engines.get("ao")
+    if ao_engine is not None and \
+            os.path.exists(os.path.join(data_dir, "ao.nii.gz")):
+        from ukbb_cardiac_tpu.infer.deploy_ao import deploy_subject_ao
+        if not skip_existing_seg:
+            seg_ao = os.path.join(data_dir, "seg_ao.nii.gz")
+            if os.path.exists(seg_ao):
+                os.remove(seg_ao)
+        deploy_subject_ao(ao_engine, data_dir)
+        if post_segment_hook is not None:
+            post_segment_hook(data_dir)
+        pp = float("nan") if pressure_value is None else pressure_value
+        val = aortic_area_measures(data_dir, pp)
+        if val is not None:
+            aortic_row = [val["AAo"]["max area"], val["AAo"]["min area"],
+                          val["AAo"]["distensibility"],
+                          val["DAo"]["max area"], val["DAo"]["min area"],
+                          val["DAo"]["distensibility"]]
+    stages["aortic"] = time.time() - t0
+
+    if result is not None:
+        if atrial_row is not None:
+            result.atrial_rows[subject] = atrial_row
+        if la_strain_row is not None:
+            result.la_strain_rows[subject] = la_strain_row
+        if aortic_row is not None:
+            result.aortic_rows[subject] = aortic_row
+        result.stage_seconds.setdefault(subject, {}).update(stages)
+    return stages
+
+
+def run_cohort_full(data_root: str, engines: Dict[str, object],
+                    subjects: Optional[Sequence[str]] = None,
+                    workers: int = 3, cfg=None,
+                    pressure=None, eval_dice: bool = False,
+                    output_dir: Optional[str] = None,
+                    verbose: bool = True, post_segment_hook=None,
+                    skip_existing_seg: bool = True) -> CohortResult:
+    """The complete pipeline over a cohort with cross-stage overlap —
+    the whole ``demo_pipeline.py`` per subject, not stage-by-stage.
+    ``pressure``: optional mapping eid → central pulse pressure."""
+    if subjects is None:
+        subjects = [d for d in os.listdir(data_root)
+                    if os.path.isdir(os.path.join(data_root, d))]
+    subjects = sorted(subjects)
+    result = CohortResult()
+
+    def one(subject: str):
+        pp = None
+        if pressure is not None:
+            try:
+                pp = float(pressure[int(subject)])
+            except (KeyError, ValueError, TypeError):
+                pp = None
+        process_subject_full(engines, os.path.join(data_root, subject),
+                             cfg=cfg, pressure_value=pp,
+                             eval_dice=eval_dice, result=result,
+                             skip_existing_seg=skip_existing_seg,
+                             post_segment_hook=post_segment_hook)
+
+    t0 = time.time()
+    result.fleet = run_fleet(subjects, one, workers=workers, verbose=verbose)
+    result.wall_seconds = time.time() - t0
+    if output_dir:
+        os.makedirs(output_dir, exist_ok=True)
+        write_cohort_csvs(result, output_dir)
+        write_cohort_full_csvs(result, output_dir)
+    return result
+
+
+def write_cohort_full_csvs(result: CohortResult, output_dir: str) -> None:
+    """Aggregate CSVs for the LA/aortic stages (reference schemas:
+    ``eval_atrial_volume.py:165-168``, ``eval_strain_lax.py:66-75``,
+    ``eval_aortic_area.py:86-90``)."""
+    from ukbb_cardiac_tpu.phenotype import aorta, atrium
+
+    if result.atrial_rows:
+        pd.DataFrame.from_dict(
+            {k: [v[c] for c in ("LAV_bip_max", "LAV_bip_min", "LASV_bip",
+                                "LAEF_bip", "RAV_4ch_max", "RAV_4ch_min",
+                                "RASV_4ch", "RAEF_4ch")]
+             for k, v in result.atrial_rows.items()}, orient="index")\
+            .set_axis(atrium.COLUMNS, axis=1)\
+            .to_csv(os.path.join(output_dir, "table_atrial_volume.csv"))
+    if result.la_strain_rows:
+        cols = [f"Ell_{i} (%)" for i in range(1, 7)] + ["Ell_Global (%)"]
+        pd.DataFrame.from_dict(result.la_strain_rows, orient="index")\
+            .set_axis(cols, axis=1)\
+            .to_csv(os.path.join(output_dir, "table_strain_lax.csv"))
+    if result.aortic_rows:
+        pd.DataFrame.from_dict(result.aortic_rows, orient="index")\
+            .set_axis(aorta.COLUMNS, axis=1)\
+            .to_csv(os.path.join(output_dir, "table_aortic_area.csv"))
