@@ -160,6 +160,14 @@ def main():
         bound = "MXU" if t_mxu >= t_hbm else "HBM"
         verdict = (f"{bound}-bound roofline: t_mxu={t_mxu*1e3:.2f} ms "
                    f"t_hbm={t_hbm*1e3:.2f} ms measured={sec_per_step*1e3:.2f} ms")
+    # --- aortic UNet-LSTM train step (train_network_ao.py budget:
+    # batch 5 x 9-frame windows at 256^2, 20k iterations) ----------------
+    ao_windows_per_s = None
+    try:
+        ao_windows_per_s = _bench_ao_step()
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "fcn_sa_train_step_images_per_s",
         "value": round(batch_slices / sec_per_step, 2),
@@ -170,7 +178,53 @@ def main():
         "device_kind": kind,
         "mfu": round(mfu, 3) if mfu is not None else None,
         "roofline": verdict,
+        # aortic UNet-LSTM: reference budget batch 5 x tw=9 @ 256^2
+        "ao_unet_lstm_windows_per_s": (round(ao_windows_per_s, 2)
+                                       if ao_windows_per_s else None),
     }))
+
+
+def _bench_ao_step() -> float:
+    """Aortic UNet-LSTM train-step throughput at the reference operating
+    point (``train_network_ao.py:28-48``): batch 5, time window 9,
+    256x256, bidirectional seq2seq, LSTM-only updates (phase 2)."""
+    import jax
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.train import ao as ao_lib
+    from ukbb_cardiac_tpu.train import steps as steps_lib
+
+    cfg = ao_lib.AoTrainConfig(model="UNet-LSTM", train_batch_size=5)
+    ucfg, params, state, names = ao_lib.init_ao_model(
+        cfg, jax.random.PRNGKey(0))
+    loss_fn = ao_lib.make_ao_loss(cfg, ucfg, names)
+    optimizer = ao_lib.make_ao_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+    step = steps_lib.make_train_step(loss_fn, optimizer)
+
+    B, TW, S = cfg.train_batch_size, cfg.time_window, 256
+    rng = np.random.RandomState(0)
+    batch = {"image": jnp.asarray(rng.rand(B, TW, S, S, 1)
+                                  .astype(np.float32)),
+             "label": jnp.asarray(rng.randint(0, 3, (B, TW, S, S))
+                                  .astype(np.int32))}
+    key = jax.random.PRNGKey(1)
+
+    def run(n):
+        nonlocal params, state, opt_state
+        t0 = time.time()
+        loss = None
+        for _ in range(n):
+            params, state, opt_state, loss, _ = step(params, state,
+                                                     opt_state, batch, key)
+        float(loss)
+        return time.time() - t0
+
+    run(1)  # compile
+    t_lo = min(run(2) for _ in range(3))
+    t_hi = min(run(6) for _ in range(3))
+    sec_per_step = (t_hi - t_lo) / 4
+    return cfg.train_batch_size / sec_per_step
 
 
 if __name__ == "__main__":
