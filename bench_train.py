@@ -224,6 +224,8 @@ def _bench_ao_step() -> float:
     t_lo = min(run(2) for _ in range(3))
     t_hi = min(run(6) for _ in range(3))
     sec_per_step = (t_hi - t_lo) / 4
+    if sec_per_step <= 0:  # tunnel noise inverted the two points
+        return None
     return cfg.train_batch_size / sec_per_step
 
 

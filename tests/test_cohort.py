@@ -149,8 +149,9 @@ def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
     n_subj = 2
     X = Y = 96
     T = 6
+    eids = ["1000001", "1000002"]
     for i in range(n_subj):
-        d = str(root / f"subj{i:02d}")
+        d = str(root / eids[i])
         os.makedirs(d)
         rng = np.random.RandomState(i)
 
@@ -218,9 +219,9 @@ def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
                "ao": AorticEngine("unet_lstm", ucfg, un, up, us,
                                   bidirectional=True)}
     out = str(tmp_path / "csv")
-    pressure = {0: 40.0, 1: 45.0}  # eid -> central PP; subjects are subjNN
+    pressure = {1000001: 40.0, 1000002: 45.0}  # eid -> central PP
     res = run_cohort_full(str(root), engines, workers=2, output_dir=out,
-                          verbose=False)
+                          pressure=pressure, verbose=False)
     assert len(res.fleet.succeeded) == n_subj, res.fleet.failed
     # every full-pipeline stage ran for every subject
     for subj, st in res.stage_seconds.items():
@@ -235,6 +236,11 @@ def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
     assert lax.shape == (n_subj, 7)
     # longitudinal strain of a contracting-LV phantom is negative
     assert (lax["Ell_Global (%)"] < 0).all()
+    # aortic distensibility computed from the per-eid pulse pressure
+    ao = pd.read_csv(os.path.join(out, "table_aortic_area.csv"), index_col=0)
+    assert ao.shape == (n_subj, 6)
+    assert "AAo distensibility (10-3 mmHg-1)" in ao.columns
+    assert np.isfinite(ao["AAo distensibility (10-3 mmHg-1)"]).all()
     # LA deploys skipped (ground-truth segs exist) but files are present
     for f in ("seg_la_2ch.nii.gz", "seg4_la_4ch.nii.gz", "seg_ao.nii.gz"):
-        assert os.path.exists(os.path.join(root, "subj00", f))
+        assert os.path.exists(os.path.join(root, eids[0], f))

@@ -78,3 +78,22 @@ def test_native_output_capacity_retry():
     blob = jc.encode_jpegls(img, P)
     got = native.jpegls_decode(blob, expected_pixels=4)
     np.testing.assert_array_equal(got, img)
+
+
+def test_native_sof3_honors_table_selector():
+    """A stream with TWO Huffman tables (SOS selects id 0; id 1 appears
+    last) must decode with the selected table — the native decoder
+    previously kept whichever table was parsed last (round-3 review)."""
+    img = (np.arange(35, dtype=np.uint16) % 200).reshape(5, 7)
+    data = bytearray(jc.encode_jpeg_lossless(img, 8))
+    # craft a second, DIFFERENT table with id 1: one 1-bit code for
+    # category 0 (valid but wrong for this scan)
+    bits = [0] * 16
+    bits[0] = 1
+    dht1 = bytes([0x01]) + bytes(bits) + bytes([0])
+    seg = b"\xff\xc4" + (len(dht1) + 2).to_bytes(2, "big") + dht1
+    sos = bytes(data).rfind(b"\xff\xda")
+    patched = bytes(data[:sos]) + seg + bytes(data[sos:])
+    np.testing.assert_array_equal(jc.decode_jpeg_lossless(patched), img)
+    got = native.jpeg_sof3_decode(patched, img.size)
+    np.testing.assert_array_equal(got, img)

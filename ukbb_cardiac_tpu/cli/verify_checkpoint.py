@@ -219,9 +219,11 @@ def tf_unet_lstm_prob(tf, params, state, names, cfg, images_ntxyc, bidir):
 
 
 def _dice(a, b, cls):
-    am, bm = a == cls, b == cls
-    denom = am.sum() + bm.sum()
-    return 2.0 * np.logical_and(am, bm).sum() / denom if denom else 1.0
+    from ukbb_cardiac_tpu.ops import np_categorical_dice
+
+    if not ((a == cls).any() or (b == cls).any()):
+        return 1.0  # class absent in both predictions: perfect agreement
+    return float(np_categorical_dice(a, b, cls))
 
 
 def main(argv=None):

@@ -126,12 +126,21 @@ class DicomImage:
         from ukbb_cardiac_tpu.data import jpegcodec as jc
 
         syntax = self._attrs.get("TransferSyntaxUID")
-        if syntax in (JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1):
-            out = native.jpeg_sof3_decode(frag, rows * cols)
-            return out if out is not None else jc.decode_jpeg_lossless(frag)
-        if syntax in (JPEG_LS_LOSSLESS, JPEG_LS_NEAR):
-            out = native.jpegls_decode(frag, rows * cols)
-            return out if out is not None else jc.decode_jpegls(frag)
+        if syntax in (JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1,
+                      JPEG_LS_LOSSLESS, JPEG_LS_NEAR):
+            if syntax in (JPEG_LOSSLESS_P14, JPEG_LOSSLESS_SV1):
+                fast, slow = native.jpeg_sof3_decode, jc.decode_jpeg_lossless
+            else:
+                fast, slow = native.jpegls_decode, jc.decode_jpegls
+            try:
+                out = fast(frag, rows * cols)
+            except jc.JpegDecodeError:
+                # the C++ decoder declines some valid streams the Python
+                # codec handles (and vice versa for malformed ones) —
+                # always give the full decoder a chance before the caller
+                # degrades the frame
+                out = None
+            return out if out is not None else slow(frag)
         if syntax == RLE_LOSSLESS:
             return jc.decode_rle(frag, rows, cols, bits // 8)
         raise UnsupportedDicom(f"transfer syntax {syntax}")
@@ -181,10 +190,16 @@ def _frames_from_fragments(frags, n_frames: int, bot):
             starts.append(off)
             off += 8 + len(f)
         frames = []
-        for j in range(n_frames):
-            lo = starts.index(bot[j])
-            hi = starts.index(bot[j + 1]) if j + 1 < n_frames else len(frags)
-            frames.append(b"".join(frags[lo:hi]))
+        try:
+            for j in range(n_frames):
+                lo = starts.index(bot[j])
+                hi = (starts.index(bot[j + 1]) if j + 1 < n_frames
+                      else len(frags))
+                frames.append(b"".join(frags[lo:hi]))
+        except ValueError:
+            raise UnsupportedDicom(
+                f"Basic Offset Table entries {bot[:4]}... do not align "
+                f"with the fragment starts {starts[:4]}...")
         return frames
     raise UnsupportedDicom(
         f"cannot map {len(frags)} pixel fragments onto {n_frames} frames "

@@ -455,10 +455,10 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
   int64_t pos = 2;
   int P = 0, rows = 0, cols = 0, sv = 0, pt = 0, comp_table = 0;
   bool have_sof = false, have_sos = false;
-  // Huffman table: symbol + canonical code per category
-  int bits_count[17] = {0};
-  uint8_t huffval[64];
-  int nsym = 0;
+  // Huffman tables keyed by id 0..3 (the SOS selects one)
+  int bits_count[4][17] = {{0}};
+  uint8_t huffval[4][64];
+  int nsym[4] = {0, 0, 0, 0};
   int64_t entropy_start = -1;
 
   while (pos + 4 <= n) {
@@ -482,18 +482,13 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
     } else if (marker == 0xC4) {
       int p = 0;
       while (p < seg_len) {
-        int tc_th = seg[p];
-        if ((tc_th & 0x0F) == 0 || true) {
-          // accept any table id; last one with matching id wins below
-        }
+        int th = seg[p] & 0x0F;
         int cnt = 0;
         for (int i = 0; i < 16; ++i) cnt += seg[p + 1 + i];
-        if (cnt > 64 || p + 17 + cnt > seg_len) return -1;
-        // store only the table the scan will use (id resolved at SOS —
-        // DICOM streams carry exactly one table, so keep the last)
-        for (int i = 0; i < 16; ++i) bits_count[i] = seg[p + 1 + i];
-        nsym = cnt;
-        for (int i = 0; i < cnt; ++i) huffval[i] = seg[p + 17 + i];
+        if (th > 3 || cnt > 64 || p + 17 + cnt > seg_len) return -1;
+        for (int i = 0; i < 16; ++i) bits_count[th][i] = seg[p + 1 + i];
+        nsym[th] = cnt;
+        for (int i = 0; i < cnt; ++i) huffval[th][i] = seg[p + 17 + i];
         p += 17 + cnt;
       }
     } else if (marker == 0xDD) {
@@ -501,7 +496,6 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
     } else if (marker == 0xDA) {
       if (seg_len < 6 || seg[0] != 1) return -2;
       comp_table = seg[2] >> 4;
-      (void)comp_table;
       sv = seg[3];
       pt = seg[5] & 0x0F;
       have_sos = true;
@@ -510,11 +504,15 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
     }
     pos += 2 + length;
   }
-  if (!have_sof || !have_sos || nsym == 0) return -1;
+  if (!have_sof || !have_sos) return -1;
+  if (comp_table < 0 || comp_table > 3 || nsym[comp_table] == 0) return -1;
+  const int* bits_sel = bits_count[comp_table];
+  const uint8_t* huff_sel = huffval[comp_table];
+  int nsym_sel = nsym[comp_table];
   if (sv < 1 || sv > 7) return -2;
   if (P < 2 || P > 16 || pt > P - 1) return -1;   // shift UB on bad headers
-  for (int i = 0; i < nsym; ++i)
-    if (huffval[i] > 16) return -1;               // SSSS categories are 0..16
+  for (int i = 0; i < nsym_sel; ++i)
+    if (huff_sel[i] > 16) return -1;              // SSSS categories are 0..16
   if ((int64_t)rows * cols > out_cap) return -3;
   *rows_out = rows;
   *cols_out = cols;
@@ -526,10 +524,10 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
     for (int l = 1; l <= 16; ++l) {
       valptr[l] = k;
       mincode[l] = code;
-      code += bits_count[l - 1];
-      k += bits_count[l - 1];
+      code += bits_sel[l - 1];
+      k += bits_sel[l - 1];
       maxcode[l] = code - 1;  // -1 when no codes of this length
-      if (bits_count[l - 1] == 0) maxcode[l] = -1;
+      if (bits_sel[l - 1] == 0) maxcode[l] = -1;
       code <<= 1;
     }
   }
@@ -546,7 +544,7 @@ int32_t jpeg_sof3_decode(const uint8_t* data, int64_t n, uint16_t* out,
         ++l;
       }
       if (l > 16 || r.err) return -1;
-      int ssss = huffval[valptr[l] + code - mincode[l]];
+      int ssss = huff_sel[valptr[l] + code - mincode[l]];
       int32_t diff;
       if (ssss == 0) {
         diff = 0;
