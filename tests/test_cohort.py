@@ -244,3 +244,26 @@ def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
     # LA deploys skipped (ground-truth segs exist) but files are present
     for f in ("seg_la_2ch.nii.gz", "seg4_la_4ch.nii.gz", "seg_ao.nii.gz"):
         assert os.path.exists(os.path.join(root, eids[0], f))
+
+
+def test_cohort_with_sharded_registration(tmp_path, tiny_engine,
+                                          eight_devices):
+    """Cohort strain with the registration pair population sharded over
+    the virtual 8-device mesh — results match the single-device run."""
+    from ukbb_cardiac_tpu.parallel import make_mesh, run_cohort_sa
+
+    root = _cohort(tmp_path, 2)
+    res1 = run_cohort_sa(root, tiny_engine, workers=2, verbose=False)
+    # wipe per-subject strain outputs so the sharded run recomputes
+    for subj in os.listdir(root):
+        for f in ("strain_sa_radial.csv", "strain_sa_circum.csv"):
+            p = os.path.join(root, subj, f)
+            if os.path.exists(p):
+                os.remove(p)
+    mesh = make_mesh(8)
+    res2 = run_cohort_sa(root, tiny_engine, workers=2, mesh=mesh,
+                         verbose=False)
+    assert set(res2.fleet.succeeded) == set(res1.fleet.succeeded)
+    for subj in res1.strain_rows:
+        np.testing.assert_allclose(res2.strain_rows[subj],
+                                   res1.strain_rows[subj], atol=0.5)

@@ -37,6 +37,9 @@ def main(argv=None):
     parser.add_argument("--manifest", metavar="json_name", default="",
                         help="Write the fleet manifest (per-subject "
                              "status/seconds) to this JSON file")
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="Shard each subject's strain registration "
+                             "over this many chips (0 = one)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -48,9 +51,13 @@ def main(argv=None):
     model = load_segmentation_model(
         args.model_path, jnp.bfloat16 if args.bf16 else None)
     engine = InferenceEngine(model)
+    mesh = None
+    if args.mesh_devices > 1:
+        from ukbb_cardiac_tpu.parallel import make_mesh
+        mesh = make_mesh(args.mesh_devices)
 
     result = run_cohort_sa(args.data_dir, engine, workers=args.workers,
-                           eval_dice=args.eval_dice,
+                           mesh=mesh, eval_dice=args.eval_dice,
                            output_dir=args.output_dir,
                            skip_existing_seg=not args.force)
     n_ok = len(result.fleet.succeeded)

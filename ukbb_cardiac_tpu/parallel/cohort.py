@@ -52,7 +52,7 @@ class CohortResult:
 
 
 def process_subject_sa(engine, data_dir: str,
-                       cfg=None, register_batch=None,
+                       cfg=None, register_batch=None, mesh=None,
                        eval_dice: bool = False,
                        result: Optional[CohortResult] = None,
                        skip_existing_seg: bool = True,
@@ -141,7 +141,7 @@ def process_subject_sa(engine, data_dir: str,
             sctx = start_sa_motion_dispatch(data_dir, motion_dir,
                                             eval_dice=eval_dice,
                                             register_batch=register_batch,
-                                            **kwargs)
+                                            mesh=mesh, **kwargs)
             if sctx is not None:
                 finish_sa_motion(sctx, os.path.join(data_dir, "strain_sa"))
         finally:
@@ -171,6 +171,7 @@ def process_subject_sa(engine, data_dir: str,
 def run_cohort_sa(data_root: str, engine,
                   subjects: Optional[Sequence[str]] = None,
                   workers: int = 3, cfg=None, register_batch=None,
+                  mesh=None,
                   eval_dice: bool = False, output_dir: Optional[str] = None,
                   verbose: bool = True, post_segment_hook=None,
                   skip_existing_seg: bool = True) -> CohortResult:
@@ -179,6 +180,8 @@ def run_cohort_sa(data_root: str, engine,
     ``workers`` worker threads each drive whole subjects; the single
     chip serializes the device programs of all of them (keeping it
     busy) while host stages of different subjects run concurrently.
+    ``mesh``: shard each subject's registration pair population over a
+    chip mesh (XLA collectives over ICI; ``reg.make_register_batch``).
     Returns a :class:`CohortResult`; with ``output_dir`` set, writes the
     four aggregate CSVs in the reference CLIs' schemas.
     """
@@ -191,7 +194,7 @@ def run_cohort_sa(data_root: str, engine,
     def one(subject: str):
         process_subject_sa(engine, os.path.join(data_root, subject),
                            cfg=cfg, register_batch=register_batch,
-                           eval_dice=eval_dice, result=result,
+                           mesh=mesh, eval_dice=eval_dice, result=result,
                            skip_existing_seg=skip_existing_seg,
                            post_segment_hook=post_segment_hook)
 
