@@ -191,6 +191,14 @@ def main():
     except Exception:
         pass
 
+    # --- training step (bench_train.py's headline, driver-visible) -------
+    train_img_s = train_mfu = None
+    try:
+        if not past_deadline():
+            train_img_s, train_mfu = _bench_train_step()
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "full_subject_segmentation_sa_3xla_ao",
         "value": round(value, 3),
@@ -216,7 +224,62 @@ def main():
         # SA strain tracking, 3 slices x T=50 @ 96x96 (measured; the
         # reference's MIRTK path takes "several minutes" on CPU):
         "strain_tracking_s": round(strain_s, 3) if strain_s else None,
+        # FCN training step, 20 slices @ 192^2 bf16 (bench_train.py):
+        "train_images_per_s": (round(train_img_s, 1)
+                               if train_img_s else None),
+        "train_mfu": round(train_mfu, 3) if train_mfu else None,
     }))
+
+
+def _bench_train_step():
+    """The FCN training-step throughput (bench_train.py's measurement,
+    condensed): K=10-step scan, two-point timed."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    import bench_train as bt
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.train import steps as steps_lib
+    from ukbb_cardiac_tpu.train.sa import make_fcn_loss
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=5,
+                            n_filter=(16, 32, 64, 128, 256),
+                            n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    loss_fn = make_fcn_loss(names, cfg, device_augment=True,
+                            compute_dtype=jnp.bfloat16)
+    K, B = 10, 20
+    step = steps_lib.make_multi_train_step(loss_fn, optimizer)
+    rng = np.random.RandomState(0)
+    batches = {"image": jnp.asarray(rng.rand(K, B, 192, 192, 1)
+                                    .astype(np.float32)),
+               "label": jnp.asarray(rng.randint(0, 4, (K, B, 192, 192))
+                                    .astype(np.int32))}
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(K))
+
+    def run(n):
+        nonlocal params, state, opt_state
+        t0 = time.time()
+        losses = None
+        for _ in range(n // K):
+            params, state, opt_state, losses, _ = step(
+                params, state, opt_state, batches, keys)
+        float(losses[-1])
+        return time.time() - t0
+
+    run(K)  # compile (persistent-cache warm in steady state)
+    t_lo = min(run(10) for _ in range(3))
+    t_hi = min(run(40) for _ in range(3))
+    sec_per_step = (t_hi - t_lo) / 30
+    if sec_per_step <= 0:
+        return None, None
+    flops, _ = bt.fcn_train_flops_and_bytes(cfg, B, 192, 192)
+    peak, _ = bt.PEAKS.get(jax.devices()[0].device_kind, (None, None))
+    mfu = (flops / sec_per_step / peak) if peak else None
+    return B / sec_per_step, mfu
 
 
 def _bench_cohort(sa_engine, seg_compute_hint=None) -> dict:
