@@ -177,25 +177,25 @@ def main():
     except Exception:
         pass
 
-    # --- cohort sustained throughput (VERDICT r2 #2) ---------------------
-    # >=16 phantom subjects through segmentation -> volumes -> wall
-    # thickness -> strain with cross-stage overlap (subject N+1's device
-    # work under subject N's host post-processing).  LAST: the largest
-    # extra, so a degraded tunnel window cannot starve the strain figure
-    # above of its deadline budget.
-    cohort = {}
-    try:
-        if not past_deadline():
-            cohort = _bench_cohort(sa_engine, sax_compute_s
-                                   if compute_valid else None)
-    except Exception:
-        pass
-
     # --- training step (bench_train.py's headline, driver-visible) -------
     train_img_s = train_mfu = None
     try:
         if not past_deadline():
             train_img_s, train_mfu = _bench_train_step()
+    except Exception:
+        pass
+
+    # --- cohort sustained throughput (VERDICT r2 #2) ---------------------
+    # >=16 phantom subjects through segmentation -> volumes -> wall
+    # thickness -> strain with cross-stage overlap (subject N+1's device
+    # work under subject N's host post-processing).  LAST: the largest
+    # extra, so a degraded tunnel window cannot starve the other figures
+    # of their deadline budget.
+    cohort = {}
+    try:
+        if not past_deadline():
+            cohort = _bench_cohort(sa_engine, sax_compute_s
+                                   if compute_valid else None)
     except Exception:
         pass
 

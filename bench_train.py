@@ -147,6 +147,43 @@ def main():
     # min over repeats: tunnel noise is strictly additive (see bench.py)
     sec_per_step = float(np.min(times))
 
+    # --- saturating batch: same step at B=128 slices ---------------------
+    # the reference-scale batch (20 slices) leaves per-step fixed costs
+    # (BN reductions over small tensors, scan bookkeeping) visible; a
+    # full-HBM batch amortizes them and reports the chip's streaming
+    # throughput ceiling for this model
+    B_SAT = 128
+    sat_img_s = sat_sec = None
+    try:
+        K_SAT = 4
+        batches_s = {
+            "image": jnp.asarray(rng.rand(K_SAT, B_SAT, 192, 192, 1)
+                                 .astype(np.float32)),
+            "label": jnp.asarray(rng.randint(0, 4, (K_SAT, B_SAT, 192, 192))
+                                 .astype(np.int32)),
+        }
+        keys_s = jax.vmap(jax.random.PRNGKey)(jnp.arange(K_SAT))
+        p2, s2 = params, state
+        o2 = opt_state
+
+        def run_sat(n):
+            nonlocal p2, s2, o2
+            t0 = time.time()
+            losses = None
+            for _ in range(n // K_SAT):
+                p2, s2, o2, losses, _ = step(p2, s2, o2, batches_s, keys_s)
+            float(losses[-1])
+            return time.time() - t0
+
+        run_sat(K_SAT)  # compile
+        t_lo = min(run_sat(4) for _ in range(3))
+        t_hi = min(run_sat(16) for _ in range(3))
+        sat_sec = (t_hi - t_lo) / 12
+        if sat_sec > 0:
+            sat_img_s = B_SAT / sat_sec
+    except Exception:
+        pass
+
     # --- analytic MFU / roofline (VERDICT r2 #6) -------------------------
     flops, hbm_bytes = fcn_train_flops_and_bytes(cfg, batch_slices, 192, 192)
     achieved = flops / sec_per_step
@@ -178,6 +215,11 @@ def main():
         "device_kind": kind,
         "mfu": round(mfu, 3) if mfu is not None else None,
         "roofline": verdict,
+        # saturating batch (128 slices): streaming throughput ceiling
+        "images_per_s_b128": (round(sat_img_s, 1) if sat_img_s else None),
+        "mfu_b128": (round(fcn_train_flops_and_bytes(cfg, B_SAT, 192, 192)[0]
+                           / sat_sec / peak, 3)
+                     if (sat_img_s and peak) else None),
         # aortic UNet-LSTM: reference budget batch 5 x tw=9 @ 256^2
         "ao_unet_lstm_windows_per_s": (round(ao_windows_per_s, 2)
                                        if ao_windows_per_s else None),

@@ -171,6 +171,33 @@ class TestAugment:
         assert valid.sum() > 500
         np.testing.assert_allclose(out[valid], ref[valid], atol=1e-3)
 
+    def test_bf16_sampling_label_exact_image_close(self, rng):
+        """bf16 tent sampling (the training mixed-precision path): the
+        rounded order-0 label path is EXACT vs f32 (tents are one-hot and
+        small ints are bf16-representable); image values stay within the
+        bf16 interpolation tolerance."""
+        import jax.numpy as jnp
+
+        from ukbb_cardiac_tpu.ops.augment import _rotation_matrix
+        from ukbb_cardiac_tpu.ops.resample import affine_transform_2d
+
+        img = rng.rand(48, 40).astype(np.float32)
+        lab = rng.randint(0, 6, (48, 40)).astype(np.float32)
+        M = _rotation_matrix((24.0, 20.0), 13.0, 1.0 / 1.07)
+        M[:, 2] += [1.5, -2.0]
+        f32_img = np.asarray(affine_transform_2d(
+            img, M[:, :2], M[:, 2], order=1, backend="mxu"))
+        bf_img = np.asarray(affine_transform_2d(
+            img, M[:, :2], M[:, 2], order=1, backend="mxu",
+            sample_dtype=jnp.bfloat16))
+        np.testing.assert_allclose(bf_img, f32_img, atol=2e-2)
+        f32_lab = np.asarray(affine_transform_2d(
+            lab, M[:, :2], M[:, 2], order=0, backend="mxu"))
+        bf_lab = np.asarray(affine_transform_2d(
+            lab, M[:, :2], M[:, 2], order=0, backend="mxu",
+            sample_dtype=jnp.bfloat16))
+        np.testing.assert_array_equal(bf_lab, f32_lab)
+
     def test_aortic_augmenter_consistent_across_frames(self, rng):
         import jax
 

@@ -85,6 +85,97 @@ def test_sa_training_loop(tmp_path):
     assert len(log) >= 1 and np.isfinite(log[-1]["loss"])
 
 
+def test_sa_training_multi_step_matches_single(tmp_path, monkeypatch):
+    """The trainer's steps_per_dispatch path (slice-pool sampler + K-step
+    scan) feeds the device EXACTLY the K=1 run's stream: same batches in
+    the same order (FIFO pool, same rng), same per-step PRNG keys.  The
+    stream is recorded by wrapping the step builders — bitwise equality,
+    no fp tolerance.  Parameters are compared only loosely: Adam divides
+    by sqrt(v), so on noise-scale gradients the update is ±lr regardless
+    of magnitude and scan-vs-eager reassociation noise is amplified to
+    lr-scale — param equality is NOT a sharp test of the wiring."""
+    import ukbb_cardiac_tpu.train.steps as steps_lib
+
+    _make_sa_dataset(str(tmp_path))
+    streams = {1: [], 2: []}
+    cur = {"K": 1}
+    orig_single = steps_lib.make_train_step
+    orig_multi = steps_lib.make_multi_train_step
+
+    def rec_single(loss_fn, optimizer):
+        step = orig_single(loss_fn, optimizer)
+
+        def wrapped(params, state, opt_state, batch, key):
+            streams[cur["K"]].append(
+                ({k: np.asarray(v).copy() for k, v in batch.items()},
+                 np.asarray(key).copy()))
+            return step(params, state, opt_state, batch, key)
+
+        return wrapped
+
+    def rec_multi(loss_fn, optimizer):
+        mstep = orig_multi(loss_fn, optimizer)
+
+        def wrapped(params, state, opt_state, batches, keys):
+            kk = np.asarray(keys)
+            for i in range(kk.shape[0]):
+                streams[cur["K"]].append(
+                    ({k: np.asarray(v)[i].copy() for k, v in batches.items()},
+                     kk[i].copy()))
+            return mstep(params, state, opt_state, batches, keys)
+
+        return wrapped
+
+    monkeypatch.setattr(steps_lib, "make_train_step", rec_single)
+    monkeypatch.setattr(steps_lib, "make_multi_train_step", rec_multi)
+
+    runs = {}
+    for K in (1, 2):
+        cur["K"] = K
+        cfg = SATrainConfig(seq_name="sa", image_size=48, num_filter=2,
+                            dataset_dir=str(tmp_path),
+                            checkpoint_dir=str(tmp_path / f"ckpt{K}"),
+                            validation_every=2, checkpoint_every=4,
+                            batch_slices=4, steps_per_dispatch=K, seed=3)
+        params, _, _, _ = train_sa(cfg, max_iterations=4)
+        runs[K] = params
+
+    # the device saw the identical stream in both modes
+    assert len(streams[1]) == len(streams[2]) == 4
+    for (b1, k1), (b2, k2) in zip(streams[1], streams[2]):
+        np.testing.assert_array_equal(k1, k2)
+        assert b1.keys() == b2.keys()
+        for name in b1:
+            np.testing.assert_array_equal(b1[name], b2[name])
+
+    # loose sanity bound on params (see docstring for why it is loose)
+    for a, b in zip(jax.tree_util.tree_leaves(runs[1]),
+                    jax.tree_util.tree_leaves(runs[2])):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=5e-3)
+
+    # guard: K > 1 without a static batch shape is a config error
+    bad = SATrainConfig(seq_name="sa", image_size=48, num_filter=2,
+                        dataset_dir=str(tmp_path), steps_per_dispatch=2)
+    with pytest.raises(ValueError):
+        train_sa(bad, max_iterations=2)
+
+
+def test_slice_pool_sampler_static_shape(tmp_path):
+    """The pool sampler emits exactly batch_slices slices regardless of
+    subject Z, and consumes subjects in sampler order."""
+    from ukbb_cardiac_tpu.train.sa import make_slice_pool_sampler
+
+    _make_sa_dataset(str(tmp_path))
+    data_list = scan_dataset(str(tmp_path), "sa")
+    import random as _random
+    sampler = make_slice_pool_sampler(data_list["train"], 4, image_size=48,
+                                      rng=_random.Random(0))
+    for _ in range(3):  # subjects have 3 slices; batches of 4 cross subjects
+        b = sampler()
+        assert b["image"].shape == (4, 48, 48, 1)
+        assert b["label"].shape == (4, 48, 48)
+
+
 def test_ao_batch_sampler_windows(tmp_path):
     _make_ao_dataset(str(tmp_path))
     data_list = scan_dataset_ao(str(tmp_path))

@@ -29,6 +29,19 @@ def main(argv=None):
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="0 = single device; N = data-parallel mesh.")
     parser.add_argument("--seed", type=int, default=0)
+    parser.add_argument("--device_augment", action="store_true",
+                        help="Run the affine augmentation inside the "
+                             "jitted step (TPU path) instead of on host.")
+    parser.add_argument("--batch_slices", type=int, default=0,
+                        help="Fixed slices per batch via a slice pool "
+                             "(static shape; 0 = reference per-subject "
+                             "batches of varying slice count).")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="Optimizer steps per device dispatch "
+                             "(lax.scan; needs --batch_slices; pick a "
+                             "divisor of the validation cadence).")
+    parser.add_argument("--resume_from", default="",
+                        help="Checkpoint bundle to resume from.")
     args = parser.parse_args(argv)
 
     cfg = SATrainConfig(
@@ -38,8 +51,10 @@ def main(argv=None):
         train_iteration=args.train_iteration, num_filter=args.num_filter,
         num_level=args.num_level, learning_rate=args.learning_rate,
         dataset_dir=args.dataset_dir, checkpoint_dir=args.checkpoint_dir,
-        log_dir=args.log_dir, seed=args.seed, mesh_devices=args.mesh_devices)
-    train(cfg)
+        log_dir=args.log_dir, seed=args.seed, mesh_devices=args.mesh_devices,
+        device_augment=args.device_augment, batch_slices=args.batch_slices,
+        steps_per_dispatch=args.steps_per_dispatch)
+    train(cfg, resume_from=args.resume_from or None)
 
 
 if __name__ == "__main__":

@@ -99,7 +99,8 @@ def _affine_from_params(row, col, shift_val, rotate_val, scale_val):
     return matrix, offset
 
 
-def _augment_one(key, image, label, shift, rotate, scale, intensity, flip):
+def _augment_one(key, image, label, shift, rotate, scale, intensity, flip,
+                 sample_dtype=None):
     """image: (X, Y, C); label: (X, Y)."""
     kp, kf = jax.random.split(key)
     shift_val, rotate_val, scale_val, intensity_val = _sample_params(
@@ -108,10 +109,11 @@ def _augment_one(key, image, label, shift, rotate, scale, intensity, flip):
     row, col = image.shape[0], image.shape[1]
     matrix, offset = _affine_from_params(row, col, shift_val, rotate_val, scale_val)
 
-    img2 = jax.vmap(lambda ch: affine_transform_2d(ch, matrix, offset, order=1), in_axes=2, out_axes=2)(
-        image.astype(jnp.float32)
-    )
-    lab2 = affine_transform_2d(label.astype(jnp.float32), matrix, offset, order=0).astype(jnp.int32)
+    img2 = jax.vmap(lambda ch: affine_transform_2d(ch, matrix, offset, order=1,
+                                                   sample_dtype=sample_dtype),
+                    in_axes=2, out_axes=2)(image.astype(jnp.float32))
+    lab2 = affine_transform_2d(label.astype(jnp.float32), matrix, offset, order=0,
+                               sample_dtype=sample_dtype).astype(jnp.int32)
     img2 = img2 * intensity_val
 
     if flip:
@@ -121,11 +123,19 @@ def _augment_one(key, image, label, shift, rotate, scale, intensity, flip):
     return img2, lab2
 
 
-def data_augmenter_jax(key, image, label, shift, rotate, scale, intensity, flip):
-    """Device augmenter, independent transform per slice (N, X, Y, C)/(N, X, Y)."""
+def data_augmenter_jax(key, image, label, shift, rotate, scale, intensity, flip,
+                       sample_dtype=None):
+    """Device augmenter, independent transform per slice (N, X, Y, C)/(N, X, Y).
+
+    ``sample_dtype``: interpolation matmul dtype (see
+    ``resample.tent_sample_2d``).  bf16 halves the warp's HBM traffic;
+    the nearest-neighbour label path is exact either way, image values
+    pick up ~4e-3 relative interpolation noise — immaterial for
+    augmentation (the transform itself is random)."""
     keys = jax.random.split(key, image.shape[0])
     return jax.vmap(
-        lambda k, im, la: _augment_one(k, im, la, shift, rotate, scale, intensity, flip)
+        lambda k, im, la: _augment_one(k, im, la, shift, rotate, scale,
+                                       intensity, flip, sample_dtype)
     )(keys, jnp.asarray(image), jnp.asarray(label))
 
 

@@ -19,7 +19,7 @@ def sample_2d(image, coords_x, coords_y, order=1, cval=0.0):
     return map_coordinates(image, [coords_x, coords_y], order=order, mode="constant", cval=cval)
 
 
-def tent_sample_2d(image, cx, cy, precision="float32"):
+def tent_sample_2d(image, cx, cy, precision="float32", dtype=None):
     """Bilinear sampling as tent-basis matmuls (MXU path).
 
     Arbitrary-index gathers lower to scalar loads on TPU (~8 ns/element —
@@ -29,20 +29,31 @@ def tent_sample_2d(image, cx, cy, precision="float32"):
     tiles onto the MXU (see ``reg/register.py`` for the gradient-carrying
     variant).  Out-of-range coordinates fade to 0 exactly like
     ``map_coordinates(mode='constant', cval=0)``.
+
+    ``dtype``: storage dtype for the tent matrices and image operand
+    (accumulation stays f32 via ``preferred_element_type``).  Default
+    f32; ``jnp.bfloat16`` halves the tent tensors' HBM traffic and runs
+    the einsum at native MXU bf16 rate — interpolation error ~4e-3 of
+    the value range, fine for data augmentation.  Integer-coordinate
+    sampling (the rounded order-0 label path) stays EXACT in bf16: the
+    tents evaluate to exactly {0, 1} because coords and indices below
+    2^8 are representable, so the matmuls reduce to an exact one-hot
+    selection of small-integer labels.
     """
+    dtype = dtype or jnp.float32
     X, Y = image.shape
     r = jnp.arange(X, dtype=jnp.float32)
     k = jnp.arange(Y, dtype=jnp.float32)
-    TY = jax.nn.relu(1.0 - jnp.abs(cy[..., None] - k))      # (X, Y, k)
-    M = jnp.einsum("ijk,rk->ijr", TY, image.astype(jnp.float32),
-                   precision=precision,
+    TY = jax.nn.relu(1.0 - jnp.abs(cy[..., None] - k)).astype(dtype)  # (X, Y, k)
+    M = jnp.einsum("ijk,rk->ijr", TY, image.astype(dtype),
+                   precision=(precision if dtype == jnp.float32 else None),
                    preferred_element_type=jnp.float32)
-    TX = jax.nn.relu(1.0 - jnp.abs(cx[..., None] - r))      # (X, Y, r)
+    TX = jax.nn.relu(1.0 - jnp.abs(cx[..., None] - r)).astype(dtype)  # (X, Y, r)
     return jnp.sum(TX * M, axis=-1)
 
 
 def affine_transform_2d(image, matrix, offset, order=1, cval=0.0,
-                        backend="auto"):
+                        backend="auto", sample_dtype=None):
     """Pull-back affine warp: out[i] = image[matrix @ i + offset].
 
     Matches ``scipy.ndimage.affine_transform(image, matrix, offset, order)``
@@ -50,6 +61,8 @@ def affine_transform_2d(image, matrix, offset, order=1, cval=0.0,
     ``backend='auto'`` routes to the tent-basis MXU sampler on TPU when
     ``cval == 0`` (order 0 samples at rounded coordinates — exactly one
     tent is active, reproducing NN); 'gather' keeps ``map_coordinates``.
+    ``sample_dtype`` is forwarded to :func:`tent_sample_2d` (bf16 mixed
+    precision on the MXU path; exact for order 0, see there).
     """
     X, Y = image.shape
     xs = jnp.arange(X, dtype=jnp.float32)
@@ -63,7 +76,7 @@ def affine_transform_2d(image, matrix, offset, order=1, cval=0.0,
     if backend == "mxu":
         if order == 0:
             sx, sy = jnp.round(sx), jnp.round(sy)
-        return tent_sample_2d(image, sx, sy)
+        return tent_sample_2d(image, sx, sy, dtype=sample_dtype)
     return sample_2d(image, sx, sy, order=order, cval=cval)
 
 

@@ -62,6 +62,18 @@ class SATrainConfig:
     seed: int = 0
     mesh_devices: int = 0  # 0 = single device; >0 = data-parallel mesh
     device_augment: bool = False  # augment inside the jitted step (TPU path)
+    # K optimizer steps per device dispatch (lax.scan inside one jit,
+    # ``steps.make_multi_train_step``) — semantically identical to K
+    # single steps; amortizes per-dispatch host overhead K×.  Requires
+    # ``batch_slices`` (static shapes to stack).  Pick a divisor of
+    # ``validation_every`` so every dispatch compiles to the same K.
+    steps_per_dispatch: int = 1
+    # >0: each batch is exactly this many 2D slices drawn from a pool
+    # filled by per-subject sampling — a STATIC batch shape, so the step
+    # compiles once (the reference's subject batches vary in slice count
+    # with Z, recompiling per distinct count and preventing multi-step
+    # stacking).  0 keeps the reference's variable per-subject batches.
+    batch_slices: int = 0
 
     @property
     def n_class(self) -> int:
@@ -147,6 +159,37 @@ def get_random_batch(filename_list, batch_size, image_size=192,
     return images, labels
 
 
+def make_slice_pool_sampler(filename_list, batch_slices: int,
+                            image_size=192, data_augmentation=False,
+                            shift=0.0, rotate=0.0, scale=0.0, intensity=0.0,
+                            flip=False, rng=None):
+    """Fixed-shape batch sampler: subjects are drawn exactly as
+    :func:`get_random_batch` draws them (one at a time), their slices
+    pooled in FIFO order, and batches of exactly ``batch_slices`` slices
+    popped off.  Per-slice semantics (crop, rescale, independent per-slice
+    augmentation) are identical to the reference sampler — only the batch
+    boundary moves, giving the static shape XLA needs to compile the train
+    step once and to stack K batches for a multi-step scan."""
+    buf_img: list = []
+    buf_lab: list = []
+
+    def next_batch():
+        while len(buf_img) < batch_slices:
+            images, labels = get_random_batch(
+                filename_list, 1, image_size=image_size,
+                data_augmentation=data_augmentation, shift=shift,
+                rotate=rotate, scale=scale, intensity=intensity, flip=flip,
+                rng=rng)
+            buf_img.extend(images)
+            buf_lab.extend(labels)
+        images = np.asarray(buf_img[:batch_slices], dtype=np.float32)
+        labels = np.asarray(buf_lab[:batch_slices], dtype=np.int32)
+        del buf_img[:batch_slices], buf_lab[:batch_slices]
+        return {"image": images, "label": labels}
+
+    return next_batch
+
+
 def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
                   shift=0.0, rotate=10.0, scale=0.2, intensity=0.0,
                   flip=False, compute_dtype=None):
@@ -168,8 +211,11 @@ def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
         image, label = batch["image"], batch["label"]
         if device_augment:
             from ukbb_cardiac_tpu.ops import data_augmenter_jax
+            # sample in the compute dtype: bf16 halves the warp's tent-
+            # matrix HBM traffic (label path exact; see augment.py)
             image, label = data_augmenter_jax(key, image, label, shift,
-                                              rotate, scale, intensity, flip)
+                                              rotate, scale, intensity, flip,
+                                              sample_dtype=dtype)
         logits, new_state = fcn_mod.apply_fcn(params, state, names, cfg,
                                               image, train=True,
                                               compute_dtype=dtype)
@@ -224,12 +270,23 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
     loss_fn = make_fcn_loss(names, model_cfg,
                             device_augment=cfg.device_augment)
+    K = max(1, int(cfg.steps_per_dispatch))
+    if K > 1:
+        if cfg.batch_slices <= 0:
+            raise ValueError("steps_per_dispatch > 1 requires batch_slices "
+                             "(a static batch shape to stack K batches)")
+        if cfg.mesh_devices > 1:
+            raise ValueError("steps_per_dispatch > 1 is single-device only "
+                             "(combine batch_slices with mesh_devices "
+                             "instead: a larger sharded batch)")
     if cfg.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_devices)
         step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
     else:
         step = steps_lib.make_train_step(loss_fn, optimizer)
+    multi_step = (steps_lib.make_multi_train_step(loss_fn, optimizer)
+                  if K > 1 else None)
 
     model_dir = os.path.join(cfg.checkpoint_dir or ".", cfg.model_name)
     os.makedirs(model_dir, exist_ok=True)
@@ -247,19 +304,45 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
     from ukbb_cardiac_tpu.train.prefetch import BatchPrefetcher
 
-    def make_batch():
-        images, labels = get_random_batch(
-            data_list["train"], cfg.train_batch_size, image_size=cfg.image_size,
+    if cfg.batch_slices > 0:
+        make_batch = make_slice_pool_sampler(
+            data_list["train"], cfg.batch_slices, image_size=cfg.image_size,
             data_augmentation=not cfg.device_augment, shift=0, rotate=10,
             scale=0.2, intensity=0, flip=False, rng=rng)
-        return {"image": images, "label": labels}
+    else:
+        def make_batch():
+            images, labels = get_random_batch(
+                data_list["train"], cfg.train_batch_size,
+                image_size=cfg.image_size,
+                data_augmentation=not cfg.device_augment, shift=0, rotate=10,
+                scale=0.2, intensity=0, flip=False, rng=rng)
+            return {"image": images, "label": labels}
 
-    prefetcher = BatchPrefetcher(make_batch, depth=2)
-    for iteration in range(1 + start_iteration, 1 + total):
+    prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
+    iteration = start_iteration
+    while iteration < total:
         t0 = time.time()
-        batch = prefetcher.next()
-        params, state, opt_state, loss, aux = step(
-            params, state, opt_state, batch, jax.random.PRNGKey(iteration))
+        # chunk of up to K steps, cut so every cadence boundary
+        # (validation / checkpoint / progress print / end) still lands
+        # exactly on an iteration count — cadences are unchanged by K
+        k_now = min(K, total - iteration)
+        for c in (cfg.validation_every, cfg.checkpoint_every, progress_every):
+            if c and c > 0:
+                k_now = min(k_now, c - iteration % c)
+        if k_now > 1:
+            chunk = [prefetcher.next() for _ in range(k_now)]
+            batches = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+            keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(iteration + 1, iteration + 1 + k_now))
+            params, state, opt_state, losses, aux = multi_step(
+                params, state, opt_state, batches, keys)
+            loss = losses[-1]
+        else:
+            batch = prefetcher.next()
+            params, state, opt_state, loss, aux = step(
+                params, state, opt_state, batch,
+                jax.random.PRNGKey(iteration + 1))
+        iteration += k_now
 
         if iteration % cfg.validation_every == 0 and data_list["validation"]:
             v_images, v_labels = get_random_batch(
