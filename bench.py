@@ -199,6 +199,16 @@ def main():
     except Exception:
         pass
 
+    # --- end-to-end trainer from disk (LAST: ~2 min; only runs when the
+    # tunnel has been healthy enough to leave deadline budget) -----------
+    train_e2e_img_s = None
+    try:
+        if not past_deadline():
+            import bench_train as bt
+            train_e2e_img_s = bt.bench_train_e2e(repeats=2)
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "full_subject_segmentation_sa_3xla_ao",
         "value": round(value, 3),
@@ -228,6 +238,9 @@ def main():
         "train_images_per_s": (round(train_img_s, 1)
                                if train_img_s else None),
         "train_mfu": round(train_mfu, 3) if train_mfu else None,
+        # full trainer from a dataset on disk (bench_train.bench_train_e2e)
+        "train_e2e_images_per_s": (round(train_e2e_img_s, 1)
+                                   if train_e2e_img_s else None),
     }))
 
 

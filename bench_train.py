@@ -12,6 +12,7 @@ contract.
 """
 
 import json
+import os
 import time
 
 import numpy as np
@@ -205,6 +206,13 @@ def main():
     except Exception:
         pass
 
+    # --- end-to-end trainer from disk (see bench_train_e2e) --------------
+    e2e_img_s = None
+    try:
+        e2e_img_s = bench_train_e2e()
+    except Exception:
+        pass
+
     print(json.dumps({
         "metric": "fcn_sa_train_step_images_per_s",
         "value": round(batch_slices / sec_per_step, 2),
@@ -223,7 +231,68 @@ def main():
         # aortic UNet-LSTM: reference budget batch 5 x tw=9 @ 256^2
         "ao_unet_lstm_windows_per_s": (round(ao_windows_per_s, 2)
                                        if ao_windows_per_s else None),
+        # full trainer from a dataset on disk (cache + device augment +
+        # bf16 + compact transfer + K-step dispatch + staged H2D)
+        "images_per_s_end_to_end": (round(e2e_img_s, 1)
+                                    if e2e_img_s else None),
     }))
+
+
+def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
+    """END-TO-END trainer throughput from a dataset on disk — the number
+    a user actually gets, not just the device step.
+
+    Recommended TPU configuration: decoded-subject LRU cache (kills the
+    per-draw gzip re-decode), on-device augmentation, bf16 compute,
+    compact f16/uint8 transfer (2.7x fewer host->device bytes), K=10
+    steps per dispatch, and next-chunk H2D staged under the running
+    dispatch.  Measured as min over (hi-lo)-iteration pair differences
+    (tunnel noise is additive; validation/progress disabled so the diff
+    is pure steady-state training; the end-of-run checkpoint save
+    appears in both points and cancels).
+    """
+    import shutil
+    import tempfile
+
+    from ukbb_cardiac_tpu.io import nifti
+    from ukbb_cardiac_tpu.train.sa import SATrainConfig, train
+
+    root = tempfile.mkdtemp(prefix="bench_train_ds_")
+    try:
+        rng = np.random.RandomState(0)
+        for i in range(n_subjects):
+            d = os.path.join(root, "train", f"s{i}")
+            os.makedirs(d, exist_ok=True)
+            aff = np.diag([1.8, 1.8, 10.0, 1.0])
+            for fr in ("ED", "ES"):
+                img = (rng.rand(192, 208, 10) * 3000).astype(np.int16)
+                lab = rng.randint(0, 4, (192, 208, 10)).astype(np.int16)
+                nifti.save(nifti.Nifti1Image(img, aff),
+                           os.path.join(d, f"sa_{fr}.nii.gz"))
+                nifti.save(nifti.Nifti1Image(lab, aff),
+                           os.path.join(d, f"label_sa_{fr}.nii.gz"))
+
+        run_i = [0]
+
+        def run(iters):
+            run_i[0] += 1
+            cfg = SATrainConfig(
+                seq_name="sa", image_size=192, num_filter=16,
+                dataset_dir=root,
+                checkpoint_dir=os.path.join(root, f"ck{run_i[0]}"),
+                validation_every=10 ** 9, checkpoint_every=10 ** 9,
+                batch_slices=20, steps_per_dispatch=10,
+                device_augment=True, cache_gb=2.0, seed=0,
+                bf16=True, compact_transfer=True)
+            t0 = time.time()
+            train(cfg, max_iterations=iters, progress_every=10 ** 9)
+            return time.time() - t0
+
+        run(warm_iters)  # compile + cache warm
+        sec = min((run(hi) - run(lo)) / (hi - lo) for _ in range(repeats))
+        return (20 / sec) if sec > 0 else None
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
 
 
 def _bench_ao_step() -> float:

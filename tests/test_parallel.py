@@ -65,6 +65,46 @@ def test_dp_train_step_matches_single_device(eight_devices):
                                np.asarray(p2[k0]["kernel"]), atol=1e-6)
 
 
+def test_multi_dp_train_step_matches_sequential_dp(eight_devices):
+    """K steps in one sharded dispatch (make_multi_dp_train_step) equal K
+    sequential mesh steps — the scan changes dispatch granularity only.
+    SGD keeps the comparison sharp (no Adam noise amplification)."""
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=2, fc=4)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    loss_fn = make_fcn_loss(names, cfg)
+    opt = optax.sgd(1e-2)
+    opt_state = opt.init(params)
+    rng = np.random.RandomState(3)
+    K = 3
+    batches = {"image": jnp.asarray(rng.rand(K, 8, 16, 16, 1),
+                                    dtype=jnp.float32),
+               "label": jnp.asarray(rng.randint(0, 4, (K, 8, 16, 16)),
+                                    dtype=jnp.int32)}
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(K))
+
+    mesh = make_mesh(8)
+    dp = steps_lib.make_dp_train_step(loss_fn, opt, mesh, donate=False)
+    p1, s1, o1 = params, state, opt_state
+    seq_losses = []
+    for i in range(K):
+        batch = {k: v[i] for k, v in batches.items()}
+        p1, s1, o1, l1, _ = dp(p1, s1, o1, batch, keys[i])
+        seq_losses.append(float(l1))
+
+    multi = steps_lib.make_multi_dp_train_step(loss_fn, opt, mesh,
+                                               donate=False)
+    p2, s2, o2, losses, _ = multi(params, state, opt_state, batches, keys)
+
+    np.testing.assert_allclose(np.asarray(losses), seq_losses, rtol=1e-5)
+    for a, b in zip(jax.tree_util.tree_leaves(p1),
+                    jax.tree_util.tree_leaves(p2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+    for a, b in zip(jax.tree_util.tree_leaves(s1),
+                    jax.tree_util.tree_leaves(s2)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), atol=1e-6)
+
+
 def test_pad_batch_to_devices():
     x = np.zeros((5, 3))
     padded, valid = pad_batch_to_devices(x, 4)

@@ -160,6 +160,66 @@ def test_sa_training_multi_step_matches_single(tmp_path, monkeypatch):
         train_sa(bad, max_iterations=2)
 
 
+def test_sa_training_mesh_multi_step(tmp_path):
+    """The trainer runs with mesh_devices AND steps_per_dispatch combined
+    (K-step scan under data-parallel sharding) and rejects a batch that
+    does not divide over the mesh."""
+    _make_sa_dataset(str(tmp_path))
+    cfg = SATrainConfig(seq_name="sa", image_size=48, num_filter=2,
+                        dataset_dir=str(tmp_path),
+                        checkpoint_dir=str(tmp_path / "ckpt"),
+                        validation_every=2, checkpoint_every=4,
+                        batch_slices=4, steps_per_dispatch=2,
+                        mesh_devices=2, seed=1)
+    params, _, _, _ = train_sa(cfg, max_iterations=4)
+    assert os.path.exists(os.path.join(str(tmp_path / "ckpt"),
+                                       cfg.model_name, "model-4.npz"))
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree_util.tree_leaves(params))
+
+    bad = SATrainConfig(seq_name="sa", image_size=48, num_filter=2,
+                        dataset_dir=str(tmp_path), batch_slices=5,
+                        steps_per_dispatch=2, mesh_devices=2)
+    with pytest.raises(ValueError):
+        train_sa(bad, max_iterations=2)
+
+
+def test_subject_cache_bit_identical_and_evicts(tmp_path):
+    """The decoded-subject cache changes batch timing only: a cached
+    sampler with the same rng yields bit-identical batches to the
+    uncached path (including augmented draws), and the byte budget
+    evicts LRU entries instead of growing without bound."""
+    import random as _random
+
+    from ukbb_cardiac_tpu.train.sa import SubjectCache
+
+    _make_sa_dataset(str(tmp_path))
+    data_list = scan_dataset(str(tmp_path), "sa")
+    files = data_list["train"]
+
+    cache = SubjectCache(1 << 30)
+    r1, r2 = _random.Random(5), _random.Random(5)
+    for _ in range(6):  # repeats -> later draws hit the cache
+        i1, l1 = get_random_batch(files, 2, image_size=48,
+                                  data_augmentation=True, rotate=10,
+                                  scale=0.2, rng=r1)
+        i2, l2 = get_random_batch(files, 2, image_size=48,
+                                  data_augmentation=True, rotate=10,
+                                  scale=0.2, rng=r2, cache=cache)
+        np.testing.assert_array_equal(i1, i2)
+        np.testing.assert_array_equal(l1, l2)
+    assert cache.hits > 0
+
+    # budget of one subject's bytes: the second subject evicts the first
+    one = cache._data[next(iter(cache._data))]
+    small = SubjectCache(sum(a.nbytes for a in one) + 1)
+    r3 = _random.Random(5)
+    for _ in range(6):
+        get_random_batch(files, 2, image_size=48, rng=r3, cache=small)
+    assert len(small._data) == 1
+    assert small._bytes <= small.max_bytes
+
+
 def test_slice_pool_sampler_static_shape(tmp_path):
     """The pool sampler emits exactly batch_slices slices regardless of
     subject Z, and consumes subjects in sampler order."""

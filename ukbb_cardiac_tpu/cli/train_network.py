@@ -42,6 +42,17 @@ def main(argv=None):
                              "divisor of the validation cadence).")
     parser.add_argument("--resume_from", default="",
                         help="Checkpoint bundle to resume from.")
+    parser.add_argument("--cache_gb", type=float, default=0.0,
+                        help="LRU cache of decoded subjects, GiB "
+                             "(0 = re-decode every draw, as the "
+                             "reference does; 4 holds ~1000 subjects).")
+    parser.add_argument("--bf16", action="store_true",
+                        help="bf16 mixed-precision training (activations "
+                             "bf16; params/BN/logits/loss f32).")
+    parser.add_argument("--compact_transfer", action="store_true",
+                        help="Ship batches as f16 images + uint8 labels "
+                             "(2.7x fewer host->device bytes; labels "
+                             "exact, images rounded ~5e-4).")
     args = parser.parse_args(argv)
 
     cfg = SATrainConfig(
@@ -53,7 +64,8 @@ def main(argv=None):
         dataset_dir=args.dataset_dir, checkpoint_dir=args.checkpoint_dir,
         log_dir=args.log_dir, seed=args.seed, mesh_devices=args.mesh_devices,
         device_augment=args.device_augment, batch_slices=args.batch_slices,
-        steps_per_dispatch=args.steps_per_dispatch)
+        steps_per_dispatch=args.steps_per_dispatch, cache_gb=args.cache_gb,
+        bf16=args.bf16, compact_transfer=args.compact_transfer)
     train(cfg, resume_from=args.resume_from or None)
 
 

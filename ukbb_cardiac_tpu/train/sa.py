@@ -74,6 +74,26 @@ class SATrainConfig:
     # with Z, recompiling per distinct count and preventing multi-step
     # stacking).  0 keeps the reference's variable per-subject batches.
     batch_slices: int = 0
+    # bf16 mixed-precision training: activations bf16, params/BN/logits/
+    # loss f32 (the TPU production configuration; bench_train measures it)
+    bf16: bool = False
+    # ship batches host->device as f16 images + uint8 labels (2.7x fewer
+    # bytes than f32+int32).  Labels are exact (n_class <= 6); images are
+    # rounded to f16 (~5e-4 of the [0,1] range) before the f32 cast on
+    # device — invisible under bf16 compute (8-bit mantissa), and far
+    # below augmentation noise.  Matters wherever host->device bandwidth
+    # is the bound (this machine's TPU tunnel: 59 -> 22 MB per 10-step
+    # dispatch).
+    compact_transfer: bool = False
+    # >0: LRU cache of decoded subjects, in GiB.  The reference re-reads
+    # and gzip-inflates both NIfTI files of every drawn subject on EVERY
+    # iteration (``train_network.py:57-118``); with the device step at
+    # ~28 ms that decode (~90 ms/subject-pair measured) host-binds the
+    # trainer.  Crop and intensity rescale are deterministic per file, so
+    # the cropped+rescaled volume is cached after first decode — outputs
+    # are bit-identical to the uncached path.  ~1.9 MiB/subject-frame at
+    # 192²x10; 4 GiB holds a full 1000-subject ED+ES training set.
+    cache_gb: float = 0.0
 
     @property
     def n_class(self) -> int:
@@ -106,13 +126,57 @@ def scan_dataset(dataset_dir: str, seq_name: str):
     return data_list
 
 
+class SubjectCache:
+    """Byte-budgeted LRU cache of decoded, cropped, rescaled subjects.
+
+    Keyed by (image path, label path, crop size, both files' mtimes) so a
+    rewritten file re-decodes.  Thread-safe: the trainer's prefetch worker
+    and validation draws may touch it concurrently."""
+
+    def __init__(self, max_bytes: int):
+        import collections
+        import threading
+
+        self.max_bytes = int(max_bytes)
+        self._lock = threading.Lock()
+        self._data = collections.OrderedDict()
+        self._bytes = 0
+        self.hits = 0
+        self.misses = 0
+
+    def get(self, key):
+        with self._lock:
+            value = self._data.get(key)
+            if value is not None:
+                self._data.move_to_end(key)
+                self.hits += 1
+            else:
+                self.misses += 1
+            return value
+
+    def put(self, key, value):
+        nbytes = sum(a.nbytes for a in value)
+        if nbytes > self.max_bytes:
+            return
+        with self._lock:
+            if key in self._data:
+                return
+            self._data[key] = value
+            self._bytes += nbytes
+            while self._bytes > self.max_bytes:
+                _, old = self._data.popitem(last=False)
+                self._bytes -= sum(a.nbytes for a in old)
+
+
 def get_random_batch(filename_list, batch_size, image_size=192,
                      data_augmentation=False, shift=0.0, rotate=0.0,
                      scale=0.0, intensity=0.0, flip=False, rng=None,
-                     verbose=False):
+                     verbose=False, cache: Optional[SubjectCache] = None):
     """Host-side batch sampler (``train_network.py:57-118``): random
     subject volumes, centre crop, rescale, per-slice 2D stacking,
-    optional affine augmentation."""
+    optional affine augmentation.  ``cache`` (a :class:`SubjectCache`)
+    skips the gzip re-decode of previously drawn subjects; outputs are
+    identical either way (crop/rescale are deterministic per file)."""
     rng = rng or random
     n_file = len(filename_list)
     images, labels = [], []
@@ -123,22 +187,36 @@ def get_random_batch(filename_list, batch_size, image_size=192,
             continue
         if verbose:
             print(f"  Select {image_name} {label_name}")
-        image = np.asarray(nifti.load(image_name).dataobj, dtype=np.float32)
-        label = np.asarray(nifti.load(label_name).dataobj)
-        if image.shape != label.shape:
-            print(f"Error: mismatched size, image.shape = {image.shape}, "
-                  f"label.shape = {label.shape}")
-            print(f"Skip {image_name}, {label_name}")
-            continue
-        if image.max() < 1e-6:
-            print(f"Error: blank image, image.max = {image.max()}")
-            print(f"Skip {image_name} {label_name}")
-            continue
-        X, Y, Z = image.shape[:3]
-        cx, cy = X // 2, Y // 2
-        image = crop_image(image, cx, cy, image_size)
-        label = crop_image(label, cx, cy, image_size)
-        image = rescale_intensity(image, (1.0, 99.0))
+        key = cached = None
+        if cache is not None:
+            key = (image_name, label_name, image_size,
+                   os.path.getmtime(image_name), os.path.getmtime(label_name))
+            cached = cache.get(key)
+        if cached is not None:
+            image, label = cached
+        else:
+            image = np.asarray(nifti.load(image_name).dataobj,
+                               dtype=np.float32)
+            label = np.asarray(nifti.load(label_name).dataobj)
+            if image.shape != label.shape:
+                print(f"Error: mismatched size, image.shape = {image.shape}, "
+                      f"label.shape = {label.shape}")
+                print(f"Skip {image_name}, {label_name}")
+                continue
+            if image.max() < 1e-6:
+                print(f"Error: blank image, image.max = {image.max()}")
+                print(f"Skip {image_name} {label_name}")
+                continue
+            X, Y = image.shape[:2]
+            cx, cy = X // 2, Y // 2
+            image = crop_image(image, cx, cy, image_size)
+            label = crop_image(label, cx, cy, image_size)
+            image = rescale_intensity(image, (1.0, 99.0))
+            # int32 now = the exact cast applied at stacking below
+            label = np.asarray(label, dtype=np.int32)
+            if cache is not None:
+                cache.put(key, (image, label))
+        Z = image.shape[2]
         for z in range(Z):
             images.append(image[:, :, z])
             labels.append(label[:, :, z])
@@ -162,7 +240,8 @@ def get_random_batch(filename_list, batch_size, image_size=192,
 def make_slice_pool_sampler(filename_list, batch_slices: int,
                             image_size=192, data_augmentation=False,
                             shift=0.0, rotate=0.0, scale=0.0, intensity=0.0,
-                            flip=False, rng=None):
+                            flip=False, rng=None,
+                            cache: Optional[SubjectCache] = None):
     """Fixed-shape batch sampler: subjects are drawn exactly as
     :func:`get_random_batch` draws them (one at a time), their slices
     pooled in FIFO order, and batches of exactly ``batch_slices`` slices
@@ -179,7 +258,7 @@ def make_slice_pool_sampler(filename_list, batch_slices: int,
                 filename_list, 1, image_size=image_size,
                 data_augmentation=data_augmentation, shift=shift,
                 rotate=rotate, scale=scale, intensity=intensity, flip=flip,
-                rng=rng)
+                rng=rng, cache=cache)
             buf_img.extend(images)
             buf_lab.extend(labels)
         images = np.asarray(buf_img[:batch_slices], dtype=np.float32)
@@ -208,7 +287,11 @@ def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
     dtype = compute_dtype or jnp.float32
 
     def loss_fn(params, state, batch, key):
-        image, label = batch["image"], batch["label"]
+        # accept compact transfer dtypes (f16 image / uint8 label — see
+        # SATrainConfig.compact_transfer); the cast is free when the
+        # batch already arrives f32/int32
+        image = batch["image"].astype(jnp.float32)
+        label = batch["label"].astype(jnp.int32)
         if device_augment:
             from ukbb_cardiac_tpu.ops import data_augmenter_jax
             # sample in the compute dtype: bf16 halves the warp's tent-
@@ -269,29 +352,44 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
             opt_state = restored
 
     loss_fn = make_fcn_loss(names, model_cfg,
-                            device_augment=cfg.device_augment)
+                            device_augment=cfg.device_augment,
+                            compute_dtype=jnp.bfloat16 if cfg.bf16 else None)
     K = max(1, int(cfg.steps_per_dispatch))
     if K > 1:
         if cfg.batch_slices <= 0:
             raise ValueError("steps_per_dispatch > 1 requires batch_slices "
                              "(a static batch shape to stack K batches)")
-        if cfg.mesh_devices > 1:
-            raise ValueError("steps_per_dispatch > 1 is single-device only "
-                             "(combine batch_slices with mesh_devices "
-                             "instead: a larger sharded batch)")
+        if cfg.mesh_devices > 1 and cfg.batch_slices % cfg.mesh_devices:
+            raise ValueError("batch_slices must divide evenly over "
+                             f"mesh_devices ({cfg.batch_slices} % "
+                             f"{cfg.mesh_devices} != 0)")
+    multi_step = None
     if cfg.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_devices)
         step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
+        if K > 1:
+            multi_step = steps_lib.make_multi_dp_train_step(
+                loss_fn, optimizer, mesh)
     else:
         step = steps_lib.make_train_step(loss_fn, optimizer)
-    multi_step = (steps_lib.make_multi_train_step(loss_fn, optimizer)
-                  if K > 1 else None)
+        if K > 1:
+            multi_step = steps_lib.make_multi_train_step(loss_fn, optimizer)
 
     model_dir = os.path.join(cfg.checkpoint_dir or ".", cfg.model_name)
     os.makedirs(model_dir, exist_ok=True)
     log_path = os.path.join(model_dir, "train_log.jsonl")
     log_f = open(log_path, "a")
+
+    # jitted validation forward: the eager apply_fcn costs one host
+    # round-trip PER OP, which on a tunneled TPU is ~30 s per validation
+    # (measured) — jit makes it one dispatch (re-traced per distinct
+    # validation batch shape; subjects share Z in practice)
+    @jax.jit
+    def eval_forward(params, state, images):
+        logits, _ = fcn_mod.apply_fcn(params, state, names, model_cfg,
+                                      images, train=False)
+        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
 
     rng = random.Random(cfg.seed + start_iteration)
     # the training rng is consumed on the prefetch worker thread; give
@@ -304,53 +402,84 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
     from ukbb_cardiac_tpu.train.prefetch import BatchPrefetcher
 
+    cache = (SubjectCache(int(cfg.cache_gb * (1 << 30)))
+             if cfg.cache_gb > 0 else None)
     if cfg.batch_slices > 0:
-        make_batch = make_slice_pool_sampler(
+        sample = make_slice_pool_sampler(
             data_list["train"], cfg.batch_slices, image_size=cfg.image_size,
             data_augmentation=not cfg.device_augment, shift=0, rotate=10,
-            scale=0.2, intensity=0, flip=False, rng=rng)
+            scale=0.2, intensity=0, flip=False, rng=rng, cache=cache)
     else:
-        def make_batch():
+        def sample():
             images, labels = get_random_batch(
                 data_list["train"], cfg.train_batch_size,
                 image_size=cfg.image_size,
                 data_augmentation=not cfg.device_augment, shift=0, rotate=10,
-                scale=0.2, intensity=0, flip=False, rng=rng)
+                scale=0.2, intensity=0, flip=False, rng=rng, cache=cache)
             return {"image": images, "label": labels}
 
+    if cfg.compact_transfer:
+        # cast on the prefetch thread, not the step loop
+        def make_batch():
+            b = sample()
+            return {"image": b["image"].astype(np.float16),
+                    "label": b["label"].astype(np.uint8)}
+    else:
+        make_batch = sample
+
     prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
-    iteration = start_iteration
-    while iteration < total:
-        t0 = time.time()
+
+    # single-device batches are device_put one dispatch AHEAD, so the
+    # host->device transfer of chunk N+1 rides under the device compute
+    # of chunk N (transfers overlap compute; measured on this host's
+    # tunnel: both = max, not sum).  Mesh batches stay host-side — the
+    # sharded jit places them per its in_shardings.
+    stage = jax.device_put if cfg.mesh_devices <= 1 else (lambda b: b)
+
+    def next_k(it):
         # chunk of up to K steps, cut so every cadence boundary
         # (validation / checkpoint / progress print / end) still lands
         # exactly on an iteration count — cadences are unchanged by K
-        k_now = min(K, total - iteration)
+        k_now = min(K, total - it)
         for c in (cfg.validation_every, cfg.checkpoint_every, progress_every):
             if c and c > 0:
-                k_now = min(k_now, c - iteration % c)
+                k_now = min(k_now, c - it % c)
+        return k_now
+
+    def build_input(it):
+        k_now = next_k(it)
         if k_now > 1:
             chunk = [prefetcher.next() for _ in range(k_now)]
-            batches = {k: np.stack([b[k] for b in chunk]) for k in chunk[0]}
+            batches = stage({k: np.stack([b[k] for b in chunk])
+                             for k in chunk[0]})
             keys = jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(iteration + 1, iteration + 1 + k_now))
+                jnp.arange(it + 1, it + 1 + k_now))
+            return k_now, batches, keys
+        return 1, stage(prefetcher.next()), jax.random.PRNGKey(it + 1)
+
+    iteration = start_iteration
+    pending = build_input(iteration)
+    while iteration < total:
+        t0 = time.time()
+        k_now, batches, keys = pending
+        if k_now > 1:
             params, state, opt_state, losses, aux = multi_step(
                 params, state, opt_state, batches, keys)
             loss = losses[-1]
         else:
-            batch = prefetcher.next()
             params, state, opt_state, loss, aux = step(
-                params, state, opt_state, batch,
-                jax.random.PRNGKey(iteration + 1))
+                params, state, opt_state, batches, keys)
         iteration += k_now
+        if iteration < total:
+            # async H2D of the next chunk under the dispatch above
+            pending = build_input(iteration)
 
         if iteration % cfg.validation_every == 0 and data_list["validation"]:
             v_images, v_labels = get_random_batch(
                 data_list["validation"], cfg.validation_batch_size,
-                image_size=cfg.image_size, rng=val_rng)
-            v_logits, _ = fcn_mod.apply_fcn(params, state, names, model_cfg,
-                                            jnp.asarray(v_images), train=False)
-            v_pred = np.asarray(jnp.argmax(v_logits, axis=-1))
+                image_size=cfg.image_size, rng=val_rng, cache=cache)
+            v_pred = np.asarray(eval_forward(params, state,
+                                             jnp.asarray(v_images)))
             rec = {"iteration": iteration, "loss": float(loss),
                    "accuracy": float(aux["accuracy"]),
                    "val_accuracy": float(np.mean(v_pred == v_labels)),

@@ -103,6 +103,47 @@ def make_multi_train_step(loss_fn: Callable,
     return multi_step
 
 
+def make_multi_dp_train_step(loss_fn: Callable,
+                             optimizer: optax.GradientTransformation,
+                             mesh, axis: str = "data", donate: bool = True):
+    """K optimizer steps per dispatch, data-parallel over a Mesh.
+
+    Combines :func:`make_multi_train_step`'s dispatch amortization with
+    :func:`make_dp_train_step`'s sharding-derived gradient psum: batches
+    carry a leading scan axis K with the per-step batch axis (axis 1)
+    sharded across ``axis``; params/opt-state stay replicated in HBM for
+    all K steps, so between steps nothing crosses the host and the only
+    collective is the per-step ICI gradient all-reduce GSPMD inserts.
+
+    batches: pytree of (K, B, ...) leaves, B divisible by the mesh axis;
+    keys: (K, 2).  Same signature/semantics as K sharded single steps.
+    """
+    repl = NamedSharding(mesh, P())
+    shard = NamedSharding(mesh, P(None, axis))
+
+    def multi_step(params, state, opt_state, batches, keys):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            batch, key = xs
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return jax.jit(
+        multi_step,
+        in_shardings=(repl, repl, repl, shard, repl),
+        out_shardings=(repl, repl, repl, repl, repl),
+        donate_argnums=(0, 1, 2) if donate else (),
+    )
+
+
 def make_eval_step(metric_fn: Callable):
     """Jitted eval step: metric_fn(params, state, batch) -> aux dict."""
     return jax.jit(metric_fn)
