@@ -514,3 +514,66 @@ def test_ao_trainer_logs_validation_metrics(tmp_path):
     assert recs, "empty train log"
     assert "val_dice_aa" in recs[-1] and "val_accuracy" in recs[-1]
     assert np.isfinite(recs[-1]["val_loss"])
+
+
+def test_ao_batch_sampler_cache_bit_identical(tmp_path):
+    """With a SubjectCache the aortic sampler must return bit-identical
+    batches (decode+crop+normalise are deterministic per file) and hit
+    the cache on the second epoch."""
+    import random as _random
+
+    from ukbb_cardiac_tpu.train.sa import SubjectCache
+
+    _make_ao_dataset(str(tmp_path))
+    data_list = scan_dataset_ao(str(tmp_path))
+    cache = SubjectCache(1 << 28)
+
+    def draw(cache, seed, **kw):
+        return get_random_batch_ao(data_list["train"], 2, image_size=48,
+                                   time_window=3, z_score=True,
+                                   rng=_random.Random(seed), cache=cache, **kw)
+
+    for seed in (0, 1):
+        im_a, lb_a = draw(None, seed)
+        im_b, lb_b = draw(cache, seed)
+        np.testing.assert_array_equal(im_a, im_b)
+        np.testing.assert_array_equal(lb_a, lb_b)
+    assert cache.hits > 0
+
+    # augmentation path draws through the cache identically too
+    im_a, lb_a = draw(None, 2, data_augmentation=True, rotate=10, scale=0.2)
+    im_b, lb_b = draw(cache, 2, data_augmentation=True, rotate=10, scale=0.2)
+    np.testing.assert_array_equal(im_a, im_b)
+    np.testing.assert_array_equal(lb_a, lb_b)
+
+    # a subject WITHOUT label_prop round-trips the empty-sentinel encoding
+    for d, _ in [(os.path.dirname(p[0]), p) for p in data_list["train"]]:
+        os.remove(os.path.join(d, "label_ao_prop.nii.gz"))
+    data_list = scan_dataset_ao(str(tmp_path))
+    assert len(data_list["train"][0]) == 2
+    cache2 = SubjectCache(1 << 28)
+    im_a, lb_a = draw(None, 3)
+    im_b, lb_b = draw(cache2, 3)
+    im_c, lb_c = draw(cache2, 3)  # second pass: cached sentinel path
+    np.testing.assert_array_equal(im_a, im_b)
+    np.testing.assert_array_equal(lb_a, lb_b)
+    np.testing.assert_array_equal(im_a, im_c)
+    np.testing.assert_array_equal(lb_a, lb_c)
+    assert cache2.hits > 0
+
+
+def test_ao_trainer_cache_and_compact_transfer(tmp_path):
+    """Trainer smoke with the input-path options on: LRU subject cache +
+    f16/uint8 compact transfer; loss stays finite and a bundle saves."""
+    _make_ao_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = AoTrainConfig(model="UNet", image_size=48, train_batch_size=1,
+                        validation_batch_size=1, num_filter=2, num_level=3,
+                        dataset_dir=str(tmp_path), checkpoint_dir=ckpt_dir,
+                        checkpoint_every=2, validation_every=1,
+                        cache_gb=0.25, compact_transfer=True)
+    train_ao(cfg, max_iterations=2)
+    log = os.path.join(ckpt_dir, cfg.model_name, "train_log.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    assert recs and np.isfinite(recs[-1]["loss"])
+    assert os.path.exists(os.path.join(ckpt_dir, cfg.model_name, "model-2.npz"))

@@ -37,6 +37,12 @@ def main(argv=None):
     parser.add_argument("--weight_r", type=float, default=0.0)
     add_bool_flag(parser, "joint_train", False)
     add_bool_flag(parser, "from_scratch", False)
+    parser.add_argument("--cache_gb", type=float, default=0.0,
+                        help="LRU cache of decoded cines, GiB (0 = off); "
+                             "skips the per-draw gzip decode.")
+    parser.add_argument("--compact_transfer", action="store_true",
+                        help="Ship batches as f16 images + uint8 labels "
+                             "(2.7x fewer host->device bytes).")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -53,6 +59,7 @@ def main(argv=None):
         bidirectional=args.bidirectional, seq2seq=args.seq2seq,
         weight_R=args.weight_R, weight_r=args.weight_r,
         joint_train=args.joint_train, from_scratch=args.from_scratch,
+        cache_gb=args.cache_gb, compact_transfer=args.compact_transfer,
         seed=args.seed)
     train(cfg)
 

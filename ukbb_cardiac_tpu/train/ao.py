@@ -71,6 +71,12 @@ class AoTrainConfig:
     validation_every: int = 10
     checkpoint_every: int = 1000
     seed: int = 0
+    # LRU cache of decoded cines, GiB (see train.sa.SubjectCache; a full
+    # aortic cine is ~26 MB decoded, so budget accordingly).  0 = off.
+    cache_gb: float = 0.0
+    # ship batches as f16 images + uint8 labels (2.7x fewer host->device
+    # bytes; labels exact, image rounding ~5e-4 — see train.sa)
+    compact_transfer: bool = False
 
     @property
     def n_class(self) -> int:
@@ -129,12 +135,14 @@ def get_random_batch_ao(filename_list, batch_size, image_size=256,
                         time_window=1, z_score=True, flatten=False,
                         data_augmentation=False, shift=0.0, rotate=0.0,
                         scale=0.0, intensity=0.0, flip=False, rng=None,
-                        verbose=False):
+                        verbose=False, cache=None):
     """Sparse-annotation window sampler (``train_network_ao.py:98-216``).
 
     Returns images (N, T, X, Y, 1) and labels (N, T, X, Y); when
     ``flatten`` (UNet mode) both collapse the window axis into the batch.
-    """
+    ``cache`` (a ``train.sa.SubjectCache``) skips the gzip re-decode of
+    previously drawn cines (crop/normalise are deterministic per file;
+    outputs identical)."""
     rng = rng or random
     n_file = len(filename_list)
     images, labels = [], []
@@ -147,34 +155,56 @@ def get_random_batch_ao(filename_list, batch_size, image_size=256,
             continue
         if verbose:
             print(f"  Select {image_name} {label_name}")
-        image = np.asanyarray(nifti.load(image_name).dataobj).astype(np.float32)
-        label = np.asanyarray(nifti.load(label_name).dataobj)
-        label_prop = (np.asanyarray(nifti.load(label_prop_name).dataobj)
-                      if label_prop_name else None)
-
-        if image.shape != label.shape:
-            print(f"Error: mismatched size, image.shape = {image.shape}, "
-                  f"label.shape = {label.shape}")
-            continue
-        if label_prop is not None and image.shape != label_prop.shape:
-            print(f"Error: mismatched size, image.shape = {image.shape}, "
-                  f"label_prop.shape = {label_prop.shape}")
-            continue
-        if image.max() < 1e-6:
-            print(f"Error: blank image, image.max = {image.max()}")
-            continue
-
-        X, Y, Z, T = image.shape
-        cx, cy = X // 2, Y // 2
-        image = crop_image(image, cx, cy, image_size)
-        label = crop_image(label, cx, cy, image_size)
-        if label_prop is not None:
-            label_prop = crop_image(label_prop, cx, cy, image_size)
-
-        if z_score:
-            image = normalise_intensity(image, 10.0)
+        ckey = cached = None
+        if cache is not None:
+            ckey = (image_name, label_name, label_prop_name, image_size,
+                    z_score, os.path.getmtime(image_name),
+                    os.path.getmtime(label_name),
+                    os.path.getmtime(label_prop_name)
+                    if label_prop_name else None)
+            cached = cache.get(ckey)
+        if cached is not None:
+            image, label, label_prop = cached
         else:
-            image = rescale_intensity(image, (1.0, 99.0))
+            image = np.asanyarray(nifti.load(image_name).dataobj).astype(np.float32)
+            label = np.asanyarray(nifti.load(label_name).dataobj)
+            label_prop = (np.asanyarray(nifti.load(label_prop_name).dataobj)
+                          if label_prop_name else None)
+
+            if image.shape != label.shape:
+                print(f"Error: mismatched size, image.shape = {image.shape}, "
+                      f"label.shape = {label.shape}")
+                continue
+            if label_prop is not None and image.shape != label_prop.shape:
+                print(f"Error: mismatched size, image.shape = {image.shape}, "
+                      f"label_prop.shape = {label_prop.shape}")
+                continue
+            if image.max() < 1e-6:
+                print(f"Error: blank image, image.max = {image.max()}")
+                continue
+
+            X, Y = image.shape[:2]
+            cx, cy = X // 2, Y // 2
+            image = crop_image(image, cx, cy, image_size)
+            label = crop_image(label, cx, cy, image_size)
+            if label_prop is not None:
+                label_prop = crop_image(label_prop, cx, cy, image_size)
+
+            if z_score:
+                image = normalise_intensity(image, 10.0)
+            else:
+                image = rescale_intensity(image, (1.0, 99.0))
+            # int32 now = the exact cast applied at window stacking below
+            label = np.asarray(label, dtype=np.int32)
+            if label_prop is not None:
+                label_prop = np.asarray(label_prop, dtype=np.int32)
+            if cache is not None:
+                cache.put(ckey, (image, label,
+                                 label_prop if label_prop is not None
+                                 else np.empty(0, np.int32)))
+        if isinstance(label_prop, np.ndarray) and label_prop.size == 0:
+            label_prop = None
+        T = image.shape[3]
 
         t_anno = np.nonzero(np.sum(label > 0, axis=(0, 1, 2)))[0]
         if len(t_anno) == 0:
@@ -231,7 +261,10 @@ def make_ao_loss(cfg: AoTrainConfig, ucfg, names, train: bool = True):
     reference's ``training: False`` validation feed, :449)."""
 
     def loss_fn(params, state, batch, key):
-        images, labels_arr = batch["image"], batch["label"]
+        # accept compact transfer dtypes (f16 image / uint8 label); the
+        # cast is free when the batch already arrives f32/int32
+        images = batch["image"].astype(jnp.float32)
+        labels_arr = batch["label"].astype(jnp.int32)
         if cfg.model == "UNet":
             loss, prob, pred, new_state = wrappers.unet_model(
                 params, state, names, ucfg, images, labels_arr, train=train)
@@ -333,20 +366,34 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
 
     from ukbb_cardiac_tpu.train.prefetch import BatchPrefetcher
 
+    from ukbb_cardiac_tpu.train.sa import SubjectCache
+
+    cache = (SubjectCache(int(cfg.cache_gb * (1 << 30)))
+             if cfg.cache_gb > 0 else None)
+
     def make_batch():
         images, labels_arr = get_random_batch_ao(
             data_list["train"], cfg.train_batch_size,
             image_size=cfg.image_size, time_window=cfg.time_window,
             z_score=cfg.z_score, flatten=flatten, data_augmentation=True,
-            shift=0, rotate=10, scale=0.2, intensity=0, flip=False, rng=rng)
+            shift=0, rotate=10, scale=0.2, intensity=0, flip=False, rng=rng,
+            cache=cache)
+        if cfg.compact_transfer:  # cast on the prefetch thread
+            return {"image": images.astype(np.float16),
+                    "label": labels_arr.astype(np.uint8)}
         return {"image": images, "label": labels_arr}
 
     prefetcher = BatchPrefetcher(make_batch, depth=2)
+    # next batch is device_put one dispatch ahead: its H2D transfer rides
+    # under the running step (transfers overlap compute — train.sa)
+    pending = jax.device_put(prefetcher.next())
     for iteration in range(1, 1 + total):
         t0 = time.time()
-        batch = prefetcher.next()
+        batch = pending
         params, state, opt_state, loss, aux = step(
             params, state, opt_state, batch, jax.random.PRNGKey(iteration))
+        if iteration < total:
+            pending = jax.device_put(prefetcher.next())
 
         if iteration % cfg.validation_every == 0:
             rec = {"iteration": iteration, "loss": float(loss),
@@ -362,7 +409,7 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
                     data_list["validation"], cfg.validation_batch_size,
                     image_size=cfg.image_size, time_window=cfg.time_window,
                     z_score=cfg.z_score, flatten=flatten,
-                    data_augmentation=False, rng=val_rng)
+                    data_augmentation=False, rng=val_rng, cache=cache)
                 v_loss, v_aux = loss_fn_eval(
                     params, state, {"image": v_images, "label": v_labels})
                 rec["val_loss"] = float(v_loss)
