@@ -577,3 +577,103 @@ def test_ao_trainer_cache_and_compact_transfer(tmp_path):
     recs = [json.loads(l) for l in open(log)]
     assert recs and np.isfinite(recs[-1]["loss"])
     assert os.path.exists(os.path.join(ckpt_dir, cfg.model_name, "model-2.npz"))
+
+
+def test_ao_window_pool_sampler_static_shape(tmp_path):
+    """The window-pool sampler returns exactly batch_windows windows per
+    batch (static shape) and, in flatten mode, batch_windows*T frames."""
+    import random as _random
+
+    from ukbb_cardiac_tpu.train.ao import make_window_pool_sampler
+
+    _make_ao_dataset(str(tmp_path))
+    data_list = scan_dataset_ao(str(tmp_path))
+    sample = make_window_pool_sampler(
+        data_list["train"], 3, image_size=48, time_window=3, z_score=True,
+        rng=_random.Random(0))
+    for _ in range(4):
+        b = sample()
+        assert b["image"].shape == (3, 3, 48, 48, 1)
+        assert b["label"].shape == (3, 3, 48, 48)
+
+    sample_f = make_window_pool_sampler(
+        data_list["train"], 2, image_size=48, time_window=3, z_score=True,
+        flatten=True, rng=_random.Random(0))
+    b = sample_f()
+    assert b["image"].shape == (6, 48, 48, 1)
+    assert b["label"].shape == (6, 48, 48)
+
+
+def test_ao_trainer_pool_multistep_device_augment_bf16(tmp_path):
+    """Aortic UNet-LSTM trainer with the full TPU input path on: window
+    pool, K-step dispatch, device augmentation, bf16 — finite losses,
+    validation still on cadence, bundle deployable."""
+    _make_ao_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = AoTrainConfig(model="UNet-LSTM", image_size=48, train_batch_size=1,
+                        validation_batch_size=1, num_filter=2, num_level=3,
+                        num_hidden=4, weight_R=2, from_scratch=True,
+                        dataset_dir=str(tmp_path), checkpoint_dir=ckpt_dir,
+                        checkpoint_every=4, validation_every=2,
+                        batch_windows=2, steps_per_dispatch=2,
+                        device_augment=True, bf16=True, cache_gb=0.25,
+                        compact_transfer=True)
+    train_ao(cfg, max_iterations=4)
+    log = os.path.join(ckpt_dir, cfg.model_name, "train_log.jsonl")
+    recs = [json.loads(l) for l in open(log)]
+    assert [r["iteration"] for r in recs] == [2, 4]  # cadence kept under K=2
+    assert all(np.isfinite(r["loss"]) and np.isfinite(r["val_loss"])
+               for r in recs)
+
+    from ukbb_cardiac_tpu.infer.deploy_ao import load_aortic_engine
+    engine = load_aortic_engine(
+        os.path.join(ckpt_dir, cfg.model_name, "model-4.npz"))
+    image, _ = ao_phantom(48, 48, 4)
+    seg = engine.segment_cine(image, z_score=True)
+    assert seg.shape == image.shape
+
+
+def test_ao_unet_device_augment_window_consistent(tmp_path):
+    """UNet mode with device_augment feeds UNFLATTENED windows so every
+    frame of a window shares one affine: the augmented label windows must
+    be framewise-consistent after the in-loss transform (T>1, identical
+    per-frame labels in, identical per-frame labels out)."""
+    import jax
+
+    from ukbb_cardiac_tpu.train.ao import init_ao_model, make_ao_loss
+
+    _make_ao_dataset(str(tmp_path))
+    data_list = scan_dataset_ao(str(tmp_path))
+    cfg = AoTrainConfig(model="UNet", image_size=48, num_filter=2,
+                        num_level=3, device_augment=True)
+    ucfg, params, state, names = init_ao_model(cfg, jax.random.PRNGKey(0))
+    loss_fn = make_ao_loss(cfg, ucfg, names, device_augment=True,
+                           shift=5.0, rotate=20.0, scale=0.3)
+    # windows where frames within a window are identical (no label_prop:
+    # the central annotation repeats across the window)
+    for d in sorted(os.listdir(tmp_path / "train")):
+        os.remove(tmp_path / "train" / d / "label_ao_prop.nii.gz")
+    data_list = scan_dataset_ao(str(tmp_path))
+    images, labels = get_random_batch_ao(data_list["train"], 2,
+                                         image_size=48, time_window=3)
+    assert np.array_equal(labels[:, 0], labels[:, 1])
+    loss, (aux, _) = loss_fn(params, state,
+                             {"image": images, "label": labels},
+                             jax.random.PRNGKey(3))
+    assert np.isfinite(float(loss))
+
+    # check the augmenter itself (the piece the loss applied): one
+    # transform per window keeps within-window frames consistent.  The
+    # cine's image frames differ across time, so tile frame 0 to make
+    # within-window identity observable.
+    from ukbb_cardiac_tpu.ops import aortic_batch_augmenter_jax
+    images_t = np.repeat(images[:, :1], images.shape[1], axis=1)
+    img2, lab2 = aortic_batch_augmenter_jax(
+        jax.random.PRNGKey(3), images_t, labels, 5.0, 20.0, 0.3, 0.0, False)
+    img2, lab2 = np.asarray(img2), np.asarray(lab2)
+    assert np.array_equal(lab2[:, 0], lab2[:, 1])
+    assert np.array_equal(img2[:, 0], img2[:, 1])
+    # ...and different windows got different transforms
+    assert not np.array_equal(lab2[0], labels[0]) or \
+           not np.array_equal(img2[0], images_t[0])
+    assert not np.array_equal(img2[0], img2[1])

@@ -43,6 +43,14 @@ def main(argv=None):
     parser.add_argument("--compact_transfer", action="store_true",
                         help="Ship batches as f16 images + uint8 labels "
                              "(2.7x fewer host->device bytes).")
+    parser.add_argument("--batch_windows", type=int, default=0,
+                        help="Fixed time-windows per batch via a pool "
+                             "sampler (static shapes; enables multi-step).")
+    parser.add_argument("--steps_per_dispatch", type=int, default=1,
+                        help="Optimizer steps per device dispatch "
+                             "(lax.scan); requires --batch_windows.")
+    add_bool_flag(parser, "device_augment", False)
+    add_bool_flag(parser, "bf16", False)
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -60,6 +68,9 @@ def main(argv=None):
         weight_R=args.weight_R, weight_r=args.weight_r,
         joint_train=args.joint_train, from_scratch=args.from_scratch,
         cache_gb=args.cache_gb, compact_transfer=args.compact_transfer,
+        batch_windows=args.batch_windows,
+        steps_per_dispatch=args.steps_per_dispatch,
+        device_augment=args.device_augment, bf16=args.bf16,
         seed=args.seed)
     train(cfg)
 

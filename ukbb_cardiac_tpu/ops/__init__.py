@@ -25,6 +25,7 @@ from ukbb_cardiac_tpu.ops.cc import (
     remove_small_cc,
 )
 from ukbb_cardiac_tpu.ops.augment import (
+    aortic_batch_augmenter_jax,
     aortic_data_augmenter,
     aortic_data_augmenter_jax,
     data_augmenter,

@@ -170,13 +170,17 @@ def aortic_data_augmenter(image, label, shift, rotate, scale, intensity, flip, r
     return image2, label2
 
 
-def aortic_data_augmenter_jax(key, image, label, shift, rotate, scale, intensity, flip):
+def aortic_data_augmenter_jax(key, image, label, shift, rotate, scale, intensity, flip,
+                              sample_dtype=None):
     """Device sequence-consistent augmenter: one transform for all frames.
 
     Note: the reference re-draws the flip direction per frame even in the
     "subject-consistent" variant (``image_utils.py:161-167``) — a quirk that
     can flip half a sequence one way and half the other.  We consciously fix
     it here: one flip decision per sequence (documented deviation).
+
+    ``sample_dtype``: interpolation matmul dtype (see
+    :func:`data_augmenter_jax`).
     """
     kp, kf = jax.random.split(key)
     shift_val, rotate_val, scale_val, intensity_val = _sample_params(
@@ -187,9 +191,12 @@ def aortic_data_augmenter_jax(key, image, label, shift, rotate, scale, intensity
 
     def one(im, la):
         img2 = jax.vmap(
-            lambda ch: affine_transform_2d(ch, matrix, offset, order=1), in_axes=2, out_axes=2
+            lambda ch: affine_transform_2d(ch, matrix, offset, order=1,
+                                           sample_dtype=sample_dtype),
+            in_axes=2, out_axes=2
         )(im.astype(jnp.float32))
-        lab2 = affine_transform_2d(la.astype(jnp.float32), matrix, offset, order=0).astype(jnp.int32)
+        lab2 = affine_transform_2d(la.astype(jnp.float32), matrix, offset, order=0,
+                                   sample_dtype=sample_dtype).astype(jnp.int32)
         return img2 * intensity_val, lab2
 
     img2, lab2 = jax.vmap(one)(jnp.asarray(image), jnp.asarray(label))
@@ -198,3 +205,16 @@ def aortic_data_augmenter_jax(key, image, label, shift, rotate, scale, intensity
         img2 = jnp.where(flip_x, img2[:, ::-1, :, :], img2[:, :, ::-1, :])
         lab2 = jnp.where(flip_x, lab2[:, ::-1, :], lab2[:, :, ::-1])
     return img2, lab2
+
+
+def aortic_batch_augmenter_jax(key, images, labels, shift, rotate, scale,
+                               intensity, flip, sample_dtype=None):
+    """Batch of windows (B, T, X, Y, C)/(B, T, X, Y): an independent
+    sequence-consistent transform per window — the device twin of drawing
+    ``aortic_data_augmenter`` once per window in the host sampler
+    (``train_network_ao.py:190-196``)."""
+    keys = jax.random.split(key, images.shape[0])
+    return jax.vmap(
+        lambda k, im, la: aortic_data_augmenter_jax(
+            k, im, la, shift, rotate, scale, intensity, flip, sample_dtype)
+    )(keys, jnp.asarray(images), jnp.asarray(labels))

@@ -77,6 +77,23 @@ class AoTrainConfig:
     # ship batches as f16 images + uint8 labels (2.7x fewer host->device
     # bytes; labels exact, image rounding ~5e-4 — see train.sa)
     compact_transfer: bool = False
+    # >0: each batch is exactly this many time windows drawn from a pool
+    # filled by per-subject sampling — a STATIC batch shape, so the step
+    # compiles once (the reference's subject batches vary in window count
+    # with each subject's annotated-frame count, recompiling per distinct
+    # count).  0 keeps the reference's variable per-subject batches.
+    batch_windows: int = 0
+    # K optimizer steps per device dispatch (lax.scan inside one jit;
+    # see train.sa.SATrainConfig.steps_per_dispatch).  Requires
+    # ``batch_windows``.
+    steps_per_dispatch: int = 1
+    # apply the window-consistent affine augmentation inside the jitted
+    # step (``ops.aortic_batch_augmenter_jax``) instead of host cv2/scipy
+    device_augment: bool = False
+    # bf16 mixed-precision training: activations bf16 (LSTM recurrence
+    # state and gate accumulation stay f32 — see models/convlstm.py),
+    # params/BN/logits/loss f32
+    bf16: bool = False
 
     @property
     def n_class(self) -> int:
@@ -240,6 +257,44 @@ def get_random_batch_ao(filename_list, batch_size, image_size=256,
     return images, labels
 
 
+def make_window_pool_sampler(filename_list, batch_windows: int,
+                             image_size=256, time_window=1, z_score=True,
+                             flatten=False, data_augmentation=False,
+                             shift=0.0, rotate=0.0, scale=0.0, intensity=0.0,
+                             flip=False, rng=None, cache=None):
+    """Fixed-shape batch sampler: subjects are drawn exactly as
+    :func:`get_random_batch_ao` draws them (one at a time), their time
+    windows pooled in FIFO order, and batches of exactly
+    ``batch_windows`` windows popped off.  Per-window semantics (crop,
+    normalise, window-consistent augmentation) are identical to the
+    reference sampler — only the batch boundary moves, giving the static
+    shape XLA needs to compile the step once and to stack K batches for
+    a multi-step scan (the aortic twin of
+    ``train.sa.make_slice_pool_sampler``)."""
+    buf_img: list = []
+    buf_lab: list = []
+
+    def next_batch():
+        while len(buf_img) < batch_windows:
+            images, labels = get_random_batch_ao(
+                filename_list, 1, image_size=image_size,
+                time_window=time_window, z_score=z_score, flatten=False,
+                data_augmentation=data_augmentation, shift=shift,
+                rotate=rotate, scale=scale, intensity=intensity, flip=flip,
+                rng=rng, cache=cache)
+            buf_img.extend(images)
+            buf_lab.extend(labels)
+        images = np.asarray(buf_img[:batch_windows], dtype=np.float32)
+        labels = np.asarray(buf_lab[:batch_windows], dtype=np.int32)
+        del buf_img[:batch_windows], buf_lab[:batch_windows]
+        if flatten:
+            images = images.reshape((-1,) + images.shape[2:])
+            labels = labels.reshape((-1,) + labels.shape[2:])
+        return {"image": images, "label": labels}
+
+    return next_batch
+
+
 def init_ao_model(cfg: AoTrainConfig, key):
     """Create (params, state, names) for the selected aortic model."""
     n_filter = tuple(cfg.num_filter * (2 ** i) for i in range(cfg.num_level))
@@ -255,24 +310,43 @@ def init_ao_model(cfg: AoTrainConfig, key):
     return ucfg, params, state, names
 
 
-def make_ao_loss(cfg: AoTrainConfig, ucfg, names, train: bool = True):
+def make_ao_loss(cfg: AoTrainConfig, ucfg, names, train: bool = True,
+                 device_augment: bool = False, shift=0.0, rotate=10.0,
+                 scale=0.2, intensity=0.0, flip=False, compute_dtype=None):
     """Loss closure per model kind (``train_network_ao.py:285-317``).
     ``train=False`` builds the eval-mode twin (BN moving stats — the
     reference's ``training: False`` validation feed, :449)."""
+
+    dtype = compute_dtype or jnp.float32
 
     def loss_fn(params, state, batch, key):
         # accept compact transfer dtypes (f16 image / uint8 label); the
         # cast is free when the batch already arrives f32/int32
         images = batch["image"].astype(jnp.float32)
         labels_arr = batch["label"].astype(jnp.int32)
+        if device_augment:
+            # window-consistent affine inside the jitted step — the
+            # TPU-native twin of the host sampler's per-window
+            # aortic_data_augmenter (train_network_ao.py:190-196).
+            # UNet batches arrive UNFLATTENED (N, T, X, Y, 1) so each
+            # window still shares one transform; flattened below.
+            from ukbb_cardiac_tpu.ops import aortic_batch_augmenter_jax
+            images, labels_arr = aortic_batch_augmenter_jax(
+                key, images, labels_arr, shift, rotate, scale, intensity,
+                flip, sample_dtype=dtype)
         if cfg.model == "UNet":
+            if images.ndim == 5:  # window-grouped input; fold into batch
+                images = images.reshape((-1,) + images.shape[2:])
+                labels_arr = labels_arr.reshape((-1,) + labels_arr.shape[2:])
             loss, prob, pred, new_state = wrappers.unet_model(
-                params, state, names, ucfg, images, labels_arr, train=train)
+                params, state, names, ucfg, images, labels_arr, train=train,
+                compute_dtype=dtype)
             pred_fr, label_fr = pred, labels_arr
         elif cfg.model == "Temporal-UNet":
             loss, prob, pred, new_state = wrappers.temporal_unet_model(
                 params, state, names, ucfg, images, labels_arr, train=train,
-                weight_R=cfg.weight_R, weight_r=cfg.weight_r)
+                weight_R=cfg.weight_R, weight_r=cfg.weight_r,
+                compute_dtype=dtype)
             s = (cfg.time_window - 1) // 2
             pred_fr, label_fr = pred[:, s], labels_arr[:, s]
         else:  # UNet-LSTM
@@ -280,7 +354,7 @@ def make_ao_loss(cfg: AoTrainConfig, ucfg, names, train: bool = True):
                 params, state, names, ucfg, images, labels_arr, train=train,
                 train_unet=cfg.joint_train, bidirectional=cfg.bidirectional,
                 seq2seq=cfg.seq2seq, weight_R=cfg.weight_R,
-                weight_r=cfg.weight_r)
+                weight_r=cfg.weight_r, compute_dtype=dtype)
             s = (cfg.time_window - 1) // 2
             pred_fr, label_fr = pred[:, s], labels_arr[:, s]
 
@@ -339,8 +413,18 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
 
     optimizer = make_ao_optimizer(cfg, params)
     opt_state = optimizer.init(params)
-    loss_fn = make_ao_loss(cfg, ucfg, names)
+    loss_fn = make_ao_loss(cfg, ucfg, names,
+                           device_augment=cfg.device_augment,
+                           shift=0, rotate=10, scale=0.2, intensity=0,
+                           flip=False,
+                           compute_dtype=jnp.bfloat16 if cfg.bf16 else None)
+    K = max(1, int(cfg.steps_per_dispatch))
+    if K > 1 and cfg.batch_windows <= 0:
+        raise ValueError("steps_per_dispatch > 1 requires batch_windows "
+                         "(a static batch shape to stack K batches)")
     step = steps_lib.make_train_step(loss_fn, optimizer)
+    multi_step = (steps_lib.make_multi_train_step(loss_fn, optimizer)
+                  if K > 1 else None)
 
     model_dir = os.path.join(cfg.checkpoint_dir, cfg.model_name)
     os.makedirs(model_dir, exist_ok=True)
@@ -371,29 +455,60 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     cache = (SubjectCache(int(cfg.cache_gb * (1 << 30)))
              if cfg.cache_gb > 0 else None)
 
-    def make_batch():
-        images, labels_arr = get_random_batch_ao(
-            data_list["train"], cfg.train_batch_size,
-            image_size=cfg.image_size, time_window=cfg.time_window,
-            z_score=cfg.z_score, flatten=flatten, data_augmentation=True,
+    # with device_augment, UNet batches stay window-grouped (N, T, ...)
+    # through the host path so each window shares one transform in the
+    # jitted augmenter; the loss folds T into the batch afterwards
+    host_flatten = flatten and not cfg.device_augment
+    if cfg.batch_windows > 0:
+        sample = make_window_pool_sampler(
+            data_list["train"], cfg.batch_windows, image_size=cfg.image_size,
+            time_window=cfg.time_window, z_score=cfg.z_score,
+            flatten=host_flatten, data_augmentation=not cfg.device_augment,
             shift=0, rotate=10, scale=0.2, intensity=0, flip=False, rng=rng,
             cache=cache)
-        if cfg.compact_transfer:  # cast on the prefetch thread
-            return {"image": images.astype(np.float16),
-                    "label": labels_arr.astype(np.uint8)}
-        return {"image": images, "label": labels_arr}
+    else:
+        def sample():
+            images, labels_arr = get_random_batch_ao(
+                data_list["train"], cfg.train_batch_size,
+                image_size=cfg.image_size, time_window=cfg.time_window,
+                z_score=cfg.z_score, flatten=host_flatten,
+                data_augmentation=not cfg.device_augment,
+                shift=0, rotate=10, scale=0.2, intensity=0, flip=False,
+                rng=rng, cache=cache)
+            return {"image": images, "label": labels_arr}
 
-    prefetcher = BatchPrefetcher(make_batch, depth=2)
-    # next batch is device_put one dispatch ahead: its H2D transfer rides
-    # under the running step (transfers overlap compute — train.sa)
-    pending = jax.device_put(prefetcher.next())
-    for iteration in range(1, 1 + total):
+    if cfg.compact_transfer:
+        def make_batch():  # cast on the prefetch thread
+            b = sample()
+            return {"image": b["image"].astype(np.float16),
+                    "label": b["label"].astype(np.uint8)}
+    else:
+        make_batch = sample
+
+    prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
+    # the next chunk is device_put one dispatch ahead: its H2D transfer
+    # rides under the running step (transfers overlap compute — train.sa)
+    from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
+    build_input = make_chunk_builder(
+        prefetcher, K, total,
+        (cfg.validation_every, cfg.checkpoint_every, progress_every),
+        stage=jax.device_put)
+
+    iteration = 0
+    pending = build_input(iteration)
+    while iteration < total:
         t0 = time.time()
-        batch = pending
-        params, state, opt_state, loss, aux = step(
-            params, state, opt_state, batch, jax.random.PRNGKey(iteration))
+        k_now, batches, keys = pending
+        if k_now > 1:
+            params, state, opt_state, losses_k, aux = multi_step(
+                params, state, opt_state, batches, keys)
+            loss = losses_k[-1]
+        else:
+            params, state, opt_state, loss, aux = step(
+                params, state, opt_state, batches, keys)
+        iteration += k_now
         if iteration < total:
-            pending = jax.device_put(prefetcher.next())
+            pending = build_input(iteration)
 
         if iteration % cfg.validation_every == 0:
             rec = {"iteration": iteration, "loss": float(loss),

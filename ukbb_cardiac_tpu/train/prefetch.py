@@ -12,7 +12,7 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Callable
+from typing import Callable, Optional, Sequence
 
 
 class BatchPrefetcher:
@@ -65,3 +65,50 @@ class BatchPrefetcher:
 
     def __exit__(self, *exc):
         self.close()
+
+
+def make_chunk_builder(prefetcher: BatchPrefetcher, K: int, total: int,
+                       cadences: Sequence[int],
+                       stage: Optional[Callable] = None):
+    """Build the K-step dispatch input for a training loop.
+
+    Returns ``build_input(it) -> (k_now, batches, keys)`` where ``k_now``
+    is the chunk length starting at iteration ``it`` (0-based count of
+    completed iterations), cut so every cadence boundary in ``cadences``
+    (validation / checkpoint / progress print) and the end of training
+    still land exactly on an iteration count — cadence semantics are
+    unchanged by K.  For ``k_now > 1`` the K batches are stacked on a new
+    leading axis (the ``lax.scan`` axis of
+    ``steps.make_multi_train_step``) and keys is a (K, 2) PRNGKey array;
+    for ``k_now == 1`` the batch passes through unstacked with a single
+    key — matching ``steps.make_train_step``.
+
+    ``stage`` (e.g. ``jax.device_put``) is applied to the batch pytree so
+    its host→device transfer can ride under the previous dispatch; mesh
+    trainers pass None and let the sharded jit place the arrays.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    stage = stage or (lambda b: b)
+
+    def next_k(it):
+        k_now = min(K, total - it)
+        for c in cadences:
+            if c and c > 0:
+                k_now = min(k_now, c - it % c)
+        return k_now
+
+    def build_input(it):
+        k_now = next_k(it)
+        if k_now > 1:
+            chunk = [prefetcher.next() for _ in range(k_now)]
+            batches = stage({k: np.stack([b[k] for b in chunk])
+                             for k in chunk[0]})
+            keys = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(it + 1, it + 1 + k_now))
+            return k_now, batches, keys
+        return 1, stage(prefetcher.next()), jax.random.PRNGKey(it + 1)
+
+    return build_input

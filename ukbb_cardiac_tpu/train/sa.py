@@ -434,28 +434,11 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     # of chunk N (transfers overlap compute; measured on this host's
     # tunnel: both = max, not sum).  Mesh batches stay host-side — the
     # sharded jit places them per its in_shardings.
-    stage = jax.device_put if cfg.mesh_devices <= 1 else (lambda b: b)
-
-    def next_k(it):
-        # chunk of up to K steps, cut so every cadence boundary
-        # (validation / checkpoint / progress print / end) still lands
-        # exactly on an iteration count — cadences are unchanged by K
-        k_now = min(K, total - it)
-        for c in (cfg.validation_every, cfg.checkpoint_every, progress_every):
-            if c and c > 0:
-                k_now = min(k_now, c - it % c)
-        return k_now
-
-    def build_input(it):
-        k_now = next_k(it)
-        if k_now > 1:
-            chunk = [prefetcher.next() for _ in range(k_now)]
-            batches = stage({k: np.stack([b[k] for b in chunk])
-                             for k in chunk[0]})
-            keys = jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(it + 1, it + 1 + k_now))
-            return k_now, batches, keys
-        return 1, stage(prefetcher.next()), jax.random.PRNGKey(it + 1)
+    from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
+    build_input = make_chunk_builder(
+        prefetcher, K, total,
+        (cfg.validation_every, cfg.checkpoint_every, progress_every),
+        stage=jax.device_put if cfg.mesh_devices <= 1 else None)
 
     iteration = start_iteration
     pending = build_input(iteration)
