@@ -79,6 +79,62 @@ def fcn_train_flops_and_bytes(cfg, n, X, Y, compute_bytes=2):
     bytes_moved = (3 * act_elems * compute_bytes    # fwd write, bwd read+write
                    + 3 * param_elems * 4)           # read fwd/bwd + optimizer
     return train_flops, bytes_moved
+def unet_lstm_train_flops_and_bytes(ucfg, n_hidden, n_frames, X, Y,
+                                    bidirectional=True, compute_bytes=2):
+    """Analytic per-step cost model for the UNet-LSTM training step
+    (``network_ao.py:322-399`` architecture; batch = ``n_frames`` total
+    frames = windows × time_window).
+
+    Same conventions as :func:`fcn_train_flops_and_bytes`: FLOPs = 2×MACs
+    forward, training ≈ 3× forward (grads flow through the frozen UNet
+    too — masking only zeroes the *updates*); transpose convs count
+    output-resolution taps (1/s² of the dense stencil).  Includes the
+    in-step augmentation warp (two tent matmuls per frame).  Bytes is the
+    perfect-fusion lower bound."""
+    macs = 0
+    act_elems = 0
+    param_elems = 0
+    n = n_frames
+
+    def conv(cin, cout, k, x, y, frac=1.0):
+        nonlocal macs, act_elems, param_elems
+        macs += int(n * x * y * k * k * cin * cout * frac)
+        act_elems += n * x * y * cout
+        param_elems += k * k * cin * cout
+
+    # encoder
+    cin = ucfg.in_ch
+    for l in range(ucfg.n_level):
+        x, y = X // (2 ** l), Y // (2 ** l)
+        for _ in range(ucfg.n_block[l]):
+            conv(cin, ucfg.n_filter[l], 3, x, y)
+            cin = ucfg.n_filter[l]
+    # decoder: transpose conv (s=2: 1/4 of the dense taps at output res)
+    # + n_block convs, first from the skip concat
+    for l in range(ucfg.n_level - 2, -1, -1):
+        x, y = X // (2 ** l), Y // (2 ** l)
+        conv(ucfg.n_filter[l + 1], ucfg.n_filter[l], 3, x, y, frac=0.25)
+        cin = ucfg.n_filter[l] * 2
+        for _ in range(ucfg.n_block[l]):
+            conv(cin, ucfg.n_filter[l], 3, x, y)
+            cin = ucfg.n_filter[l]
+    conv(ucfg.n_filter[0], ucfg.n_class, 1, X, Y)  # UNet logits head
+    # ConvLSTM: per frame per direction one 3x3 conv over concat(x, h)
+    ndir = 2 if bidirectional else 1
+    for _ in range(ndir):
+        conv(ucfg.n_filter[0] + n_hidden, 4 * n_hidden, 3, X, Y)
+    conv(ndir * n_hidden, ucfg.n_class, 1, X, Y)   # shared logits conv
+    # augmentation warp: two tent matmuls per frame (X,Y)x(Y,Y)+(X,X)x(X,Y)
+    macs += n * (X * Y * Y + X * X * Y)
+    act_elems += n * X * Y
+
+    fwd_flops = 2 * macs
+    train_flops = 3 * fwd_flops
+    bytes_moved = (3 * act_elems * compute_bytes
+                   + 3 * param_elems * 4)
+    return train_flops, bytes_moved
+
+
 # two-point measurement: time N steps and 4N steps, each ended by a
 # forcing scalar fetch (block_until_ready does not reliably wait over
 # this host's tunnel, and the fetch itself costs a tunnel round-trip in
@@ -200,9 +256,9 @@ def main():
                    f"t_hbm={t_hbm*1e3:.2f} ms measured={sec_per_step*1e3:.2f} ms")
     # --- aortic UNet-LSTM train step (train_network_ao.py budget:
     # batch 5 x 9-frame windows at 256^2, 20k iterations) ----------------
-    ao_windows_per_s = None
+    ao_windows_per_s = ao_mfu = ao_roofline = None
     try:
-        ao_windows_per_s = _bench_ao_step()
+        ao_windows_per_s, ao_mfu, ao_roofline = _bench_ao_step()
     except Exception:
         pass
 
@@ -229,8 +285,11 @@ def main():
                            / sat_sec / peak, 3)
                      if (sat_img_s and peak) else None),
         # aortic UNet-LSTM: reference budget batch 5 x tw=9 @ 256^2
+        # (production config: bf16 + K-step + in-step augmentation)
         "ao_unet_lstm_windows_per_s": (round(ao_windows_per_s, 2)
                                        if ao_windows_per_s else None),
+        "ao_unet_lstm_mfu": round(ao_mfu, 3) if ao_mfu else None,
+        "ao_unet_lstm_roofline": ao_roofline,
         # full trainer from a dataset on disk (cache + device augment +
         # bf16 + compact transfer + K-step dispatch + staged H2D)
         "images_per_s_end_to_end": (round(e2e_img_s, 1)
@@ -347,8 +406,25 @@ def _bench_ao_step() -> float:
     t_hi = min(run(6 * K) for _ in range(3))
     sec_per_step = (t_hi - t_lo) / (4 * K)
     if sec_per_step <= 0:  # tunnel noise inverted the two points
-        return None
-    return cfg.train_batch_size / sec_per_step
+        return None, None, None
+    flops, hbm = unet_lstm_train_flops_and_bytes(
+        ucfg, cfg.num_hidden, B * TW, S, S, bidirectional=cfg.bidirectional)
+    peak, bw = PEAKS.get(jax.devices()[0].device_kind, (None, None))
+    mfu = verdict = None
+    if peak:
+        mfu = flops / sec_per_step / peak
+        t_mxu, t_hbm = flops / peak, hbm / bw
+        if sec_per_step > 3 * max(t_mxu, t_hbm):
+            # far off both rooflines: the 2x(T=9) ConvLSTM scans
+            # serialize small per-frame convs, and train-mode BN breaks
+            # fusion — the bound is dispatch latency, not a roofline
+            bound = "latency/serialization"
+        else:
+            bound = "MXU" if t_mxu >= t_hbm else "HBM"
+        verdict = (f"{bound}-bound: t_mxu={t_mxu*1e3:.2f} ms "
+                   f"t_hbm={t_hbm*1e3:.2f} ms "
+                   f"measured={sec_per_step*1e3:.2f} ms")
+    return cfg.train_batch_size / sec_per_step, mfu, verdict
 
 
 if __name__ == "__main__":

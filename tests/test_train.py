@@ -677,3 +677,32 @@ def test_ao_unet_device_augment_window_consistent(tmp_path):
     assert not np.array_equal(lab2[0], labels[0]) or \
            not np.array_equal(img2[0], images_t[0])
     assert not np.array_equal(img2[0], img2[1])
+
+
+def test_ao_training_mesh_multi_step(tmp_path):
+    """The aortic trainer runs with mesh_devices AND steps_per_dispatch
+    combined (K-step scan under data-parallel window sharding) and
+    rejects a batch that does not divide over the mesh."""
+    _make_ao_dataset(str(tmp_path))
+    ckpt_dir = str(tmp_path / "ckpt")
+    cfg = AoTrainConfig(model="UNet-LSTM", image_size=48, num_filter=2,
+                        num_level=3, num_hidden=4, weight_R=2,
+                        from_scratch=True, dataset_dir=str(tmp_path),
+                        checkpoint_dir=ckpt_dir, checkpoint_every=4,
+                        validation_every=2, batch_windows=2,
+                        steps_per_dispatch=2, mesh_devices=2, seed=1)
+    params, _, _, _ = train_ao(cfg, max_iterations=4)
+    assert os.path.exists(os.path.join(ckpt_dir, cfg.model_name,
+                                       "model-4.npz"))
+    assert all(np.isfinite(np.asarray(p)).all()
+               for p in jax.tree_util.tree_leaves(params))
+
+    bad = AoTrainConfig(model="UNet", image_size=48, num_filter=2,
+                        num_level=3, dataset_dir=str(tmp_path),
+                        batch_windows=3, mesh_devices=2)
+    with pytest.raises(ValueError):
+        train_ao(bad, max_iterations=2)
+    with pytest.raises(ValueError):  # mesh without a static batch
+        train_ao(AoTrainConfig(model="UNet", image_size=48, num_filter=2,
+                               num_level=3, dataset_dir=str(tmp_path),
+                               mesh_devices=2), max_iterations=2)

@@ -51,6 +51,10 @@ def main(argv=None):
                              "(lax.scan); requires --batch_windows.")
     add_bool_flag(parser, "device_augment", False)
     add_bool_flag(parser, "bf16", False)
+    parser.add_argument("--mesh_devices", type=int, default=0,
+                        help="Data-parallel mesh size (windows shard over "
+                             "chips); requires --batch_windows divisible "
+                             "by it.")
     parser.add_argument("--seed", type=int, default=0)
     args = parser.parse_args(argv)
 
@@ -71,7 +75,7 @@ def main(argv=None):
         batch_windows=args.batch_windows,
         steps_per_dispatch=args.steps_per_dispatch,
         device_augment=args.device_augment, bf16=args.bf16,
-        seed=args.seed)
+        mesh_devices=args.mesh_devices, seed=args.seed)
     train(cfg)
 
 

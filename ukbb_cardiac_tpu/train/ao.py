@@ -94,6 +94,10 @@ class AoTrainConfig:
     # state and gate accumulation stay f32 — see models/convlstm.py),
     # params/BN/logits/loss f32
     bf16: bool = False
+    # >1: data-parallel mesh — windows shard over the "data" axis, params
+    # replicate, GSPMD inserts the ICI gradient psum (train/steps.py).
+    # Requires ``batch_windows`` divisible by the device count.
+    mesh_devices: int = 0
 
     @property
     def n_class(self) -> int:
@@ -422,9 +426,23 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     if K > 1 and cfg.batch_windows <= 0:
         raise ValueError("steps_per_dispatch > 1 requires batch_windows "
                          "(a static batch shape to stack K batches)")
-    step = steps_lib.make_train_step(loss_fn, optimizer)
-    multi_step = (steps_lib.make_multi_train_step(loss_fn, optimizer)
-                  if K > 1 else None)
+    if cfg.mesh_devices > 1:
+        if cfg.batch_windows <= 0:
+            raise ValueError("mesh_devices > 1 requires batch_windows "
+                             "(a static batch to shard evenly)")
+        if cfg.batch_windows % cfg.mesh_devices:
+            raise ValueError("batch_windows must divide evenly over "
+                             f"mesh_devices ({cfg.batch_windows} % "
+                             f"{cfg.mesh_devices} != 0)")
+        from ukbb_cardiac_tpu.parallel.mesh import make_mesh
+        mesh = make_mesh(cfg.mesh_devices)
+        step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
+        multi_step = (steps_lib.make_multi_dp_train_step(
+            loss_fn, optimizer, mesh) if K > 1 else None)
+    else:
+        step = steps_lib.make_train_step(loss_fn, optimizer)
+        multi_step = (steps_lib.make_multi_train_step(loss_fn, optimizer)
+                      if K > 1 else None)
 
     model_dir = os.path.join(cfg.checkpoint_dir, cfg.model_name)
     os.makedirs(model_dir, exist_ok=True)
@@ -492,7 +510,7 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     build_input = make_chunk_builder(
         prefetcher, K, total,
         (cfg.validation_every, cfg.checkpoint_every, progress_every),
-        stage=jax.device_put)
+        stage=jax.device_put if cfg.mesh_devices <= 1 else None)
 
     iteration = 0
     pending = build_input(iteration)
