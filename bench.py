@@ -188,9 +188,9 @@ def main():
     # --- cohort sustained throughput (VERDICT r2 #2) ---------------------
     # >=16 phantom subjects through segmentation -> volumes -> wall
     # thickness -> strain with cross-stage overlap (subject N+1's device
-    # work under subject N's host post-processing).  LAST: the largest
-    # extra, so a degraded tunnel window cannot starve the other figures
-    # of their deadline budget.
+    # work under subject N's host post-processing).  Late in the order:
+    # a large extra, so a degraded tunnel window cannot starve the
+    # smaller figures of their deadline budget.
     cohort = {}
     try:
         if not past_deadline():
@@ -199,8 +199,9 @@ def main():
     except Exception:
         pass
 
-    # --- end-to-end trainer from disk (LAST: ~2 min; only runs when the
-    # tunnel has been healthy enough to leave deadline budget) -----------
+    # --- end-to-end trainer from disk (runs LAST of all extras, ~2 min;
+    # only when the tunnel has been healthy enough to leave deadline
+    # budget — the cohort stage above can legitimately starve it) --------
     train_e2e_img_s = None
     try:
         if not past_deadline():
@@ -245,54 +246,11 @@ def main():
 
 
 def _bench_train_step():
-    """The FCN training-step throughput (bench_train.py's measurement,
-    condensed): K=10-step scan, two-point timed."""
-    import jax
-    import jax.numpy as jnp
-    import optax
-
+    """The FCN training-step throughput — delegates to
+    ``bench_train.bench_fcn_step_quick`` so the measurement methodology
+    has one home and the two benches cannot drift."""
     import bench_train as bt
-    from ukbb_cardiac_tpu.models import fcn as fcn_mod
-    from ukbb_cardiac_tpu.train import steps as steps_lib
-    from ukbb_cardiac_tpu.train.sa import make_fcn_loss
-
-    cfg = fcn_mod.FCNConfig(n_class=4, n_level=5,
-                            n_filter=(16, 32, 64, 128, 256),
-                            n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
-    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
-    optimizer = optax.adam(1e-3)
-    opt_state = optimizer.init(params)
-    loss_fn = make_fcn_loss(names, cfg, device_augment=True,
-                            compute_dtype=jnp.bfloat16)
-    K, B = 10, 20
-    step = steps_lib.make_multi_train_step(loss_fn, optimizer)
-    rng = np.random.RandomState(0)
-    batches = {"image": jnp.asarray(rng.rand(K, B, 192, 192, 1)
-                                    .astype(np.float32)),
-               "label": jnp.asarray(rng.randint(0, 4, (K, B, 192, 192))
-                                    .astype(np.int32))}
-    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(K))
-
-    def run(n):
-        nonlocal params, state, opt_state
-        t0 = time.time()
-        losses = None
-        for _ in range(n // K):
-            params, state, opt_state, losses, _ = step(
-                params, state, opt_state, batches, keys)
-        float(losses[-1])
-        return time.time() - t0
-
-    run(K)  # compile (persistent-cache warm in steady state)
-    t_lo = min(run(10) for _ in range(3))
-    t_hi = min(run(40) for _ in range(3))
-    sec_per_step = (t_hi - t_lo) / 30
-    if sec_per_step <= 0:
-        return None, None
-    flops, _ = bt.fcn_train_flops_and_bytes(cfg, B, 192, 192)
-    peak, _ = bt.PEAKS.get(jax.devices()[0].device_kind, (None, None))
-    mfu = (flops / sec_per_step / peak) if peak else None
-    return B / sec_per_step, mfu
+    return bt.bench_fcn_step_quick()
 
 
 def _bench_cohort(sa_engine, seg_compute_hint=None) -> dict:

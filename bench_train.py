@@ -79,6 +79,59 @@ def fcn_train_flops_and_bytes(cfg, n, X, Y, compute_bytes=2):
     bytes_moved = (3 * act_elems * compute_bytes    # fwd write, bwd read+write
                    + 3 * param_elems * 4)           # read fwd/bwd + optimizer
     return train_flops, bytes_moved
+
+
+def bench_fcn_step_quick(K=10, B=20, S=192):
+    """Condensed FCN train-step measurement for bench.py's JSON line:
+    the production configuration (bf16, device augment, K-step scan),
+    two-point timed.  Returns (images_per_s, mfu) — the one home for
+    this methodology so bench.py and this file cannot drift."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.train import steps as steps_lib
+    from ukbb_cardiac_tpu.train.sa import make_fcn_loss
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=5,
+                            n_filter=(16, 32, 64, 128, 256),
+                            n_block=(2, 2, 3, 3, 3), same_dim=32, fc=64)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+    loss_fn = make_fcn_loss(names, cfg, device_augment=True,
+                            compute_dtype=jnp.bfloat16)
+    step = steps_lib.make_multi_train_step(loss_fn, optimizer)
+    rng = np.random.RandomState(0)
+    batches = {"image": jnp.asarray(rng.rand(K, B, S, S, 1)
+                                    .astype(np.float32)),
+               "label": jnp.asarray(rng.randint(0, 4, (K, B, S, S))
+                                    .astype(np.int32))}
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(K))
+
+    def run(n):
+        nonlocal params, state, opt_state
+        t0 = time.time()
+        losses = None
+        for _ in range(n // K):
+            params, state, opt_state, losses, _ = step(
+                params, state, opt_state, batches, keys)
+        float(losses[-1])
+        return time.time() - t0
+
+    run(K)  # compile (persistent-cache warm in steady state)
+    t_lo = min(run(K) for _ in range(3))
+    t_hi = min(run(4 * K) for _ in range(3))
+    sec_per_step = (t_hi - t_lo) / (3 * K)
+    if sec_per_step <= 0:
+        return None, None
+    flops, _ = fcn_train_flops_and_bytes(cfg, B, S, S)
+    peak, _ = PEAKS.get(jax.devices()[0].device_kind, (None, None))
+    mfu = (flops / sec_per_step / peak) if peak else None
+    return B / sec_per_step, mfu
+
+
 def unet_lstm_train_flops_and_bytes(ucfg, n_hidden, n_frames, X, Y,
                                     bidirectional=True, compute_bytes=2):
     """Analytic per-step cost model for the UNet-LSTM training step
@@ -347,7 +400,11 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
             train(cfg, max_iterations=iters, progress_every=10 ** 9)
             return time.time() - t0
 
-        run(warm_iters)  # compile + cache warm
+        # warm run: XLA compiles persist (compilation cache); the
+        # SubjectCache does NOT persist across train() calls, so each
+        # measured run re-decodes subjects during its first iterations —
+        # that cost appears in both two-point samples and cancels
+        run(warm_iters)
         sec = min((run(hi) - run(lo)) / (hi - lo) for _ in range(repeats))
         return (20 / sec) if sec > 0 else None
     finally:

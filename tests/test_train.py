@@ -182,6 +182,14 @@ def test_sa_training_mesh_multi_step(tmp_path):
                         steps_per_dispatch=2, mesh_devices=2)
     with pytest.raises(ValueError):
         train_sa(bad, max_iterations=2)
+    # the divisibility guard must fire for K=1 mesh configs too (it used
+    # to be nested under steps_per_dispatch > 1, leaving K=1 runs to die
+    # later with an opaque GSPMD partitioning error)
+    bad_k1 = SATrainConfig(seq_name="sa", image_size=48, num_filter=2,
+                           dataset_dir=str(tmp_path), batch_slices=5,
+                           mesh_devices=2)
+    with pytest.raises(ValueError):
+        train_sa(bad_k1, max_iterations=2)
 
 
 def test_subject_cache_bit_identical_and_evicts(tmp_path):

@@ -513,7 +513,7 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
         stage=jax.device_put if cfg.mesh_devices <= 1 else None)
 
     iteration = 0
-    pending = build_input(iteration)
+    pending = build_input(iteration) if total > 0 else None
     while iteration < total:
         t0 = time.time()
         k_now, batches, keys = pending
@@ -533,7 +533,8 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
                    "accuracy": float(aux["accuracy"]),
                    "dice_aa": float(aux["dice_aa"]),
                    "dice_da": float(aux["dice_da"]),
-                   "seconds": time.time() - t0}
+                   # per-iteration, whatever K the dispatch ran
+                   "seconds": (time.time() - t0) / k_now}
             if data_list["validation"]:
                 # held-out Dice AA/DA every validation_every iterations —
                 # the reference validates every 10 (train_network_ao.py:

@@ -355,14 +355,18 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
                             device_augment=cfg.device_augment,
                             compute_dtype=jnp.bfloat16 if cfg.bf16 else None)
     K = max(1, int(cfg.steps_per_dispatch))
-    if K > 1:
-        if cfg.batch_slices <= 0:
-            raise ValueError("steps_per_dispatch > 1 requires batch_slices "
-                             "(a static batch shape to stack K batches)")
-        if cfg.mesh_devices > 1 and cfg.batch_slices % cfg.mesh_devices:
-            raise ValueError("batch_slices must divide evenly over "
-                             f"mesh_devices ({cfg.batch_slices} % "
-                             f"{cfg.mesh_devices} != 0)")
+    if K > 1 and cfg.batch_slices <= 0:
+        raise ValueError("steps_per_dispatch > 1 requires batch_slices "
+                         "(a static batch shape to stack K batches)")
+    if cfg.mesh_devices > 1 and cfg.batch_slices > 0 \
+            and cfg.batch_slices % cfg.mesh_devices:
+        # validated regardless of K: a K=1 mesh run would otherwise fail
+        # later with an opaque GSPMD partitioning error.  batch_slices=0
+        # (variable per-subject batches) is allowed but each batch's
+        # slice count must then divide the mesh at runtime.
+        raise ValueError("batch_slices must divide evenly over "
+                         f"mesh_devices ({cfg.batch_slices} % "
+                         f"{cfg.mesh_devices} != 0)")
     multi_step = None
     if cfg.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
@@ -441,7 +445,8 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
         stage=jax.device_put if cfg.mesh_devices <= 1 else None)
 
     iteration = start_iteration
-    pending = build_input(iteration)
+    # a resume at/past total must not sample/transfer a never-used batch
+    pending = build_input(iteration) if iteration < total else None
     while iteration < total:
         t0 = time.time()
         k_now, batches, keys = pending
@@ -466,7 +471,8 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
             rec = {"iteration": iteration, "loss": float(loss),
                    "accuracy": float(aux["accuracy"]),
                    "val_accuracy": float(np.mean(v_pred == v_labels)),
-                   "seconds": time.time() - t0}
+                   # per-iteration, whatever K the dispatch ran
+                   "seconds": (time.time() - t0) / k_now}
             for k in range(1, cfg.n_class):
                 a, b = v_pred == k, v_labels == k
                 rec[f"val_dice_{k}"] = float(
@@ -476,7 +482,7 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
         if iteration % progress_every == 0:
             print(f"Iteration {iteration}/{total}: loss = {float(loss):.4f}, "
-                  f"{time.time() - t0:.3f}s/iter")
+                  f"{(time.time() - t0) / k_now:.3f}s/iter")
 
         if iteration % cfg.checkpoint_every == 0 or iteration == total:
             ckpt_path = os.path.join(model_dir, f"model-{iteration}.npz")

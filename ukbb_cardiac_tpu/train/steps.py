@@ -65,6 +65,30 @@ def make_dp_train_step(loss_fn: Callable, optimizer: optax.GradientTransformatio
     )
 
 
+def _make_scan_multi_step(loss_fn: Callable,
+                          optimizer: optax.GradientTransformation):
+    """The shared K-step scan: one body, used by the single-device and
+    the mesh data-parallel multi-step builders (only the jit shardings
+    differ between them)."""
+
+    def multi_step(params, state, opt_state, batches, keys):
+        def body(carry, xs):
+            params, state, opt_state = carry
+            batch, key = xs
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return multi_step
+
+
 def make_multi_train_step(loss_fn: Callable,
                           optimizer: optax.GradientTransformation):
     """K optimizer steps per device dispatch via ``lax.scan``.
@@ -83,24 +107,7 @@ def make_multi_train_step(loss_fn: Callable,
     Semantically identical to K calls of :func:`make_train_step` with the
     same batches/keys (asserted in tests).
     """
-
-    @jax.jit
-    def multi_step(params, state, opt_state, batches, keys):
-        def body(carry, xs):
-            params, state, opt_state = carry
-            batch, key = xs
-            (loss, (aux, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), (loss, aux)
-
-        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, state, opt_state), (batches, keys))
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
-        return params, state, opt_state, losses, last_aux
-
-    return multi_step
+    return jax.jit(_make_scan_multi_step(loss_fn, optimizer))
 
 
 def make_multi_dp_train_step(loss_fn: Callable,
@@ -121,23 +128,8 @@ def make_multi_dp_train_step(loss_fn: Callable,
     repl = NamedSharding(mesh, P())
     shard = NamedSharding(mesh, P(None, axis))
 
-    def multi_step(params, state, opt_state, batches, keys):
-        def body(carry, xs):
-            params, state, opt_state = carry
-            batch, key = xs
-            (loss, (aux, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), (loss, aux)
-
-        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, state, opt_state), (batches, keys))
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
-        return params, state, opt_state, losses, last_aux
-
     return jax.jit(
-        multi_step,
+        _make_scan_multi_step(loss_fn, optimizer),
         in_shardings=(repl, repl, repl, shard, repl),
         out_shardings=(repl, repl, repl, repl, repl),
         donate_argnums=(0, 1, 2) if donate else (),
