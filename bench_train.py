@@ -419,9 +419,10 @@ def _bench_ao_step() -> float:
     consistent augmentation inside the step).
 
     Measured on this chip (2026-08): f32 single-step 36.3 windows/s;
-    bf16 44.1; bf16+K4 45.7; bf16+K4+device-augment 38.2 (the augment
-    warps 45 256² frames/step — on-device it still beats the host cv2
-    path it replaces, which would serialize ~100 ms/batch on the host)."""
+    bf16 44.1; bf16+K4 45.7; bf16+K4+device-augment 41.6 (the augment
+    warps 45 256² frames/step, 10.9 ms with the bf16 tent intermediate —
+    on-device it still beats the host cv2 path it replaces, which would
+    serialize ~100 ms/batch on the host)."""
     import jax
     import jax.numpy as jnp
 

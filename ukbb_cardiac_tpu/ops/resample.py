@@ -45,9 +45,17 @@ def tent_sample_2d(image, cx, cy, precision="float32", dtype=None):
     r = jnp.arange(X, dtype=jnp.float32)
     k = jnp.arange(Y, dtype=jnp.float32)
     TY = jax.nn.relu(1.0 - jnp.abs(cy[..., None] - k)).astype(dtype)  # (X, Y, k)
+    # the intermediate M is (X, Y, X) — the dominant HBM term of this
+    # formulation (67 MB/frame in f32 at 256²).  On the bf16 path it is
+    # stored bf16 too (MXU accumulation is f32 internally regardless;
+    # only the output rounds): the one-hot label path stays exact (M
+    # entries are small integers), images pick up one extra bf16
+    # rounding on top of the existing tent rounding.
     M = jnp.einsum("ijk,rk->ijr", TY, image.astype(dtype),
                    precision=(precision if dtype == jnp.float32 else None),
-                   preferred_element_type=jnp.float32)
+                   preferred_element_type=(jnp.float32
+                                           if dtype == jnp.float32
+                                           else dtype))
     TX = jax.nn.relu(1.0 - jnp.abs(cx[..., None] - r)).astype(dtype)  # (X, Y, r)
     return jnp.sum(TX * M, axis=-1)
 
