@@ -185,6 +185,17 @@ def main():
     except Exception:
         pass
 
+    # --- aortic UNet-LSTM training step (reference budget: batch 5 x
+    # tw=9 @256^2, 20k iterations; production config bf16+K4+device
+    # augment — bench_train._bench_ao_step) -------------------------------
+    ao_train_windows_s = None
+    try:
+        if not past_deadline():
+            import bench_train as bt
+            ao_train_windows_s, _, _ = bt._bench_ao_step()
+    except Exception:
+        pass
+
     # --- cohort sustained throughput (VERDICT r2 #2) ---------------------
     # >=16 phantom subjects through segmentation -> volumes -> wall
     # thickness -> strain with cross-stage overlap (subject N+1's device
@@ -257,6 +268,9 @@ def main():
         "train_images_per_s": (round(train_img_s, 1)
                                if train_img_s else None),
         "train_mfu": round(train_mfu, 3) if train_mfu else None,
+        # aortic UNet-LSTM train step, batch 5 x 9-frame windows @256^2:
+        "ao_train_windows_per_s": (round(ao_train_windows_s, 1)
+                                   if ao_train_windows_s else None),
         # full trainer from a dataset on disk (bench_train.bench_train_e2e)
         "train_e2e_images_per_s": (round(train_e2e_img_s, 1)
                                    if train_e2e_img_s else None),

@@ -714,3 +714,45 @@ def test_ao_training_mesh_multi_step(tmp_path):
         train_ao(AoTrainConfig(model="UNet", image_size=48, num_filter=2,
                                num_level=3, dataset_dir=str(tmp_path),
                                mesh_devices=2), max_iterations=2)
+
+
+def test_make_chunk_builder_cadence_and_keys():
+    """The shared K-step chunk builder cuts chunks so validation /
+    checkpoint / progress boundaries and end-of-training land exactly on
+    iteration counts, stacks batches on a leading scan axis, and emits
+    the same per-iteration PRNG keys as the K=1 stream."""
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
+
+    class FakePrefetcher:
+        def __init__(self):
+            self.i = 0
+
+        def next(self):
+            self.i += 1
+            return {"x": np.full((2,), self.i, np.int32)}
+
+    total, K = 10, 4
+    build = make_chunk_builder(FakePrefetcher(), K, total,
+                               cadences=(3, 0, None), stage=None)
+    it, chunks = 0, []
+    while it < total:
+        k_now, batches, keys = build(it)
+        chunks.append(k_now)
+        if k_now > 1:
+            assert batches["x"].shape == (k_now, 2)
+            # batches consumed FIFO: values are consecutive draw indices
+            assert list(batches["x"][:, 0]) == list(
+                range(sum(chunks[:-1]) + 1, sum(chunks) + 1))
+            ks = np.asarray(keys)
+            np.testing.assert_array_equal(
+                ks, np.asarray(jax.vmap(jax.random.PRNGKey)(
+                    jnp.arange(it + 1, it + 1 + k_now))))
+        else:
+            np.testing.assert_array_equal(
+                np.asarray(keys), np.asarray(jax.random.PRNGKey(it + 1)))
+        it += k_now
+    # cadence 3 cuts at 3, 6, 9; K=4 caps; end at 10
+    assert chunks == [3, 3, 3, 1]
+    assert it == total
