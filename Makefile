@@ -8,7 +8,7 @@ test:
 	$(PYTHON) -m pytest tests/ -q
 
 test-fast:
-	$(PYTHON) -m pytest tests/ -q -x -k "not training and not two_phase and not demo and not tf_parity and not full_chain and not oracle and not verify_checkpoint and not cohort and not reference_scheme"
+	$(PYTHON) -m pytest tests/ -q -x -k "not training and not trainer and not two_phase and not demo and not tf_parity and not full_chain and not oracle and not verify_checkpoint and not cohort and not reference_scheme"
 
 bench:
 	$(PYTHON) bench.py
