@@ -19,7 +19,6 @@ TPU-native design:
 
 from __future__ import annotations
 
-import math
 from dataclasses import dataclass
 from functools import partial
 from typing import Callable

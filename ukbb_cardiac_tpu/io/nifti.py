@@ -14,7 +14,7 @@ from __future__ import annotations
 
 import gzip
 import struct
-from dataclasses import dataclass, field
+from dataclasses import field
 
 import numpy as np
 

@@ -25,7 +25,7 @@ from __future__ import annotations
 import os
 import shutil
 import time
-from typing import Dict, List, Optional, Sequence
+from typing import Dict, Optional, Sequence
 
 import pandas as pd
 

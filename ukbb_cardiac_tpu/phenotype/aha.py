@@ -13,7 +13,7 @@ from typing import Dict
 import cv2
 import numpy as np
 
-from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
+from ukbb_cardiac_tpu.ops import get_largest_cc
 from ukbb_cardiac_tpu.phenotype.contours import extract_contour, lv_slice_masks
 
 SA_LABEL = {"BG": 0, "LV": 1, "Myo": 2, "RV": 3}

@@ -21,7 +21,7 @@ from scipy.ndimage import map_coordinates
 
 from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, load_polydata, save_polydata
-from ukbb_cardiac_tpu.ops import get_largest_cc, np_categorical_dice, remove_small_cc
+from ukbb_cardiac_tpu.ops import np_categorical_dice
 from ukbb_cardiac_tpu.ops.crop import foreground_bbox
 from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
 from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,

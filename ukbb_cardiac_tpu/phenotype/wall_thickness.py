@@ -21,7 +21,6 @@ from scipy.spatial import cKDTree
 
 from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, save_polydata
-from ukbb_cardiac_tpu.ops import get_largest_cc, remove_small_cc
 from ukbb_cardiac_tpu.phenotype import aha
 from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
     contour_to_world, extract_contour, lv_slice_masks)
