@@ -1,0 +1,234 @@
+"""End-to-end accuracy capstone: train → deploy → phenotypes vs truth.
+
+Trains the production SA FCN configuration FROM SCRATCH on a cohort of
+randomised short-axis phantoms (cavity radius, wall thickness,
+contraction amplitude, noise level and heart position all vary per
+subject), deploys the trained network on held-out subjects through the
+batched inference engine, and scores against the analytic ground truth:
+
+- segmentation Dice (LV / Myo / RV) over the full held-out cines,
+- clinical measures (LVEDV / LVEF / LVM / RVEF,
+  ``phenotype/ventricle.py``) of the predicted segmentation against the
+  same measures of the ground-truth segmentation,
+- bf16 deploy agreement with f32 on the SAME trained weights — real
+  decision boundaries, the measurement the README's mixed-precision
+  claim rests on (a random-weight net produces near-uniform logits,
+  which *overstates* disagreement).
+
+The reference has no such check: it ships no tests and no synthetic
+truth (SURVEY.md §4); its training quality is only observable through
+TensorBoard Dice on private UKB data (``train_network.py:276-308``).
+Here the whole loop — sampler, augmentation, optimiser, BN statistics,
+checkpoint store, batched deploy, phenotype reductions — is verified
+against closed-form anatomy in one command.
+
+Usage:
+    python bench_accuracy.py                 # production scale (TPU)
+    python bench_accuracy.py --smoke         # tiny CPU-sized run
+
+Prints ONE JSON line with the scores.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import tempfile
+import time
+
+import numpy as np
+
+
+def make_phantom_cohort(root: str, n_train: int, n_val: int, n_test: int,
+                        size: int, Z: int, T: int, seed: int = 0):
+    """Write a randomised phantom cohort in the trainer's dataset layout
+    (``train/sa.py::scan_dataset``): ``{train,validation,test}/<eid>/``
+    with ``sa_{ED,ES}.nii.gz`` + ``label_sa_{ED,ES}.nii.gz``; test
+    subjects additionally keep their full cine + ground-truth seg in
+    memory (returned) for deploy-time scoring.
+
+    Geometry varies per subject — radius, wall, contraction amplitude,
+    noise, and the heart's position in the frame (so the network cannot
+    learn a fixed-location prior).
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from phantom import sax_phantom
+
+    from ukbb_cardiac_tpu.io import nifti
+
+    test_cines = []
+    idx = 0
+    for subset, n in (("train", n_train), ("validation", n_val),
+                      ("test", n_test)):
+        for i in range(n):
+            rng = np.random.RandomState(seed + idx)
+            idx += 1
+            r_lv = size * (0.08 + 0.05 * rng.rand())
+            wall = size * (0.030 + 0.018 * rng.rand())
+            amp = 0.20 + 0.20 * rng.rand()
+            noise = 0.03 + 0.04 * rng.rand()
+            image, seg = sax_phantom(size, size, Z, T, r_lv=r_lv, wall=wall,
+                                     amp=amp, noise=noise, rng=rng)
+            # randomise the heart's position (torus roll keeps the
+            # anatomy intact; offsets stay clear of the RV's left extent)
+            dx, dy = rng.randint(-size // 10, size // 10 + 1, size=2)
+            image = np.roll(image, (dx, dy), axis=(0, 1))
+            seg = np.roll(seg, (dx, dy), axis=(0, 1))
+
+            d = os.path.join(root, subset, f"{subset}{i:02d}")
+            os.makedirs(d, exist_ok=True)
+            affine = np.diag([-1.8, -1.8, 10.0, 1.0])
+            affine[:3, 3] = (size * 1.8 / 2, size * 1.8 / 2, -Z * 10.0 / 2)
+            hdr = nifti.Nifti1Header()
+            hdr.dim[0] = 4
+            hdr.dim[1:5] = image.shape
+            hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+            es = int(np.argmin(np.sum(seg == 1, axis=(0, 1, 2))))
+            for fr, t in (("ED", 0), ("ES", es)):
+                nifti.save(nifti.Nifti1Image(image[:, :, :, t], affine),
+                           os.path.join(d, f"sa_{fr}.nii.gz"))
+                nifti.save(
+                    nifti.Nifti1Image(seg[:, :, :, t].astype(np.int16),
+                                      affine),
+                    os.path.join(d, f"label_sa_{fr}.nii.gz"))
+            if subset == "test":
+                test_cines.append((image, seg, hdr))
+    return test_cines
+
+
+def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
+        batch_slices=20, steps_per_dispatch=10, num_filter=16, num_level=5,
+        seed=0, keep_dir=None, progress_every=200):
+    import jax
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
+                                               SegmentationModel)
+    from ukbb_cardiac_tpu.ops.metrics import np_categorical_dice
+    from ukbb_cardiac_tpu.phenotype.ventricle import (
+        ventricular_volume_measures_from_seg)
+    from ukbb_cardiac_tpu.train.sa import SATrainConfig, train
+
+    root = keep_dir or tempfile.mkdtemp(prefix="bench_accuracy_")
+    try:
+        test_cines = make_phantom_cohort(root, n_train, n_val, n_test,
+                                         size, Z, T, seed=seed)
+
+        cfg = SATrainConfig(
+            seq_name="sa", image_size=size, num_filter=num_filter,
+            num_level=num_level, learning_rate=1e-3,
+            dataset_dir=root, checkpoint_dir=os.path.join(root, "ckpt"),
+            batch_slices=batch_slices,
+            steps_per_dispatch=steps_per_dispatch,
+            device_augment=True, bf16=True, compact_transfer=True,
+            cache_gb=1.0,
+            validation_every=max(steps_per_dispatch * 50, 100),
+            checkpoint_every=10 ** 9, seed=seed)
+        t0 = time.time()
+        params, state, names, model_cfg = train(cfg, max_iterations=iters,
+                                                progress_every=progress_every)
+        train_s = time.time() - t0
+
+        engines = {
+            "f32": InferenceEngine(SegmentationModel.from_fcn(
+                params, state, names, model_cfg, jnp.float32)),
+            "bf16": InferenceEngine(SegmentationModel.from_fcn(
+                params, state, names, model_cfg, jnp.bfloat16)),
+        }
+
+        dice = {k: [] for k in ("lv", "myo", "rv")}
+        bf16_dice_lv, agree = [], []
+        errs = {"LVEDV": [], "LVEF": [], "LVM": [], "RVEF": []}
+        for image, seg_gt, hdr in test_cines:
+            pred = {name: eng.segment_sequence(image)
+                    for name, eng in engines.items()}
+            for k, lab in (("lv", 1), ("myo", 2), ("rv", 3)):
+                dice[k].append(np_categorical_dice(pred["f32"], seg_gt, lab))
+            bf16_dice_lv.append(np_categorical_dice(pred["bf16"], seg_gt, 1))
+            agree.append(float(np.mean(pred["bf16"] == pred["f32"])))
+
+            m_pred = ventricular_volume_measures_from_seg(pred["f32"], hdr)
+            m_gt = ventricular_volume_measures_from_seg(seg_gt, hdr)
+            # volumes/mass as relative %, ejection fractions as
+            # percentage-point differences (EF is already a percentage)
+            errs["LVEDV"].append(100 * abs(m_pred["LVEDV"] - m_gt["LVEDV"])
+                                 / m_gt["LVEDV"])
+            errs["LVM"].append(100 * abs(m_pred["LVEDM"] - m_gt["LVEDM"])
+                               / m_gt["LVEDM"])
+            errs["LVEF"].append(abs(m_pred["LVEF"] - m_gt["LVEF"]))
+            errs["RVEF"].append(abs(m_pred["RVEF"] - m_gt["RVEF"]))
+
+        out = {
+            "metric": "trained_phantom_accuracy",
+            "iters": iters, "image_size": size,
+            "train_subjects": n_train, "test_subjects": n_test,
+            "train_s": round(train_s, 1),
+            "dice_lv": round(float(np.mean(dice["lv"])), 4),
+            "dice_myo": round(float(np.mean(dice["myo"])), 4),
+            "dice_rv": round(float(np.mean(dice["rv"])), 4),
+            "lvedv_mae_pct": round(float(np.mean(errs["LVEDV"])), 2),
+            "lvm_mae_pct": round(float(np.mean(errs["LVM"])), 2),
+            "lvef_mae_pp": round(float(np.mean(errs["LVEF"])), 2),
+            "rvef_mae_pp": round(float(np.mean(errs["RVEF"])), 2),
+            "bf16_label_agreement": round(float(np.mean(agree)), 5),
+            "bf16_dice_lv": round(float(np.mean(bf16_dice_lv)), 4),
+        }
+        return out
+    finally:
+        if keep_dir is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--iters", type=int, default=2000)
+    ap.add_argument("--size", type=int, default=192)
+    ap.add_argument("--z", type=int, default=8)
+    ap.add_argument("--t", type=int, default=16)
+    ap.add_argument("--train", type=int, default=16)
+    ap.add_argument("--val", type=int, default=2)
+    ap.add_argument("--test", type=int, default=4)
+    ap.add_argument("--batch_slices", type=int, default=20)
+    ap.add_argument("--steps_per_dispatch", type=int, default=10)
+    ap.add_argument("--filters", type=int, default=16)
+    ap.add_argument("--levels", type=int, default=5)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--keep_dir", default=None,
+                    help="work under this directory and keep it")
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny CPU-sized configuration")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (the env sitecustomize "
+                         "pins the TPU platform, so JAX_PLATFORMS alone "
+                         "is ineffective — see tests/conftest.py)")
+    args = ap.parse_args()
+
+    if args.cpu:
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
+
+    from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
+    enable_compilation_cache()
+
+    if args.smoke:
+        out = run(iters=60, size=64, Z=3, T=6, n_train=4, n_val=1, n_test=2,
+                  batch_slices=8, steps_per_dispatch=5, num_filter=4,
+                  num_level=3, seed=args.seed, keep_dir=args.keep_dir)
+    else:
+        out = run(iters=args.iters, size=args.size, Z=args.z, T=args.t,
+                  n_train=args.train, n_val=args.val, n_test=args.test,
+                  batch_slices=args.batch_slices,
+                  steps_per_dispatch=args.steps_per_dispatch,
+                  num_filter=args.filters, num_level=args.levels,
+                  seed=args.seed, keep_dir=args.keep_dir)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()
