@@ -231,11 +231,16 @@ def main():
                  "import bench_train; "
                  "v = bench_train.bench_train_e2e(repeats=2); "
                  "print('E2E_RESULT', v)"],
-                capture_output=True, text=True, timeout=max(
-                    60, DEADLINE_S - (time.time() - bench_start)))
+                capture_output=True, text=True,
+                cwd=os.path.dirname(os.path.abspath(__file__)),
+                timeout=max(60, DEADLINE_S - (time.time() - bench_start)))
             for line in r.stdout.splitlines():
                 if line.startswith("E2E_RESULT") and "None" not in line:
                     train_e2e_img_s = float(line.split()[1])
+            if train_e2e_img_s is None:
+                # diagnostic to stderr; the JSON line on stdout stays clean
+                print(f"e2e subprocess rc={r.returncode}: "
+                      f"{r.stderr[-2000:]}", file=sys.stderr)
     except Exception:
         pass
 

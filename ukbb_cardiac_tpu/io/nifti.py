@@ -14,7 +14,6 @@ from __future__ import annotations
 
 import gzip
 import struct
-from dataclasses import field
 
 import numpy as np
 

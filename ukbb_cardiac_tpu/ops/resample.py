@@ -30,11 +30,13 @@ def tent_sample_2d(image, cx, cy, precision="float32", dtype=None):
     variant).  Out-of-range coordinates fade to 0 exactly like
     ``map_coordinates(mode='constant', cval=0)``.
 
-    ``dtype``: storage dtype for the tent matrices and image operand
-    (accumulation stays f32 via ``preferred_element_type``).  Default
-    f32; ``jnp.bfloat16`` halves the tent tensors' HBM traffic and runs
-    the einsum at native MXU bf16 rate — interpolation error ~4e-3 of
-    the value range, fine for data augmentation.  Integer-coordinate
+    ``dtype``: storage dtype for the tent matrices, the image operand,
+    the (X, Y, X) intermediate and the RESULT.  Default f32 (with f32
+    accumulation via ``preferred_element_type``); ``jnp.bfloat16``
+    halves the tent tensors' HBM traffic and runs the einsum at native
+    MXU bf16 rate — the MXU still accumulates f32 internally, but the
+    intermediate and output round to bf16, so interpolation error is
+    ~4e-3 of the value range, fine for data augmentation.  Integer-coordinate
     sampling (the rounded order-0 label path) stays EXACT in bf16: the
     tents evaluate to exactly {0, 1} because coords and indices below
     2^8 are representable, so the matmuls reduce to an exact one-hot
