@@ -342,6 +342,48 @@ def test_percentiles_bisect_matches_numpy():
                 assert abs(g - r) <= 2e-6 * max(abs(r), 1.0), (qs, g, r)
 
 
+def test_percentiles_bisect_integer_fast_path():
+    """≤16-bit integer inputs take the 16-round (or 8-round) fast path —
+    the deploy engine ships UKB cines as int16 untouched — and must stay
+    exact vs np.percentile, including negatives and the type extremes."""
+    import jax
+    import jax.numpy as jnp
+    from ukbb_cardiac_tpu.ops.intensity import percentiles_bisect
+
+    rng = np.random.RandomState(3)
+    cases = [rng.randint(-32768, 32768, (77, 51)).astype(np.int16),
+             rng.randint(0, 65536, (300,)).astype(np.uint16),
+             rng.randint(0, 256, (41, 13)).astype(np.uint8),
+             np.array([-32768, -1, 0, 1, 32767], np.int16),
+             np.full((9,), -7, np.int16)]
+    for x in cases:
+        for qs in [(1.0, 99.0), (10.0,), (0.0, 50.0, 100.0)]:
+            got = [float(v) for v in percentiles_bisect(jnp.asarray(x), qs)]
+            ref = [float(v) for v in np.percentile(x, qs)]
+            for g, r in zip(got, ref):
+                assert abs(g - r) <= 2e-6 * max(abs(r), 1.0), (x.dtype, qs, g, r)
+
+    # jit-compatible, and identical under jit
+    x = cases[0]
+    f = jax.jit(lambda a: percentiles_bisect(a, (1.0, 99.0)))
+    got_jit = [float(v) for v in f(jnp.asarray(x))]
+    ref = [float(v) for v in np.percentile(x, (1.0, 99.0))]
+    for g, r in zip(got_jit, ref):
+        assert abs(g - r) <= 2e-6 * max(abs(r), 1.0)
+
+
+def test_rescale_intensity_jax_int16_matches_host():
+    """rescale_intensity_jax on an int16 cine (the deploy engine's input
+    dtype) equals the host reference semantics."""
+    from ukbb_cardiac_tpu.ops import rescale_intensity, rescale_intensity_jax
+
+    rng = np.random.RandomState(4)
+    image = rng.randint(0, 3000, (40, 44, 3, 5)).astype(np.int16)
+    dev = np.asarray(rescale_intensity_jax(image))
+    host = rescale_intensity(image.astype(np.float32))
+    assert np.allclose(dev, host, atol=1e-6)
+
+
 def test_percentiles_bisect_propagates_nan():
     """NaN voxels must propagate to every percentile, matching
     np.percentile — the raw bisection would order NaN bit patterns above

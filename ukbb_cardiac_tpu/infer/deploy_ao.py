@@ -127,11 +127,12 @@ class AorticEngine:
                      else self._lstm_full(None))
 
         def one_subject(params, state, raw):
-            x = raw.astype(jnp.float32)
+            # raw dtype into the intensity ops (int16 → 16-round
+            # percentile fast path); both return f32
             if z_score:
-                x = normalise_intensity_jax(x, 10.0)
+                x = normalise_intensity_jax(raw, 10.0)
             else:
-                x = rescale_intensity_jax(x, (1.0, 99.0))
+                x = rescale_intensity_jax(raw, (1.0, 99.0))
             x = jnp.pad(x, ((x_pre, x_post), (y_pre, y_post),
                             (0, 0), (0, 0)))
             seq = jnp.transpose(x, (2, 3, 0, 1))[..., None]

@@ -266,11 +266,16 @@ class InferenceEngine:
                 # pieces split along X (axis 0): contiguous host slabs →
                 # full-bandwidth transfers (a T-axis split would need a
                 # strided host copy ~20x slower than the transfer itself)
-                cine = jnp.concatenate(pieces, axis=0).astype(jnp.float32)
+                # keep the cine's own dtype into the intensity op: int16
+                # input (UKB cines ship untouched) takes the 16-round
+                # percentile fast path; both ops return f32
+                cine = jnp.concatenate(pieces, axis=0)
                 if rescale == "percentile":
                     cine = rescale_intensity_jax(cine, (1.0, 99.0))
                 elif rescale == "zscore":
                     cine = normalise_intensity_jax(cine, 10.0)
+                else:
+                    cine = cine.astype(jnp.float32)
                 cine = jnp.pad(cine, ((x_pre, x_post), (y_pre, y_post),
                                       (0, 0), (0, 0)))
                 slices = jnp.transpose(cine, (3, 2, 0, 1)).reshape(
@@ -412,11 +417,15 @@ class InferenceEngine:
         @partial(jax.jit, in_shardings=(repl, repl, shard),
                  out_shardings=shard)
         def run(params, state, cines):
-            x = cines.astype(jnp.float32)
+            # raw dtype into the intensity ops (int16 → 16-round
+            # percentile fast path); both return f32
+            x = cines
             if rescale == "percentile":
                 x = jax.vmap(lambda c: rescale_intensity_jax(c, (1.0, 99.0)))(x)
             elif rescale == "zscore":
                 x = jax.vmap(lambda c: normalise_intensity_jax(c, 10.0))(x)
+            else:
+                x = x.astype(jnp.float32)
             x = jnp.pad(x, ((0, 0), (x_pre, x_post), (y_pre, y_post),
                             (0, 0), (0, 0)))
             S = x.shape[0]

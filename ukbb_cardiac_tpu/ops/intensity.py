@@ -38,12 +38,39 @@ def percentiles_bisect(x, qs):
     NaN inputs propagate (every returned percentile is NaN), matching
     ``np.percentile`` and the reference — the raw bisection would instead
     order NaN bit patterns above +inf and silently shift the thresholds.
+
+    Inputs of ≤16-bit integer dtype (UKB DICOM cines are int16, and the
+    deploy engine ships them to the device untouched) take a fast path:
+    the bisection runs over the type's own 16-bit (or 8-bit) range, so
+    half (or a quarter) of the compare-and-count passes — each pass
+    streams the whole array from HBM, so passes are the cost.  Exact:
+    integer order statistics, same 'linear' interpolation.
     """
-    flat = jnp.asarray(x).astype(jnp.float32).reshape(-1)
-    has_nan = jnp.any(jnp.isnan(flat))
+    flat = jnp.asarray(x).reshape(-1)
+    dt = np.dtype(flat.dtype)
+    if dt.kind in "iu" and dt.itemsize <= 2:
+        n_bits = 8 * dt.itemsize
+        off = (1 << (n_bits - 1)) if dt.kind == "i" else 0
+        key = (flat.astype(jnp.int32) + off).astype(jnp.uint32)
+        hi0 = jnp.uint32((1 << n_bits) - 1)
+        has_nan = jnp.asarray(False)
+
+        def from_key(bits):
+            return (bits.astype(jnp.int32) - off).astype(jnp.float32)
+    else:
+        flat = flat.astype(jnp.float32)
+        n_bits = 32
+        has_nan = jnp.any(jnp.isnan(flat))
+        b = jax.lax.bitcast_convert_type(flat, jnp.uint32)
+        key = jnp.where((b >> 31) == 1, ~b, b | jnp.uint32(0x80000000))
+        hi0 = jnp.uint32(0xFFFFFFFF)
+
+        def from_key(bits):
+            neg = (bits >> 31) == 0
+            raw = jnp.where(neg, ~bits, bits & jnp.uint32(0x7FFFFFFF))
+            return jax.lax.bitcast_convert_type(raw, jnp.float32)
+
     N = flat.shape[0]
-    b = jax.lax.bitcast_convert_type(flat, jnp.uint32)
-    key = jnp.where((b >> 31) == 1, ~b, b | jnp.uint32(0x80000000))
 
     targets = []
     for q in qs:
@@ -65,12 +92,9 @@ def percentiles_bisect(x, qs):
         return jnp.where(ok, lo, mid + 1), jnp.where(ok, mid, hi)
 
     lo, _ = jax.lax.fori_loop(
-        0, 32, body, (jnp.zeros((R,), jnp.uint32),
-                      jnp.full((R,), 0xFFFFFFFF, jnp.uint32)))
-    neg = (lo >> 31) == 0
-    bits = jnp.where(neg, ~lo, lo & jnp.uint32(0x7FFFFFFF))
-    vals = jax.lax.bitcast_convert_type(bits, jnp.float32)
-    vals = jnp.where(has_nan, jnp.nan, vals)
+        0, n_bits, body, (jnp.zeros((R,), jnp.uint32),
+                          jnp.full((R,), hi0, jnp.uint32)))
+    vals = jnp.where(has_nan, jnp.nan, from_key(lo))
     idx = {r: i for i, r in enumerate(ranks)}
     return [vals[idx[k0]] + (vals[idx[k1]] - vals[idx[k0]]) * jnp.float32(f)
             for (k0, k1, f) in targets]
@@ -101,8 +125,11 @@ def normalise_intensity_jax(image, thres_roi=10.0):
     Boolean-mask indexing is not jit-compatible, so the ROI mean/std are
     computed with masked reductions (identical result).
     """
-    image = jnp.asarray(image).astype(jnp.float32)
+    image = jnp.asarray(image)
+    # percentile on the raw dtype (int16 input takes the 16-round fast
+    # path); the arithmetic below runs f32
     (val_l,) = percentiles_bisect(image, (thres_roi,))
+    image = image.astype(jnp.float32)
     roi = (image >= val_l).astype(jnp.float32)
     n = jnp.maximum(jnp.sum(roi), 1.0)
     mu = jnp.sum(image * roi) / n
