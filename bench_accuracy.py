@@ -41,6 +41,17 @@ import time
 import numpy as np
 
 
+def _mean_or_none(values, digits=2):
+    """nan-mean rounded, or None when every entry is NaN (degenerate
+    predictions) — keeps the printed line strict JSON (no bare NaN)."""
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore", RuntimeWarning)
+        m = float(np.nanmean(np.asarray(values, np.float64)))
+    return None if np.isnan(m) else round(m, digits)
+
+
 def make_phantom_cohort(root: str, n_train: int, n_val: int, n_test: int,
                         size: int, Z: int, T: int, seed: int = 0):
     """Write a randomised phantom cohort in the trainer's dataset layout
@@ -173,14 +184,172 @@ def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
             "dice_lv": round(float(np.mean(dice["lv"])), 4),
             "dice_myo": round(float(np.mean(dice["myo"])), 4),
             "dice_rv": round(float(np.mean(dice["rv"])), 4),
-            "lvedv_mae_pct": round(float(np.mean(errs["LVEDV"])), 2),
-            "lvm_mae_pct": round(float(np.mean(errs["LVM"])), 2),
-            "lvef_mae_pp": round(float(np.mean(errs["LVEF"])), 2),
-            "rvef_mae_pp": round(float(np.mean(errs["RVEF"])), 2),
+            "lvedv_mae_pct": _mean_or_none(errs["LVEDV"]),
+            "lvm_mae_pct": _mean_or_none(errs["LVM"]),
+            "lvef_mae_pp": _mean_or_none(errs["LVEF"]),
+            "rvef_mae_pp": _mean_or_none(errs["RVEF"]),
             "bf16_label_agreement": round(float(np.mean(agree)), 5),
             "bf16_dice_lv": round(float(np.mean(bf16_dice_lv)), 4),
         }
         return out
+    finally:
+        if keep_dir is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
+def make_ao_cohort(root: str, n_train: int, n_val: int, n_test: int,
+                   size: int, T: int, seed: int = 0):
+    """Write a randomised aortic phantom cohort in the aortic trainer's
+    layout (``train/ao.py::scan_dataset_ao``): ``ao.nii.gz`` + sparse
+    ``label_ao`` (two annotated frames, reference-style) + dense
+    ``label_ao_prop`` (the propagated labels the reference trainer
+    consumes, ``train_network_ao.py:121-124``).  Vessel radii, pulsation,
+    noise and position vary per subject."""
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from phantom import ao_phantom
+
+    from ukbb_cardiac_tpu.io import nifti
+
+    test_cines = []
+    idx = 0
+    for subset, n in (("train", n_train), ("validation", n_val),
+                      ("test", n_test)):
+        for i in range(n):
+            rng = np.random.RandomState(7000 + seed + idx)
+            idx += 1
+            r_aa = size * (0.055 + 0.035 * rng.rand())
+            r_da = size * (0.035 + 0.022 * rng.rand())
+            pulse = 0.10 + 0.10 * rng.rand()
+            noise = 0.03 + 0.04 * rng.rand()
+            image, seg = ao_phantom(size, size, T, noise=noise, rng=rng,
+                                    r_aa=r_aa, r_da=r_da, pulse_amp=pulse)
+            dx, dy = rng.randint(-size // 12, size // 12 + 1, size=2)
+            image = np.roll(image, (dx, dy), axis=(0, 1))
+            seg = np.roll(seg, (dx, dy), axis=(0, 1))
+
+            d = os.path.join(root, subset, f"{subset}{i:02d}")
+            os.makedirs(d, exist_ok=True)
+            affine = np.diag([-1.8, -1.8, 10.0, 1.0])
+            affine[:3, 3] = (size * 1.8 / 2, size * 1.8 / 2, -5.0)
+            hdr = nifti.Nifti1Header()
+            hdr.dim[0] = 4
+            hdr.dim[1:5] = image.shape
+            hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+            nifti.save(nifti.Nifti1Image(image, affine, hdr),
+                       os.path.join(d, "ao.nii.gz"))
+            sparse = seg.copy()
+            keep = (0, T // 2)  # the reference's two annotated frames
+            sparse[:, :, :, [t for t in range(T) if t not in keep]] = 0
+            nifti.save(nifti.Nifti1Image(sparse.astype(np.int16), affine,
+                                         hdr.copy()),
+                       os.path.join(d, "label_ao.nii.gz"))
+            nifti.save(nifti.Nifti1Image(seg.astype(np.int16), affine,
+                                         hdr.copy()),
+                       os.path.join(d, "label_ao_prop.nii.gz"))
+            if subset == "test":
+                test_cines.append((image, seg))
+    return test_cines
+
+
+def run_ao(unet_iters=400, lstm_iters=400, size=160, T=24,
+           n_train=12, n_val=2, n_test=4, batch_windows=5,
+           steps_per_dispatch=4, num_filter=16, num_level=5, num_hidden=16,
+           weight_R=5, seed=0, keep_dir=None, progress_every=100):
+    """Aortic twin of :func:`run`: two-phase UNet → UNet-LSTM training
+    (``train_network_ao.py`` semantics) on randomised aortic phantoms,
+    full-sequence scan deploy, scored on Dice + aortic areas +
+    distensibility against the analytic truth (PP fixed at 50 mmHg)."""
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.ops.metrics import np_categorical_dice
+    from ukbb_cardiac_tpu.train.ao import AoTrainConfig
+    from ukbb_cardiac_tpu.train.ao import train as train_ao
+
+    root = keep_dir or tempfile.mkdtemp(prefix="bench_accuracy_ao_")
+    try:
+        test_cines = make_ao_cohort(root, n_train, n_val, n_test, size, T,
+                                    seed=seed)
+        common = dict(
+            image_size=size, num_filter=num_filter, num_level=num_level,
+            num_hidden=num_hidden, weight_R=weight_R,
+            dataset_dir=root, checkpoint_dir=os.path.join(root, "ckpt"),
+            batch_windows=batch_windows,
+            steps_per_dispatch=steps_per_dispatch, device_augment=True,
+            bf16=True, compact_transfer=True, cache_gb=1.0,
+            validation_every=max(steps_per_dispatch * 50, 100),
+            checkpoint_every=10 ** 9, seed=seed, z_score=True)
+        t0 = time.time()
+        cfg1 = AoTrainConfig(model="UNet", train_batch_size=batch_windows,
+                             **common)
+        train_ao(cfg1, max_iterations=unet_iters,
+                 progress_every=progress_every)
+        unet_bundle = os.path.join(
+            root, "ckpt", cfg1.model_name, f"model-{unet_iters}.npz")
+
+        cfg2 = AoTrainConfig(model="UNet-LSTM",
+                             train_batch_size=batch_windows,
+                             model_path=unet_bundle, **common)
+        params, state, names, ucfg = train_ao(cfg2, max_iterations=lstm_iters,
+                                              progress_every=progress_every)
+        train_s = time.time() - t0
+
+        engines = {
+            "f32": AorticEngine("unet_lstm", ucfg, names, params, state,
+                                bidirectional=cfg2.bidirectional,
+                                compute_dtype=jnp.float32),
+            "bf16": AorticEngine("unet_lstm", ucfg, names, params, state,
+                                 bidirectional=cfg2.bidirectional,
+                                 compute_dtype=jnp.bfloat16),
+        }
+
+        PP = 50.0  # mmHg, fixed central pulse pressure for distensibility
+        px_area = 1.8 * 1.8  # mm^2
+        dice = {"aa": [], "da": []}
+        agree, bf16_dice_aa = [], []
+        errs = {"area_max": [], "area_min": [], "dist": []}
+        for image, seg_gt in test_cines:
+            pred = {name: eng.segment_cine_dispatch(
+                        image, z_score=True, pad_to=size).result()
+                    for name, eng in engines.items()}
+            dice["aa"].append(np_categorical_dice(pred["f32"], seg_gt, 1))
+            dice["da"].append(np_categorical_dice(pred["f32"], seg_gt, 2))
+            bf16_dice_aa.append(np_categorical_dice(pred["bf16"], seg_gt, 1))
+            agree.append(float(np.mean(pred["bf16"] == pred["f32"])))
+            for lab in (1, 2):
+                a_p = np.sum(pred["f32"] == lab, axis=(0, 1, 2)) * px_area
+                a_g = np.sum(seg_gt == lab, axis=(0, 1, 2)) * px_area
+
+                def dist(a):
+                    # an empty predicted frame has no defined
+                    # distensibility (the reference QC-gates these)
+                    if a.min() <= 0:
+                        return np.nan
+                    return (a.max() - a.min()) / (a.min() * PP) * 1e3
+
+                errs["area_max"].append(100 * abs(a_p.max() - a_g.max())
+                                        / a_g.max())
+                errs["area_min"].append(100 * abs(a_p.min() - a_g.min())
+                                        / a_g.min())
+                errs["dist"].append(100 * abs(dist(a_p) - dist(a_g))
+                                    / dist(a_g))
+
+        return {
+            "metric": "trained_phantom_accuracy_ao",
+            "unet_iters": unet_iters, "lstm_iters": lstm_iters,
+            "image_size": size, "train_subjects": n_train,
+            "test_subjects": n_test, "train_s": round(train_s, 1),
+            "dice_aa": round(float(np.mean(dice["aa"])), 4),
+            "dice_da": round(float(np.mean(dice["da"])), 4),
+            "area_max_mae_pct": _mean_or_none(errs["area_max"]),
+            "area_min_mae_pct": _mean_or_none(errs["area_min"]),
+            "distensibility_mae_pct": _mean_or_none(errs["dist"]),
+            "bf16_label_agreement": round(float(np.mean(agree)), 5),
+            "bf16_dice_aa": round(float(np.mean(bf16_dice_aa)), 4),
+        }
     finally:
         if keep_dir is None:
             shutil.rmtree(root, ignore_errors=True)
@@ -200,6 +369,9 @@ def main():
     ap.add_argument("--filters", type=int, default=16)
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--model", choices=("sa", "ao", "both"), default="sa",
+                    help="which capstone to run: the SA FCN, the aortic "
+                         "two-phase UNet→UNet-LSTM, or both")
     ap.add_argument("--keep_dir", default=None,
                     help="work under this directory and keep it")
     ap.add_argument("--smoke", action="store_true",
@@ -218,18 +390,36 @@ def main():
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
 
-    if args.smoke:
-        out = run(iters=60, size=64, Z=3, T=6, n_train=4, n_val=1, n_test=2,
-                  batch_slices=8, steps_per_dispatch=5, num_filter=4,
-                  num_level=3, seed=args.seed, keep_dir=args.keep_dir)
-    else:
-        out = run(iters=args.iters, size=args.size, Z=args.z, T=args.t,
-                  n_train=args.train, n_val=args.val, n_test=args.test,
-                  batch_slices=args.batch_slices,
-                  steps_per_dispatch=args.steps_per_dispatch,
-                  num_filter=args.filters, num_level=args.levels,
-                  seed=args.seed, keep_dir=args.keep_dir)
-    print(json.dumps(out))
+    outs = []
+    if args.model in ("sa", "both"):
+        if args.smoke:
+            outs.append(run(iters=60, size=64, Z=3, T=6, n_train=4, n_val=1,
+                            n_test=2, batch_slices=8, steps_per_dispatch=5,
+                            num_filter=4, num_level=3, seed=args.seed,
+                            keep_dir=args.keep_dir))
+        else:
+            outs.append(run(iters=args.iters, size=args.size, Z=args.z,
+                            T=args.t, n_train=args.train, n_val=args.val,
+                            n_test=args.test,
+                            batch_slices=args.batch_slices,
+                            steps_per_dispatch=args.steps_per_dispatch,
+                            num_filter=args.filters, num_level=args.levels,
+                            seed=args.seed, keep_dir=args.keep_dir))
+    if args.model in ("ao", "both"):
+        if args.smoke:
+            outs.append(run_ao(unet_iters=30, lstm_iters=30, size=64, T=8,
+                               n_train=3, n_val=1, n_test=2, batch_windows=2,
+                               steps_per_dispatch=3, num_filter=4,
+                               num_level=3, num_hidden=4, weight_R=2,
+                               seed=args.seed, keep_dir=args.keep_dir))
+        else:
+            outs.append(run_ao(unet_iters=args.iters // 2,
+                               lstm_iters=args.iters // 2, size=args.size,
+                               T=args.t, n_train=args.train, n_val=args.val,
+                               n_test=args.test, seed=args.seed,
+                               keep_dir=args.keep_dir))
+    for out in outs:
+        print(json.dumps(out))
 
 
 if __name__ == "__main__":

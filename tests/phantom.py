@@ -137,16 +137,22 @@ def seg4_la_phantom(X=96, Y=96, T=12, amp=0.3, noise=0.05, rng=None):
     return image, seg
 
 
-def ao_phantom(X=96, Y=96, T=16, noise=0.05, rng=None):
+def ao_phantom(X=96, Y=96, T=16, noise=0.05, rng=None,
+               r_aa=9.0, r_da=6.0, pulse_amp=0.15):
     """Aortic cine (single slice): pulsating ascending (label 1) and
-    descending (label 2) aortic cross-sections."""
+    descending (label 2) aortic cross-sections.
+
+    ``r_aa``/``r_da``: baseline vessel radii (px); ``pulse_amp``:
+    fractional radius pulsation over the cycle — analytic max/min areas
+    and distensibility follow in closed form, which the accuracy
+    capstone (bench_accuracy.py) scores against."""
     rng = rng or np.random.RandomState(3)
     image = np.zeros((X, Y, 1, T), np.float32)
     seg = np.zeros((X, Y, 1, T), np.int16)
-    pulse = 1.0 + 0.15 * np.sin(2 * np.pi * np.arange(T) / T)
+    pulse = 1.0 + pulse_amp * np.sin(2 * np.pi * np.arange(T) / T)
     for t in range(T):
-        aa = _disk(X, Y, X // 2 - 14, Y // 2, 9.0 * pulse[t])
-        da = _disk(X, Y, X // 2 + 16, Y // 2, 6.0 * pulse[t])
+        aa = _disk(X, Y, X // 2 - 14, Y // 2, r_aa * pulse[t])
+        da = _disk(X, Y, X // 2 + 16, Y // 2, r_da * pulse[t])
         seg[:, :, 0, t][aa] = 1
         seg[:, :, 0, t][da & ~aa] = 2
         img = np.zeros((X, Y), np.float32)

@@ -39,3 +39,25 @@ def test_accuracy_capstone_training_smoke(tmp_path):
     # the cohort was written in the trainer's expected layout
     assert os.path.exists(tmp_path / "train" / "train00" / "sa_ED.nii.gz")
     assert os.path.exists(tmp_path / "test" / "test00" / "label_sa_ES.nii.gz")
+
+
+def test_accuracy_capstone_ao_training_smoke(tmp_path):
+    out = bench_accuracy.run_ao(unet_iters=20, lstm_iters=20, size=48, T=6,
+                                n_train=2, n_val=1, n_test=1,
+                                batch_windows=2, steps_per_dispatch=2,
+                                num_filter=2, num_level=3, num_hidden=4,
+                                weight_R=2, seed=0, keep_dir=str(tmp_path))
+    for k in ("dice_aa", "dice_da", "area_max_mae_pct", "area_min_mae_pct",
+              "distensibility_mae_pct", "bf16_label_agreement",
+              "bf16_dice_aa"):
+        assert k in out, (k, out)
+    assert np.isfinite(out["dice_aa"]) and 0.0 <= out["dice_aa"] <= 1.0
+    assert out["bf16_label_agreement"] > 0.9, out
+    # sparse label_ao: exactly two annotated frames, dense prop alongside
+    from ukbb_cardiac_tpu.io import nifti
+    lab = np.asanyarray(nifti.load(
+        str(tmp_path / "train" / "train00" / "label_ao.nii.gz")).dataobj)
+    annotated = [t for t in range(lab.shape[3]) if (lab[..., t] != 0).any()]
+    assert annotated == [0, 3]
+    assert os.path.exists(tmp_path / "train" / "train00" /
+                          "label_ao_prop.nii.gz")
