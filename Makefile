@@ -2,7 +2,7 @@
 
 PYTHON ?= python
 
-.PHONY: test test-fast bench bench-strain bench-train native clean
+.PHONY: test test-fast bench bench-strain bench-train bench-accuracy native clean
 
 test:
 	$(PYTHON) -m pytest tests/ -q
@@ -18,6 +18,10 @@ bench-strain:
 
 bench-train:
 	$(PYTHON) bench_train.py
+
+# train-from-scratch accuracy capstone (SA FCN + aortic UNet-LSTM)
+bench-accuracy:
+	$(PYTHON) bench_accuracy.py --model both
 
 native:
 	g++ -O3 -shared -fPIC \

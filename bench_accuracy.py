@@ -85,6 +85,7 @@ def make_phantom_cohort(root: str, n_train: int, n_val: int, n_test: int,
             noise = 0.03 + 0.04 * rng.rand()
             image, seg = sax_phantom(size, size, Z, T, r_lv=r_lv, wall=wall,
                                      amp=amp, noise=noise, rng=rng)
+            image = np.round(image).astype(np.int16)  # UKB cines are int16
             # randomise the heart's position (torus roll keeps the
             # anatomy intact; offsets stay clear of the RV's left extent)
             dx, dy = rng.randint(-size // 10, size // 10 + 1, size=2)
@@ -226,6 +227,7 @@ def make_ao_cohort(root: str, n_train: int, n_val: int, n_test: int,
             noise = 0.03 + 0.04 * rng.rand()
             image, seg = ao_phantom(size, size, T, noise=noise, rng=rng,
                                     r_aa=r_aa, r_da=r_da, pulse_amp=pulse)
+            image = np.round(image).astype(np.int16)  # UKB cines are int16
             dx, dy = rng.randint(-size // 12, size // 12 + 1, size=2)
             image = np.roll(image, (dx, dy), axis=(0, 1))
             seg = np.roll(seg, (dx, dy), axis=(0, 1))

@@ -326,7 +326,9 @@ class InferenceEngine:
         compiled pipeline without re-paying host→device transfers.
         """
         # transfer in the array's own dtype (demo NIfTIs are int16 — half
-        # the bytes of f32); the device program casts to f32 first thing
+        # the bytes of f32, and the device percentile takes its 16-round
+        # integer fast path); the device program ends up f32 after the
+        # intensity op
         if image.dtype not in (np.float32, np.int16, np.uint16, np.uint8,
                                np.int8, np.int32):
             image = image.astype(np.float32)
