@@ -94,10 +94,16 @@ def main():
     segment_subject()  # warm-up: compile + first-fetch penalty
 
     times = []
+    headline_start = time.time()
     for _ in range(REPEATS):
         t0 = time.time()
         segment_subject()
         times.append(time.time() - t0)
+        # a tunnel outage window mid-run should not eat every repeat:
+        # stop early and report the min of what completed (the min is
+        # unaffected by the slow outliers the outage produces)
+        if time.time() - headline_start > DEADLINE_S:
+            break
 
     # min, not median: the tunnel adds multi-second noise that varies by
     # the minute (measured 2.2-7.4 s for identical code); noise is strictly
