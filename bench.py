@@ -23,10 +23,12 @@ import numpy as np
 
 BASELINE_SECONDS = 25.0  # reference README.md:49 per subject, K80
 REPEATS = 7
-# Soft deadline for the EXTRA metrics (SAX-only, device-compute, cohort,
-# strain): the tunnel has shown multi-minute outage windows; once the
-# deadline passes, remaining extras are skipped (reported null) so the
-# headline metric's JSON line is always printed.  Override with
+# Soft deadline, applied separately to the headline repeat loop and to
+# the EXTRA metrics (SAX-only, device-compute, cohort, strain): the
+# tunnel has shown multi-minute outage windows; once a deadline passes,
+# remaining repeats/extras are skipped (extras report null) so the
+# headline metric's JSON line is always printed.  Worst-case total
+# runtime is therefore ~2x DEADLINE_S plus the warm-up.  Override with
 # BENCH_DEADLINE_S.
 DEADLINE_S = float(__import__("os").environ.get("BENCH_DEADLINE_S", 480))
 COHORT_N = int(__import__("os").environ.get("BENCH_COHORT_N", 16))

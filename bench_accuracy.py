@@ -52,6 +52,22 @@ def _mean_or_none(values, digits=2):
     return None if np.isnan(m) else round(m, digits)
 
 
+def _cohort_geometry(shape4):
+    """The cohorts' shared NIfTI geometry: 1.8 mm in-plane, 10 mm slices,
+    40 ms frames, RAS-negated in-plane axes (one definition so the SA and
+    aortic writers cannot diverge).  Returns (affine, 4D header)."""
+    from ukbb_cardiac_tpu.io import nifti
+
+    X, Y, Z = shape4[0], shape4[1], shape4[2]
+    affine = np.diag([-1.8, -1.8, 10.0, 1.0])
+    affine[:3, 3] = (X * 1.8 / 2, Y * 1.8 / 2, -Z * 10.0 / 2)
+    hdr = nifti.Nifti1Header()
+    hdr.dim[0] = 4
+    hdr.dim[1:5] = shape4
+    hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+    return affine, hdr
+
+
 def make_phantom_cohort(root: str, n_train: int, n_val: int, n_test: int,
                         size: int, Z: int, T: int, seed: int = 0):
     """Write a randomised phantom cohort in the trainer's dataset layout
@@ -94,12 +110,7 @@ def make_phantom_cohort(root: str, n_train: int, n_val: int, n_test: int,
 
             d = os.path.join(root, subset, f"{subset}{i:02d}")
             os.makedirs(d, exist_ok=True)
-            affine = np.diag([-1.8, -1.8, 10.0, 1.0])
-            affine[:3, 3] = (size * 1.8 / 2, size * 1.8 / 2, -Z * 10.0 / 2)
-            hdr = nifti.Nifti1Header()
-            hdr.dim[0] = 4
-            hdr.dim[1:5] = image.shape
-            hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+            affine, hdr = _cohort_geometry(image.shape)
             es = int(np.argmin(np.sum(seg == 1, axis=(0, 1, 2))))
             for fr, t in (("ED", 0), ("ES", es)):
                 nifti.save(nifti.Nifti1Image(image[:, :, :, t], affine),
@@ -234,12 +245,7 @@ def make_ao_cohort(root: str, n_train: int, n_val: int, n_test: int,
 
             d = os.path.join(root, subset, f"{subset}{i:02d}")
             os.makedirs(d, exist_ok=True)
-            affine = np.diag([-1.8, -1.8, 10.0, 1.0])
-            affine[:3, 3] = (size * 1.8 / 2, size * 1.8 / 2, -5.0)
-            hdr = nifti.Nifti1Header()
-            hdr.dim[0] = 4
-            hdr.dim[1:5] = image.shape
-            hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+            affine, hdr = _cohort_geometry(image.shape)
             nifti.save(nifti.Nifti1Image(image, affine, hdr),
                        os.path.join(d, "ao.nii.gz"))
             sparse = seg.copy()
@@ -314,9 +320,12 @@ def run_ao(unet_iters=400, lstm_iters=400, size=160, T=24,
         agree, bf16_dice_aa = [], []
         errs = {"area_max": [], "area_min": [], "dist": []}
         for image, seg_gt in test_cines:
-            pred = {name: eng.segment_cine_dispatch(
-                        image, z_score=True, pad_to=size).result()
-                    for name, eng in engines.items()}
+            # dispatch both precisions before resolving either so their
+            # transfers/compute overlap (async dispatch)
+            pending = {name: eng.segment_cine_dispatch(
+                           image, z_score=True, pad_to=size)
+                       for name, eng in engines.items()}
+            pred = {name: p.result() for name, p in pending.items()}
             dice["aa"].append(np_categorical_dice(pred["f32"], seg_gt, 1))
             dice["da"].append(np_categorical_dice(pred["f32"], seg_gt, 2))
             bf16_dice_aa.append(np_categorical_dice(pred["bf16"], seg_gt, 1))
@@ -418,7 +427,8 @@ def main():
             outs.append(run_ao(unet_iters=args.iters // 2,
                                lstm_iters=args.iters // 2, size=args.size,
                                T=args.t, n_train=args.train, n_val=args.val,
-                               n_test=args.test, seed=args.seed,
+                               n_test=args.test, num_filter=args.filters,
+                               num_level=args.levels, seed=args.seed,
                                keep_dir=args.keep_dir))
     for out in outs:
         print(json.dumps(out))

@@ -150,9 +150,15 @@ def ao_phantom(X=96, Y=96, T=16, noise=0.05, rng=None,
     image = np.zeros((X, Y, 1, T), np.float32)
     seg = np.zeros((X, Y, 1, T), np.int16)
     pulse = 1.0 + pulse_amp * np.sin(2 * np.pi * np.arange(T) / T)
+    # centre offsets grow with the peak radii so randomised large vessels
+    # can never overlap (they'd paint contradictory image/label data);
+    # at the default geometry these evaluate to the historical 14/16
+    peak = 1.0 + pulse_amp
+    off_aa = max(14, int(math.ceil(r_aa * peak)) + 2)
+    off_da = max(16, int(math.ceil(r_da * peak)) + 2)
     for t in range(T):
-        aa = _disk(X, Y, X // 2 - 14, Y // 2, r_aa * pulse[t])
-        da = _disk(X, Y, X // 2 + 16, Y // 2, r_da * pulse[t])
+        aa = _disk(X, Y, X // 2 - off_aa, Y // 2, r_aa * pulse[t])
+        da = _disk(X, Y, X // 2 + off_da, Y // 2, r_da * pulse[t])
         seg[:, :, 0, t][aa] = 1
         seg[:, :, 0, t][da & ~aa] = 2
         img = np.zeros((X, Y), np.float32)
