@@ -160,6 +160,22 @@ def test_fused_path_matches_host_path(tiny_fcn):
     assert agree > 0.999, agree  # device/host percentile float differences only
 
 
+def test_fused_path_int16_matches_f32(tiny_fcn):
+    """An int16 cine through the fused deploy (16-round percentile fast
+    path) segments identically to the same cine shipped as f32 (32-round
+    path) — the integer order statistics are exact, so the normalised
+    image and every downstream label must match bit-for-bit."""
+    params, state, names = tiny_fcn
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    engine = InferenceEngine(model, chunk=8)
+    rng = np.random.RandomState(11)
+    cine = (rng.rand(48, 52, 3, 5) * 2000 - 300).astype(np.int16)
+
+    seg_i16 = engine.segment_sequence_fused(cine)
+    seg_f32 = engine.segment_sequence_fused(cine.astype(np.float32))
+    np.testing.assert_array_equal(seg_i16, seg_f32)
+
+
 def test_deploy_ao_ed_es_mode(tmp_path):
     """UNet frame-wise ED/ES aortic mode (deploy_network_ao.py:206-268)."""
     from ukbb_cardiac_tpu.models import unet as unet_mod
