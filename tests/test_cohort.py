@@ -131,25 +131,15 @@ def test_run_cohort_cli(tmp_path):
                for v in m["stage_seconds"].values())
 
 
-def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
-    """The COMPLETE per-subject pipeline over a cohort: SA chain + LA
-    deploys + atrial volumes + LA strain + aortic areas, with the
-    reference CLI schemas (demo_pipeline.py:63-122 as ONE overlapped
-    cohort driver)."""
-    from phantom import ao_phantom, seg4_la_phantom
-    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+def _full_cohort(tmp_path, n_subj=2, X=96, Y=96, T=6):
+    """Write complete subjects (sa + la_2ch + la_4ch/seg4 + ao cines AND
+    their ground-truth segs) — the full-pipeline fixture, shared by the
+    API and CLI full-mode tests.  Returns (root, eids)."""
+    from phantom import ao_phantom, la_phantom, sax_phantom, seg4_la_phantom
     from ukbb_cardiac_tpu.io import nifti
-    from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod
-    from ukbb_cardiac_tpu.models import unet as unet_mod
-    from ukbb_cardiac_tpu.parallel import run_cohort_full
-
-    from phantom import la_phantom, sax_phantom
 
     root = tmp_path / "cohort"
-    n_subj = 2
-    X = Y = 96
-    T = 6
-    eids = ["1000001", "1000002"]
+    eids = [str(1000001 + i) for i in range(n_subj)]
     for i in range(n_subj):
         d = str(root / eids[i])
         os.makedirs(d)
@@ -200,6 +190,21 @@ def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
         save("ao.nii.gz", ao_img, np.diag([-1.8, -1.8, 10.0, 1.0]))
         save("seg_ao.nii.gz", seg_ao.astype(np.float64),
              np.diag([-1.8, -1.8, 10.0, 1.0]))
+    return str(root), eids
+
+
+def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
+    """The COMPLETE per-subject pipeline over a cohort: SA chain + LA
+    deploys + atrial volumes + LA strain + aortic areas, with the
+    reference CLI schemas (demo_pipeline.py:63-122 as ONE overlapped
+    cohort driver)."""
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+    from ukbb_cardiac_tpu.parallel import run_cohort_full
+
+    n_subj = 2
+    root, eids = _full_cohort(tmp_path, n_subj)
 
     def eng(n_class):
         from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
@@ -244,6 +249,61 @@ def test_run_cohort_full_pipeline(tmp_path, tiny_engine):
     # LA deploys skipped (ground-truth segs exist) but files are present
     for f in ("seg_la_2ch.nii.gz", "seg4_la_4ch.nii.gz", "seg_ao.nii.gz"):
         assert os.path.exists(os.path.join(root, eids[0], f))
+
+
+def test_run_cohort_cli_full_mode(tmp_path):
+    """The cohort CLI's full-pipeline mode: per-sequence model bundles +
+    the Vicorder pressure CSV → all the aggregate CSVs of the complete
+    ``demo_pipeline.py`` chain in one command."""
+    import jax
+
+    from ukbb_cardiac_tpu.ckpt import store
+    from ukbb_cardiac_tpu.cli import run_cohort
+    from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+
+    root, eids = _full_cohort(tmp_path, 2)
+
+    def fcn_bundle(name, n_class):
+        cfg = fcn_mod.FCNConfig(n_class=n_class, n_level=3,
+                                n_filter=(2, 4, 4), n_block=(1, 1, 1),
+                                same_dim=4, fc=4)
+        p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+        path = str(tmp_path / f"{name}.npz")
+        store.save_model(path, "fcn", cfg, n, p, s, {})
+        return path
+
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(2, 4, 4),
+                               n_block=(1, 1, 1))
+    up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    up.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 2, 4, 3))
+    ao_bundle = str(tmp_path / "ao.npz")
+    store.save_model(ao_bundle, "unet_lstm", ucfg, un, up, us,
+                     {"bidirectional": True})
+
+    cols = pd.MultiIndex.from_tuples(
+        [("Central pulse pressure during PWA", "12678-2.0"),
+         ("Central pulse pressure during PWA", "12678-2.1")])
+    pp = pd.DataFrame([[40.0, 42.0], [45.0, 47.0]],
+                      index=[int(e) for e in eids], columns=cols)
+    bp_csv = str(tmp_path / "bp.csv")
+    pp.to_csv(bp_csv)
+
+    out = str(tmp_path / "csv")
+    rc = run_cohort.main(
+        ["--data_dir", root, "--model_path", fcn_bundle("sa", 4),
+         "--model_path_la_2ch", fcn_bundle("la2", 2),
+         "--model_path_la_4ch", fcn_bundle("la4", 3),
+         "--model_path_seg4", fcn_bundle("seg4", 6),
+         "--model_path_ao", ao_bundle, "--pressure_csv", bp_csv,
+         "--output_dir", out, "--workers", "2"])
+    assert rc == 0
+    for f in ("table_ventricular_volume.csv", "table_wall_thickness.csv",
+              "table_strain_sax.csv", "table_atrial_volume.csv",
+              "table_strain_lax.csv", "table_aortic_area.csv"):
+        assert os.path.exists(os.path.join(out, f)), f
+    ao = pd.read_csv(os.path.join(out, "table_aortic_area.csv"), index_col=0)
+    assert np.isfinite(ao["AAo distensibility (10-3 mmHg-1)"]).all()
 
 
 def test_cohort_with_sharded_registration(tmp_path, tiny_engine,

@@ -236,7 +236,7 @@ def write_cohort_csvs(result: CohortResult, output_dir: str) -> None:
 
 
 def process_subject_full(engines: Dict[str, object], data_dir: str,
-                         cfg=None, register_batch=None,
+                         cfg=None, register_batch=None, mesh=None,
                          pressure_value=None,
                          eval_dice: bool = False,
                          result: Optional[CohortResult] = None,
@@ -265,7 +265,7 @@ def process_subject_full(engines: Dict[str, object], data_dir: str,
     subject = os.path.basename(data_dir.rstrip("/"))
     stages = process_subject_sa(
         engines.get("sa"), data_dir, cfg=cfg, register_batch=register_batch,
-        eval_dice=eval_dice, result=result,
+        mesh=mesh, eval_dice=eval_dice, result=result,
         skip_existing_seg=skip_existing_seg,
         post_segment_hook=post_segment_hook) if engines.get("sa") else {}
 
@@ -351,7 +351,7 @@ def process_subject_full(engines: Dict[str, object], data_dir: str,
 
 def run_cohort_full(data_root: str, engines: Dict[str, object],
                     subjects: Optional[Sequence[str]] = None,
-                    workers: int = 3, cfg=None,
+                    workers: int = 3, cfg=None, mesh=None,
                     pressure=None, eval_dice: bool = False,
                     output_dir: Optional[str] = None,
                     verbose: bool = True, post_segment_hook=None,
@@ -373,7 +373,7 @@ def run_cohort_full(data_root: str, engines: Dict[str, object],
             except (KeyError, ValueError, TypeError):
                 pp = None
         process_subject_full(engines, os.path.join(data_root, subject),
-                             cfg=cfg, pressure_value=pp,
+                             cfg=cfg, mesh=mesh, pressure_value=pp,
                              eval_dice=eval_dice, result=result,
                              skip_existing_seg=skip_existing_seg,
                              post_segment_hook=post_segment_hook)
