@@ -131,6 +131,34 @@ def test_run_cohort_cli(tmp_path):
                for v in m["stage_seconds"].values())
 
 
+def test_run_cohort_cli_start_end_idx(tmp_path):
+    """--start_idx/--end_idx shard the sorted subject list (the reference
+    eval scripts' manual sharding flags, eval_strain_sax.py:26-34)."""
+    import jax
+
+    from ukbb_cardiac_tpu.ckpt import store
+    from ukbb_cardiac_tpu.cli import run_cohort
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=4, fc=4)
+    p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    bundle = str(tmp_path / "fcn.npz")
+    store.save_model(bundle, "fcn", cfg, n, p, s, {})
+
+    root = _cohort(tmp_path, 3)
+    out = str(tmp_path / "csv")
+    manifest = str(tmp_path / "manifest.json")
+    rc = run_cohort.main(["--data_dir", root, "--model_path", bundle,
+                          "--output_dir", out, "--workers", "2",
+                          "--manifest", manifest,
+                          "--start_idx", "1", "--end_idx", "2"])
+    assert rc == 0
+    import json
+    m = json.load(open(manifest))
+    assert m["succeeded"] == ["subj01"], m
+
+
 def _full_cohort(tmp_path, n_subj=2, X=96, Y=96, T=6):
     """Write complete subjects (sa + la_2ch + la_4ch/seg4 + ao cines AND
     their ground-truth segs) — the full-pipeline fixture, shared by the

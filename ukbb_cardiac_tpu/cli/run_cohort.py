@@ -53,6 +53,13 @@ def main(argv=None):
     parser.add_argument("--pressure_csv", metavar="csv_name", default="",
                         help="UKB blood-pressure spreadsheet for aortic "
                              "distensibility (fields 12678-2.0/2.1)")
+    parser.add_argument("--start_idx", type=int, default=0,
+                        help="First subject index (sorted order) — the "
+                             "reference eval scripts' manual sharding "
+                             "flags (eval_strain_sax.py:26-34), kept for "
+                             "multi-host splits")
+    parser.add_argument("--end_idx", type=int, default=-1,
+                        help="One past the last subject index (-1 = all)")
     args = parser.parse_args(argv)
 
     import jax.numpy as jnp
@@ -73,6 +80,11 @@ def main(argv=None):
         from ukbb_cardiac_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh_devices)
 
+    subjects = sorted(d for d in os.listdir(args.data_dir)
+                      if os.path.isdir(os.path.join(args.data_dir, d)))
+    end = args.end_idx if args.end_idx >= 0 else len(subjects)
+    subjects = subjects[args.start_idx:end]
+
     full = any((args.model_path_la_2ch, args.model_path_la_4ch,
                 args.model_path_seg4, args.model_path_ao))
     if full:
@@ -91,14 +103,15 @@ def main(argv=None):
             from ukbb_cardiac_tpu.phenotype.aorta import \
                 load_central_pulse_pressure
             pressure = load_central_pulse_pressure(args.pressure_csv)
-        result = run_cohort_full(args.data_dir, engines,
+        result = run_cohort_full(args.data_dir, engines, subjects=subjects,
                                  workers=args.workers, mesh=mesh,
                                  pressure=pressure,
                                  eval_dice=args.eval_dice,
                                  output_dir=args.output_dir,
                                  skip_existing_seg=not args.force)
     else:
-        result = run_cohort_sa(args.data_dir, engine, workers=args.workers,
+        result = run_cohort_sa(args.data_dir, engine, subjects=subjects,
+                               workers=args.workers,
                                mesh=mesh, eval_dice=args.eval_dice,
                                output_dir=args.output_dir,
                                skip_existing_seg=not args.force)
