@@ -164,7 +164,7 @@ def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
         }
 
         dice = {k: [] for k in ("lv", "myo", "rv")}
-        bf16_dice_lv, agree = [], []
+        bf16_dice_lv, agree, es_match = [], [], []
         errs = {"LVEDV": [], "LVEF": [], "LVM": [], "RVEF": []}
         for image, seg_gt, hdr in test_cines:
             # the fused deploy path (percentile rescale + forward + argmax
@@ -179,6 +179,11 @@ def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
 
             m_pred = ventricular_volume_measures_from_seg(pred["f32"], hdr)
             m_gt = ventricular_volume_measures_from_seg(seg_gt, hdr)
+            # the deploy ES rule (argmin LV count, deploy_network.py:127)
+            # must pick the same frame on the prediction as on the truth
+            es_match.append(
+                int(np.argmin(np.sum(pred["f32"] == 1, axis=(0, 1, 2))))
+                == int(np.argmin(np.sum(seg_gt == 1, axis=(0, 1, 2)))))
             # volumes/mass as relative %, ejection fractions as
             # percentage-point differences (EF is already a percentage)
             errs["LVEDV"].append(100 * abs(m_pred["LVEDV"] - m_gt["LVEDV"])
@@ -200,6 +205,7 @@ def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
             "lvm_mae_pct": _mean_or_none(errs["LVM"]),
             "lvef_mae_pp": _mean_or_none(errs["LVEF"]),
             "rvef_mae_pp": _mean_or_none(errs["RVEF"]),
+            "es_frame_match": round(float(np.mean(es_match)), 3),
             "bf16_label_agreement": round(float(np.mean(agree)), 5),
             "bf16_dice_lv": round(float(np.mean(bf16_dice_lv)), 4),
         }
