@@ -36,6 +36,28 @@ COHORT_N = int(__import__("os").environ.get("BENCH_COHORT_N", 16))
 
 def main():
     import os
+    import threading
+
+    # The tunnel has shown multi-HOUR outages during which the first jax
+    # device use hangs indefinitely; without a watchdog the driver would
+    # record no artifact at all.  If the headline metric hasn't completed
+    # within BENCH_WATCHDOG_S (default 25 min — enough for a cold compile
+    # plus a degraded-tunnel warm-up), print an explicit error JSON line
+    # and exit.
+    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", 1500))
+    headline_done = threading.Event()
+
+    def _watchdog():
+        if not headline_done.wait(watchdog_s):
+            print(json.dumps({
+                "metric": "full_subject_segmentation_sa_3xla_ao",
+                "value": None, "unit": "s", "vs_baseline": None,
+                "error": f"watchdog: headline not completed within "
+                         f"{watchdog_s:.0f}s (TPU tunnel down or hung)"}),
+                flush=True)
+            os._exit(2)
+
+    threading.Thread(target=_watchdog, daemon=True).start()
 
     import jax
     import jax.numpy as jnp
@@ -106,6 +128,7 @@ def main():
         # unaffected by the slow outliers the outage produces)
         if time.time() - headline_start > DEADLINE_S:
             break
+    headline_done.set()  # the watchdog stands down; extras self-deadline
 
     # min, not median: the tunnel adds multi-second noise that varies by
     # the minute (measured 2.2-7.4 s for identical code); noise is strictly
