@@ -38,22 +38,36 @@ def main():
     import os
     import threading
 
-    # The tunnel has shown multi-HOUR outages during which the first jax
-    # device use hangs indefinitely; without a watchdog the driver would
-    # record no artifact at all.  If the headline metric hasn't completed
-    # within BENCH_WATCHDOG_S (default 25 min — enough for a cold compile
-    # plus a degraded-tunnel warm-up), print an explicit error JSON line
-    # and exit.
-    watchdog_s = float(os.environ.get("BENCH_WATCHDOG_S", 1500))
+    # The tunnel has shown multi-HOUR outages during which any device op
+    # can hang indefinitely; without a watchdog the driver would record
+    # no artifact at all.  Two-stage watchdog: (1) if the headline metric
+    # hasn't completed within BENCH_WATCHDOG_S (scales with the deadline
+    # — enough for a cold compile plus a degraded-tunnel run), print an
+    # error JSON line and exit; (2) after the headline, if the EXTRAS
+    # hang past their own deadline budget (their past_deadline() checks
+    # only run *between* extras — a hang inside one blocks forever),
+    # print the best-known PARTIAL artifact (headline + completed extras,
+    # accumulated in ``partial``) and exit.
+    watchdog_s = float(os.environ.get(
+        "BENCH_WATCHDOG_S", max(1500.0, DEADLINE_S + 900)))
     headline_done = threading.Event()
+    all_done = threading.Event()
+    partial = {"metric": "full_subject_segmentation_sa_3xla_ao",
+               "value": None, "unit": "s", "vs_baseline": None}
 
     def _watchdog():
         if not headline_done.wait(watchdog_s):
             print(json.dumps({
-                "metric": "full_subject_segmentation_sa_3xla_ao",
-                "value": None, "unit": "s", "vs_baseline": None,
+                **partial,
                 "error": f"watchdog: headline not completed within "
                          f"{watchdog_s:.0f}s (TPU tunnel down or hung)"}),
+                flush=True)
+            os._exit(2)
+        if not all_done.wait(DEADLINE_S + 900):
+            print(json.dumps({
+                **partial,
+                "error": "watchdog: an extra metric hung past its "
+                         "deadline budget; partial artifact above"}),
                 flush=True)
             os._exit(2)
 
@@ -137,6 +151,9 @@ def main():
     # so the noise story is self-documenting in the artifact (VERDICT r2 #9).
     value = float(np.min(times))
     value_median = float(np.median(times))
+    partial.update({"value": round(value, 3),
+                    "vs_baseline": round(BASELINE_SECONDS / value, 2),
+                    "value_median_s": round(value_median, 3)})
 
     bench_start = time.time()
 
@@ -157,6 +174,8 @@ def main():
                 break
         sax_wall_s = float(np.min(sax_wall))
         sax_wall_median_s = float(np.median(sax_wall))
+        partial.update({"sax_cine_wall_s": round(sax_wall_s, 3),
+                        "sax_cine_wall_median_s": round(sax_wall_median_s, 3)})
     except Exception:
         pass
 
@@ -194,6 +213,8 @@ def main():
     # under extreme tunnel jitter the difference can come out <= 0; report
     # null rather than a nonsense figure
     compute_valid = sax_compute_s is not None and sax_compute_s > 0
+    if compute_valid:
+        partial["sax_cine_device_compute_s"] = round(sax_compute_s, 3)
 
     # --- SA strain motion tracking (the MIRTK replacement) ---------------
     # Workload mirrors the real driver: 3 slices x T=50 at the 96x96 LV
@@ -205,6 +226,7 @@ def main():
     try:
         if not past_deadline():
             strain_s = _bench_strain()
+            partial["strain_tracking_s"] = round(strain_s, 3)
     except Exception:
         pass
 
@@ -213,6 +235,7 @@ def main():
     try:
         if not past_deadline():
             train_img_s, train_mfu = _bench_train_step()
+            partial["train_images_per_s"] = round(train_img_s, 1)
     except Exception:
         pass
 
@@ -224,6 +247,7 @@ def main():
         if not past_deadline():
             import bench_train as bt
             ao_train_windows_s, _, _ = bt._bench_ao_step()
+            partial["ao_train_windows_per_s"] = round(ao_train_windows_s, 1)
     except Exception:
         pass
 
@@ -238,6 +262,7 @@ def main():
         if not past_deadline():
             cohort = _bench_cohort(sa_engine, sax_compute_s
                                    if compute_valid else None)
+            partial["cohort_subjects_per_s"] = cohort.get("subjects_per_s")
     except Exception:
         pass
 
@@ -275,12 +300,9 @@ def main():
     except Exception:
         pass
 
-    print(json.dumps({
-        "metric": "full_subject_segmentation_sa_3xla_ao",
-        "value": round(value, 3),
-        "unit": "s",
-        "vs_baseline": round(BASELINE_SECONDS / value, 2),
-        "value_median_s": round(value_median, 3),
+    # the authoritative artifact: everything above merged into the
+    # partial dict the watchdog snapshots, then printed once
+    partial.update({
         # SAX cine 192x208x10x50 (reference ~10 s/K80, README.md:49):
         "sax_cine_wall_s": (round(sax_wall_s, 3)          # incl. tunnel I/O
                             if sax_wall_s else None),
@@ -310,7 +332,9 @@ def main():
         # full trainer from a dataset on disk (bench_train.bench_train_e2e)
         "train_e2e_images_per_s": (round(train_e2e_img_s, 1)
                                    if train_e2e_img_s else None),
-    }))
+    })
+    print(json.dumps(partial))
+    all_done.set()
 
 
 def _bench_train_step():

@@ -24,7 +24,6 @@ from __future__ import annotations
 
 import argparse
 import json
-import os
 
 
 def main(argv=None):
@@ -80,13 +79,11 @@ def main(argv=None):
         from ukbb_cardiac_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh_devices)
 
-    subjects = sorted(d for d in os.listdir(args.data_dir)
-                      if os.path.isdir(os.path.join(args.data_dir, d)))
-    end = args.end_idx if args.end_idx >= 0 else len(subjects)
-    subjects = subjects[args.start_idx:end]
-
     full = any((args.model_path_la_2ch, args.model_path_la_4ch,
                 args.model_path_seg4, args.model_path_ao))
+    if args.pressure_csv and not args.model_path_ao:
+        parser.error("--pressure_csv is only used by the aortic stage; "
+                     "pass --model_path_ao as well")
     if full:
         from ukbb_cardiac_tpu.infer.deploy_ao import load_aortic_engine
         engines = {"sa": engine}
@@ -103,18 +100,22 @@ def main(argv=None):
             from ukbb_cardiac_tpu.phenotype.aorta import \
                 load_central_pulse_pressure
             pressure = load_central_pulse_pressure(args.pressure_csv)
-        result = run_cohort_full(args.data_dir, engines, subjects=subjects,
+        result = run_cohort_full(args.data_dir, engines,
                                  workers=args.workers, mesh=mesh,
                                  pressure=pressure,
                                  eval_dice=args.eval_dice,
                                  output_dir=args.output_dir,
-                                 skip_existing_seg=not args.force)
+                                 skip_existing_seg=not args.force,
+                                 start_idx=args.start_idx,
+                                 end_idx=args.end_idx)
     else:
-        result = run_cohort_sa(args.data_dir, engine, subjects=subjects,
+        result = run_cohort_sa(args.data_dir, engine,
                                workers=args.workers,
                                mesh=mesh, eval_dice=args.eval_dice,
                                output_dir=args.output_dir,
-                               skip_existing_seg=not args.force)
+                               skip_existing_seg=not args.force,
+                               start_idx=args.start_idx,
+                               end_idx=args.end_idx)
     n_ok = len(result.fleet.succeeded)
     print(f"cohort: {n_ok} succeeded, {len(result.fleet.failed)} failed, "
           f"{len(result.fleet.skipped)} skipped in "

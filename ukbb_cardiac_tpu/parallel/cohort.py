@@ -168,13 +168,26 @@ def process_subject_sa(engine, data_dir: str,
     return stages
 
 
+def _select_subjects(data_root, subjects, start_idx, end_idx):
+    """Sorted subject list, optionally sliced [start_idx:end_idx] — the
+    reference eval scripts' manual sharding semantics
+    (``eval_strain_sax.py:26-34``); end_idx < 0 means 'to the end'."""
+    if subjects is None:
+        subjects = [d for d in os.listdir(data_root)
+                    if os.path.isdir(os.path.join(data_root, d))]
+    subjects = sorted(subjects)
+    end = end_idx if end_idx >= 0 else len(subjects)
+    return subjects[start_idx:end]
+
+
 def run_cohort_sa(data_root: str, engine,
                   subjects: Optional[Sequence[str]] = None,
                   workers: int = 3, cfg=None, register_batch=None,
                   mesh=None,
                   eval_dice: bool = False, output_dir: Optional[str] = None,
                   verbose: bool = True, post_segment_hook=None,
-                  skip_existing_seg: bool = True) -> CohortResult:
+                  skip_existing_seg: bool = True,
+                  start_idx: int = 0, end_idx: int = -1) -> CohortResult:
     """Process a cohort end-to-end with cross-stage overlap.
 
     ``workers`` worker threads each drive whole subjects; the single
@@ -185,10 +198,7 @@ def run_cohort_sa(data_root: str, engine,
     Returns a :class:`CohortResult`; with ``output_dir`` set, writes the
     four aggregate CSVs in the reference CLIs' schemas.
     """
-    if subjects is None:
-        subjects = [d for d in os.listdir(data_root)
-                    if os.path.isdir(os.path.join(data_root, d))]
-    subjects = sorted(subjects)
+    subjects = _select_subjects(data_root, subjects, start_idx, end_idx)
     result = CohortResult()
 
     def one(subject: str):
@@ -303,7 +313,8 @@ def process_subject_full(engines: Dict[str, object], data_dir: str,
         os.makedirs(motion_dir, exist_ok=True)
         try:
             kwargs = {} if cfg is None else {"cfg": cfg}
-            ctx = start_la_motion_dispatch(data_dir, motion_dir, **kwargs)
+            ctx = start_la_motion_dispatch(data_dir, motion_dir, mesh=mesh,
+                                           **kwargs)
             if ctx is not None:
                 finish_la_motion(ctx, os.path.join(data_dir,
                                                    "strain_la_4ch"),
@@ -355,14 +366,12 @@ def run_cohort_full(data_root: str, engines: Dict[str, object],
                     pressure=None, eval_dice: bool = False,
                     output_dir: Optional[str] = None,
                     verbose: bool = True, post_segment_hook=None,
-                    skip_existing_seg: bool = True) -> CohortResult:
+                    skip_existing_seg: bool = True,
+                    start_idx: int = 0, end_idx: int = -1) -> CohortResult:
     """The complete pipeline over a cohort with cross-stage overlap —
     the whole ``demo_pipeline.py`` per subject, not stage-by-stage.
     ``pressure``: optional mapping eid → central pulse pressure."""
-    if subjects is None:
-        subjects = [d for d in os.listdir(data_root)
-                    if os.path.isdir(os.path.join(data_root, d))]
-    subjects = sorted(subjects)
+    subjects = _select_subjects(data_root, subjects, start_idx, end_idx)
     result = CohortResult()
 
     def one(subject: str):
