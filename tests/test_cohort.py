@@ -131,6 +131,22 @@ def test_run_cohort_cli(tmp_path):
                for v in m["stage_seconds"].values())
 
 
+def test_select_subjects_slicing(tmp_path):
+    """_select_subjects: sorted enumeration + reference slicing semantics
+    (end_idx=-1 → all; empty slices allowed; explicit list respected)."""
+    from ukbb_cardiac_tpu.parallel.cohort import _select_subjects
+
+    for name in ("b", "a", "c"):
+        os.makedirs(tmp_path / name)
+    (tmp_path / "not_a_dir.txt").write_text("x")
+    root = str(tmp_path)
+    assert _select_subjects(root, None, 0, -1) == ["a", "b", "c"]
+    assert _select_subjects(root, None, 1, 2) == ["b"]
+    assert _select_subjects(root, None, 2, 1) == []
+    assert _select_subjects(root, None, 0, 0) == []
+    assert _select_subjects(root, ["z", "y"], 0, -1) == ["y", "z"]
+
+
 def test_run_cohort_cli_start_end_idx(tmp_path):
     """--start_idx/--end_idx shard the sorted subject list (the reference
     eval scripts' manual sharding flags, eval_strain_sax.py:26-34)."""
