@@ -391,6 +391,9 @@ def main():
                          "two-phase UNet→UNet-LSTM, or both")
     ap.add_argument("--keep_dir", default=None,
                     help="work under this directory and keep it")
+    ap.add_argument("--json_out", default=None,
+                    help="also append each result as a JSON line to this "
+                         "file (artifact for ACCURACY.json updates)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-sized configuration")
     ap.add_argument("--cpu", action="store_true",
@@ -438,6 +441,10 @@ def main():
                                keep_dir=args.keep_dir))
     for out in outs:
         print(json.dumps(out))
+    if args.json_out:
+        with open(args.json_out, "a") as f:
+            for out in outs:
+                f.write(json.dumps(out) + "\n")
 
 
 if __name__ == "__main__":
