@@ -215,6 +215,215 @@ def run(iters=2000, size=192, Z=8, T=16, n_train=16, n_val=2, n_test=4,
             shutil.rmtree(root, ignore_errors=True)
 
 
+def make_la_cohort(root: str, n_train: int, n_val: int, n_test: int,
+                   size: int, T: int, seed: int = 0):
+    """Write a randomised long-axis phantom cohort for all three LA
+    networks in the trainer's layout (``train/sa.py::scan_dataset``):
+    per subject ``la_2ch_{ED,ES}`` (+labels), ``la_4ch_{ED,ES}`` and
+    ``la_4ch_seg4_{ED,ES}``.  The 4ch 3-class labels are DERIVED from
+    the 6-class seg4 phantom (LA=4→1, RA=5→2) so the two 4ch networks
+    see the same anatomy, exactly like the reference's annotation
+    pipeline (one cvi42 contour set rasterised at two granularities).
+
+    Atrial radii, contraction amplitude, noise and position vary per
+    subject.  Test subjects keep their full cines + ground truth in
+    memory for deploy-time scoring.  ED = frame 0; ES per the deploy
+    rules (``deploy_network.py:127-130``): argmax label-1 for la views,
+    argmin LV for seg4.
+    """
+    import sys
+
+    sys.path.insert(0, os.path.join(os.path.dirname(
+        os.path.abspath(__file__)), "tests"))
+    from phantom import la_phantom, seg4_la_phantom
+
+    from ukbb_cardiac_tpu.io import nifti
+
+    # world-consistent planes (same construction as tests/test_cohort.py):
+    # the LA plane maps its in-plane y axis onto the world long axis z
+    affine_la = np.array([[-1.8, 0, 0, size * 1.8 / 2],
+                          [0, 0, 10.0, 0.0],
+                          [0, -1.8, 0, size * 1.8 / 2],
+                          [0, 0, 0, 1.0]])
+
+    test_cines = []
+    idx = 0
+    for subset, n in (("train", n_train), ("validation", n_val),
+                      ("test", n_test)):
+        for i in range(n):
+            rng = np.random.RandomState(3000 + seed + idx)
+            idx += 1
+            amp = 0.20 + 0.20 * rng.rand()
+            noise = 0.03 + 0.04 * rng.rand()
+            r_la = size * (0.08 + 0.05 * rng.rand())
+            zoom = size / 96.0 * (0.8 + 0.4 * rng.rand())
+            la2_img, la2_seg = la_phantom(size, size, T, n_class=2, amp=amp,
+                                          noise=noise, rng=rng, r_la=r_la)
+            s4_img, s4_seg = seg4_la_phantom(size, size, T, amp=amp,
+                                             noise=noise, rng=rng, zoom=zoom)
+            la4_seg = np.zeros_like(s4_seg)
+            la4_seg[s4_seg == 4] = 1
+            la4_seg[s4_seg == 5] = 2
+            subj = {"la_2ch": (la2_img, la2_seg),
+                    "la_4ch": (s4_img, la4_seg),
+                    "la_4ch_seg4": (s4_img, s4_seg)}
+
+            d = os.path.join(root, subset, f"{subset}{i:02d}")
+            os.makedirs(d, exist_ok=True)
+            hdr = nifti.Nifti1Header()
+            hdr.dim[0] = 4
+            hdr.dim[1:5] = (size, size, 1, T)
+            hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
+            kept = {}
+            for seq, (image, seg) in subj.items():
+                image = np.round(image).astype(np.int16)
+                dx, dy = rng.randint(-size // 10, size // 10 + 1, size=2)
+                image = np.roll(image, (dx, dy), axis=(0, 1))
+                seg = np.roll(seg, (dx, dy), axis=(0, 1))
+                if seq == "la_4ch_seg4":
+                    es = int(np.argmin(np.sum(seg == 1, axis=(0, 1, 2))))
+                else:
+                    es = int(np.argmax(np.sum(seg == 1, axis=(0, 1, 2))))
+                for fr, t in (("ED", 0), ("ES", es)):
+                    nifti.save(
+                        nifti.Nifti1Image(image[:, :, :, t], affine_la),
+                        os.path.join(d, f"{seq}_{fr}.nii.gz"))
+                    nifti.save(
+                        nifti.Nifti1Image(seg[:, :, :, t].astype(np.int16),
+                                          affine_la),
+                        os.path.join(d, f"label_{seq}_{fr}.nii.gz"))
+                kept[seq] = (image, seg)
+            if subset == "test":
+                test_cines.append((kept, hdr.copy()))
+    return test_cines, affine_la
+
+
+def run_la(iters=1000, size=192, T=16, n_train=16, n_val=2, n_test=4,
+           batch_slices=20, steps_per_dispatch=10, num_filter=16,
+           num_level=5, seed=0, keep_dir=None, progress_every=200):
+    """Long-axis twin of :func:`run`: train the THREE LA networks the
+    reference releases (``FCN_la_2ch``, ``FCN_la_4ch``,
+    ``FCN_la_4ch_seg4``, ``demo_pipeline.py:50-54``) from scratch on
+    randomised LA phantoms, deploy through the fused engine, and score
+    Dice + the atrial area–length measures (biplane LA volume, RA
+    volume, EFs — ``eval_atrial_volume.py``) of the predicted
+    segmentations against the same measures of the ground truth."""
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
+                                               SegmentationModel)
+    from ukbb_cardiac_tpu.io import nifti
+    from ukbb_cardiac_tpu.ops.metrics import np_categorical_dice
+    from ukbb_cardiac_tpu.phenotype.atrium import atrial_volume_measures
+    from ukbb_cardiac_tpu.train.sa import SATrainConfig, train
+
+    root = keep_dir or tempfile.mkdtemp(prefix="bench_accuracy_la_")
+    try:
+        test_cines, affine_la = make_la_cohort(root, n_train, n_val, n_test,
+                                               size, T, seed=seed)
+
+        engines = {}
+        train_s = 0.0
+        for seq in ("la_2ch", "la_4ch", "la_4ch_seg4"):
+            cfg = SATrainConfig(
+                seq_name=seq, image_size=size, num_filter=num_filter,
+                num_level=num_level, learning_rate=1e-3,
+                dataset_dir=root, checkpoint_dir=os.path.join(root, "ckpt"),
+                batch_slices=batch_slices,
+                steps_per_dispatch=steps_per_dispatch,
+                device_augment=True, bf16=True, compact_transfer=True,
+                cache_gb=1.0,
+                validation_every=max(steps_per_dispatch * 50, 100),
+                checkpoint_every=10 ** 9, seed=seed)
+            t0 = time.time()
+            params, state, names, model_cfg = train(
+                cfg, max_iterations=iters, progress_every=progress_every)
+            train_s += time.time() - t0
+            engines[seq] = {
+                "f32": InferenceEngine(SegmentationModel.from_fcn(
+                    params, state, names, model_cfg, jnp.float32)),
+                "bf16": InferenceEngine(SegmentationModel.from_fcn(
+                    params, state, names, model_cfg, jnp.bfloat16)),
+            }
+
+        dice = {"la_2ch": [], "la_4ch_la": [], "la_4ch_ra": [], "seg4": []}
+        agree, es_match = [], []
+        errs = {"LAV_bip_max": [], "RAV_4ch_max": [], "LAEF_bip": [],
+                "RAEF_4ch": []}
+        # a stub SA volume supplies the long-axis direction (its affine's
+        # z column), exactly what atrial_volume_measures reads from it
+        affine_sa = np.diag([-1.8, -1.8, 10.0, 1.0])
+        for si, (kept, hdr) in enumerate(test_cines):
+            pred = {}
+            for seq, engs in engines.items():
+                image = kept[seq][0]
+                pred[seq] = {name: eng.segment_sequence_fused(image)
+                             for name, eng in engs.items()}
+                agree.append(float(np.mean(pred[seq]["bf16"]
+                                           == pred[seq]["f32"])))
+            dice["la_2ch"].append(np_categorical_dice(
+                pred["la_2ch"]["f32"], kept["la_2ch"][1], 1))
+            dice["la_4ch_la"].append(np_categorical_dice(
+                pred["la_4ch"]["f32"], kept["la_4ch"][1], 1))
+            dice["la_4ch_ra"].append(np_categorical_dice(
+                pred["la_4ch"]["f32"], kept["la_4ch"][1], 2))
+            dice["seg4"].append(np.mean([np_categorical_dice(
+                pred["la_4ch_seg4"]["f32"], kept["la_4ch_seg4"][1], k)
+                for k in range(1, 6)]))
+            # the LA deploy ES rule (argmax label-1, deploy_network.py:130)
+            es_match.append(
+                int(np.argmax(np.sum(pred["la_2ch"]["f32"] == 1,
+                                     axis=(0, 1, 2))))
+                == int(np.argmax(np.sum(kept["la_2ch"][1] == 1,
+                                        axis=(0, 1, 2)))))
+
+            # atrial measures of pred vs truth through the real
+            # file-level entry point (eval_atrial_volume.py semantics)
+            vals = {}
+            for which in ("pred", "gt"):
+                d = os.path.join(root, f"score_{which}_{si}")
+                os.makedirs(d, exist_ok=True)
+                src = (lambda seq: pred[seq]["f32"]) if which == "pred" \
+                    else (lambda seq: kept[seq][1])
+                for seq in ("la_2ch", "la_4ch"):
+                    nifti.save(nifti.Nifti1Image(
+                        src(seq).astype(np.int16), affine_la, hdr.copy()),
+                        os.path.join(d, f"seg_{seq}.nii.gz"))
+                nifti.save(nifti.Nifti1Image(
+                    np.zeros((2, 2, 2), np.int16), affine_sa),
+                    os.path.join(d, "sa.nii.gz"))
+                vals[which] = atrial_volume_measures(d)
+            if vals["pred"] is not None and vals["gt"] is not None:
+                for k in ("LAV_bip_max", "RAV_4ch_max"):
+                    if vals["gt"][k] > 0:
+                        errs[k].append(100 * abs(vals["pred"][k]
+                                                 - vals["gt"][k])
+                                       / vals["gt"][k])
+                for k in ("LAEF_bip", "RAEF_4ch"):
+                    errs[k].append(abs(vals["pred"][k] - vals["gt"][k]))
+
+        return {
+            "metric": "trained_phantom_accuracy_la",
+            "iters": iters, "image_size": size,
+            "train_subjects": n_train, "test_subjects": n_test,
+            "train_s": round(train_s, 1),
+            "dice_la_2ch": round(float(np.mean(dice["la_2ch"])), 4),
+            "dice_la_4ch_la": round(float(np.mean(dice["la_4ch_la"])), 4),
+            "dice_la_4ch_ra": round(float(np.mean(dice["la_4ch_ra"])), 4),
+            "dice_seg4_mean": round(float(np.mean(dice["seg4"])), 4),
+            "lav_bip_max_mae_pct": _mean_or_none(errs["LAV_bip_max"]),
+            "rav_4ch_max_mae_pct": _mean_or_none(errs["RAV_4ch_max"]),
+            "laef_mae_pp": _mean_or_none(errs["LAEF_bip"]),
+            "raef_mae_pp": _mean_or_none(errs["RAEF_4ch"]),
+            "es_frame_match": round(float(np.mean(es_match)), 3),
+            "bf16_label_agreement": round(float(np.mean(agree)), 5),
+            "atrial_measures_scored": sum(len(v) for v in errs.values()) > 0,
+        }
+    finally:
+        if keep_dir is None:
+            shutil.rmtree(root, ignore_errors=True)
+
+
 def make_ao_cohort(root: str, n_train: int, n_val: int, n_test: int,
                    size: int, T: int, seed: int = 0):
     """Write a randomised aortic phantom cohort in the aortic trainer's
@@ -386,9 +595,12 @@ def main():
     ap.add_argument("--filters", type=int, default=16)
     ap.add_argument("--levels", type=int, default=5)
     ap.add_argument("--seed", type=int, default=0)
-    ap.add_argument("--model", choices=("sa", "ao", "both"), default="sa",
-                    help="which capstone to run: the SA FCN, the aortic "
-                         "two-phase UNet→UNet-LSTM, or both")
+    ap.add_argument("--model", choices=("sa", "la", "ao", "both", "all"),
+                    default="sa",
+                    help="which capstone to run: the SA FCN, the three LA "
+                         "FCNs, the aortic two-phase UNet→UNet-LSTM, "
+                         "'both' (sa+ao, historical), or all three "
+                         "families")
     ap.add_argument("--keep_dir", default=None,
                     help="work under this directory and keep it")
     ap.add_argument("--json_out", default=None,

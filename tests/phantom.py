@@ -79,11 +79,13 @@ def sax_phantom(X=96, Y=96, Z=8, T=12, r_lv=12.0, wall=5.0, amp=0.3,
     return image, seg
 
 
-def la_phantom(X=96, Y=96, T=12, n_class=2, amp=0.3, noise=0.05, rng=None):
+def la_phantom(X=96, Y=96, T=12, n_class=2, amp=0.3, noise=0.05, rng=None,
+               r_la=10.0):
     """Long-axis cine (single slice): LA ellipse (+ RA for 4ch).
 
     Atria EXPAND when ventricles contract: area is max mid-cycle, so the
     reference's argmax-of-label-1 ES rule picks mid-cycle.
+    ``r_la``: baseline LA radius in px (RA scales with it).
     Returns (image, seg) of shape (X, Y, 1, T).
     """
     rng = rng or np.random.RandomState(1)
@@ -91,14 +93,16 @@ def la_phantom(X=96, Y=96, T=12, n_class=2, amp=0.3, noise=0.05, rng=None):
     scale = 2.0 - contraction(T, amp)  # expands when ventricle contracts
     image = np.zeros((X, Y, 1, T), np.float32)
     seg = np.zeros((X, Y, 1, T), np.int16)
+    off = max(12, int(math.ceil(r_la * 2.0 * 0.6)))
     for t in range(T):
-        r = 10.0 * scale[t]
-        la = _disk(X, Y, cx - 12, cy, r)
+        r = r_la * scale[t]
+        la = _disk(X, Y, cx - off, cy, r)
         seg[:, :, 0, t][la] = 1
         img = np.zeros((X, Y), np.float32)
         img[la] = 750.0
         if n_class >= 3:
-            ra = _disk(X, Y, cx + 14, cy, r * 0.8)
+            ra = _disk(X, Y, cx + max(14, int(math.ceil(r_la * 1.4))), cy,
+                       r * 0.8)
             seg[:, :, 0, t][ra & ~la] = 2
             img[ra & ~la] = 650.0
         img += rng.randn(X, Y).astype(np.float32) * noise * 1000.0
@@ -106,22 +110,28 @@ def la_phantom(X=96, Y=96, T=12, n_class=2, amp=0.3, noise=0.05, rng=None):
     return image, seg
 
 
-def seg4_la_phantom(X=96, Y=96, T=12, amp=0.3, noise=0.05, rng=None):
+def seg4_la_phantom(X=96, Y=96, T=12, amp=0.3, noise=0.05, rng=None,
+                    zoom=1.0):
     """4-chamber long-axis phantom with all 5 foreground classes
-    (LV, Myo, RV, LA, RA) for `la_pass_quality_control` paths."""
+    (LV, Myo, RV, LA, RA) for `la_pass_quality_control` paths.
+    ``zoom`` scales every chamber radius and centre offset together, so
+    the anatomy stays consistent while its size varies."""
     rng = rng or np.random.RandomState(2)
     cx, cy = X // 2, Y // 2
     scale = contraction(T, amp)
     image = np.zeros((X, Y, 1, T), np.float32)
     seg = np.zeros((X, Y, 1, T), np.int16)
+    z = zoom
     for t in range(T):
-        r = 11.0 * scale[t]
-        lv = _disk(X, Y, cx - 10, cy - 12, r)
-        epi = _disk(X, Y, cx - 10, cy - 12, r + 4)
+        r = 11.0 * z * scale[t]
+        lv = _disk(X, Y, cx - 10 * z, cy - 12 * z, r)
+        epi = _disk(X, Y, cx - 10 * z, cy - 12 * z, r + 4 * z)
         myo = epi & ~lv
-        rv = _disk(X, Y, cx + 14, cy - 12, r * 0.9) & ~epi
-        la = _disk(X, Y, cx - 10, cy + 16, 8.0 * (2.0 - scale[t])) & ~epi
-        ra = _disk(X, Y, cx + 14, cy + 16, 7.0 * (2.0 - scale[t])) & ~(epi | la | rv)
+        rv = _disk(X, Y, cx + 14 * z, cy - 12 * z, r * 0.9) & ~epi
+        la = _disk(X, Y, cx - 10 * z, cy + 16 * z,
+                   8.0 * z * (2.0 - scale[t])) & ~epi
+        ra = _disk(X, Y, cx + 14 * z, cy + 16 * z,
+                   7.0 * z * (2.0 - scale[t])) & ~(epi | la | rv)
         sl = np.zeros((X, Y), np.int16)
         sl[rv] = 3
         sl[myo] = 2

@@ -371,3 +371,34 @@ def test_cohort_with_sharded_registration(tmp_path, tiny_engine,
     for subj in res1.strain_rows:
         np.testing.assert_allclose(res2.strain_rows[subj],
                                    res1.strain_rows[subj], atol=0.5)
+
+
+def test_bench_cohort_full_plumbing(tiny_engine):
+    """Plumbing for bench.py's full-pipeline cohort stage: tiny engines,
+    two subjects, every stage wired (phantom generation → deploys →
+    truth-substitution hooks → phenotype/strain → aggregate result)."""
+    import bench
+    from ukbb_cardiac_tpu.infer.deploy_ao import AorticEngine
+    from ukbb_cardiac_tpu.infer.engine import (InferenceEngine,
+                                               SegmentationModel)
+    from ukbb_cardiac_tpu.models import convlstm, fcn as fcn_mod
+    from ukbb_cardiac_tpu.models import unet as unet_mod
+
+    def eng(n_class):
+        cfg = fcn_mod.FCNConfig(n_class=n_class, n_level=3,
+                                n_filter=(2, 4, 4), n_block=(1, 1, 1),
+                                same_dim=4, fc=4)
+        p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+        return InferenceEngine(SegmentationModel.from_fcn(p, s, n, cfg))
+
+    ucfg = unet_mod.UNetConfig(n_class=3, n_level=3, n_filter=(2, 4, 4),
+                               n_block=(1, 1, 1))
+    up, us, un = unet_mod.init_unet(jax.random.PRNGKey(0), ucfg)
+    up.update(convlstm.init_biconv_lstm(jax.random.PRNGKey(1), 2, 4, 3))
+    engines = {"sa": tiny_engine, "la_2ch": eng(2), "la_4ch": eng(3),
+               "seg4": eng(6),
+               "ao": AorticEngine("unet_lstm", ucfg, un, up, us,
+                                  bidirectional=True)}
+    out = bench._bench_cohort_full(engines, n=2, shape=(96, 96, 8, 6))
+    assert out["n"] == 2
+    assert out["wall_s"] > 0 and out["subjects_per_s"] > 0
