@@ -599,30 +599,37 @@ def _bench_cohort_full(engines, n=None, shape=(160, 160, 10, 20)) -> dict:
         truth[name] = {"sa": sa_seg, "la_2ch": la2_seg, "la_4ch": la4_seg,
                        "seg4": s4_seg, "ao": ao_seg}
 
-    hook_calls = {}
+    hook_done = {}
 
     def hook(data_dir):
-        # substitute the ground-truth segs of the deploy stage that just
-        # ran (SA → LA views → aortic, in the fixed pipeline order);
-        # each subject is driven by a single worker thread
+        # substitute the ground-truth segs of whichever deploy stages have
+        # observably run (their seg_* files exist on disk) and have not
+        # been substituted yet — robust to a stage skipping or raising,
+        # unlike a positional call counter; each subject is driven by a
+        # single worker thread so hook_done needs no lock per subject
         name = os.path.basename(data_dir.rstrip("/"))
-        k = hook_calls.get(name, 0)
-        hook_calls[name] = k + 1
+        done = hook_done.setdefault(name, set())
         tr = truth[name]
-        if k == 0:
+        if "sa" not in done and os.path.exists(
+                os.path.join(data_dir, "seg_sa.nii.gz")):
+            done.add("sa")
             seg = tr["sa"]
             es = int(np.argmin(np.sum(seg == 1, axis=(0, 1, 2))))
             _save(data_dir, "seg_sa.nii.gz", seg, affine_sa)
             for fr_name, fr in (("ED", 0), ("ES", es)):
                 _save(data_dir, f"seg_sa_{fr_name}.nii.gz",
                       seg[:, :, :, fr], affine_sa)
-        elif k == 1:
+        if "la" not in done and os.path.exists(
+                os.path.join(data_dir, "seg_la_2ch.nii.gz")):
+            done.add("la")
             _save(data_dir, "seg_la_2ch.nii.gz", tr["la_2ch"], affine_la)
             _save(data_dir, "seg_la_4ch.nii.gz", tr["la_4ch"], affine_la)
             _save(data_dir, "seg4_la_4ch.nii.gz", tr["seg4"], affine_la)
             _save(data_dir, "seg4_la_4ch_ED.nii.gz",
                   tr["seg4"][:, :, :, 0], affine_la)
-        else:
+        if "ao" not in done and os.path.exists(
+                os.path.join(data_dir, "seg_ao.nii.gz")):
+            done.add("ao")
             _save(data_dir, "seg_ao.nii.gz", tr["ao"], affine_ao)
 
     try:

@@ -275,9 +275,12 @@ def make_la_cohort(root: str, n_train: int, n_val: int, n_test: int,
             hdr.dim[1:5] = (size, size, 1, T)
             hdr.pixdim[1:5] = (1.8, 1.8, 10.0, 0.04)
             kept = {}
+            # one translation per SUBJECT applied to every sequence, so
+            # la_4ch and la_4ch_seg4 really do see the same anatomy (one
+            # cvi42 contour set rasterised at two granularities)
+            dx, dy = rng.randint(-size // 10, size // 10 + 1, size=2)
             for seq, (image, seg) in subj.items():
                 image = np.round(image).astype(np.int16)
-                dx, dy = rng.randint(-size // 10, size // 10 + 1, size=2)
                 image = np.roll(image, (dx, dy), axis=(0, 1))
                 seg = np.roll(seg, (dx, dy), axis=(0, 1))
                 if seq == "la_4ch_seg4":
@@ -623,7 +626,7 @@ def main():
     enable_compilation_cache()
 
     outs = []
-    if args.model in ("sa", "both"):
+    if args.model in ("sa", "both", "all"):
         if args.smoke:
             outs.append(run(iters=60, size=64, Z=3, T=6, n_train=4, n_val=1,
                             n_test=2, batch_slices=8, steps_per_dispatch=5,
@@ -637,7 +640,23 @@ def main():
                             steps_per_dispatch=args.steps_per_dispatch,
                             num_filter=args.filters, num_level=args.levels,
                             seed=args.seed, keep_dir=args.keep_dir))
-    if args.model in ("ao", "both"):
+    if args.model in ("la", "all"):
+        if args.smoke:
+            outs.append(run_la(iters=60, size=64, T=6, n_train=4, n_val=1,
+                               n_test=2, batch_slices=8,
+                               steps_per_dispatch=5, num_filter=4,
+                               num_level=3, seed=args.seed,
+                               keep_dir=args.keep_dir))
+        else:
+            outs.append(run_la(iters=args.iters // 2, size=args.size,
+                               T=args.t, n_train=args.train, n_val=args.val,
+                               n_test=args.test,
+                               batch_slices=args.batch_slices,
+                               steps_per_dispatch=args.steps_per_dispatch,
+                               num_filter=args.filters,
+                               num_level=args.levels, seed=args.seed,
+                               keep_dir=args.keep_dir))
+    if args.model in ("ao", "both", "all"):
         if args.smoke:
             outs.append(run_ao(unet_iters=30, lstm_iters=30, size=64, T=8,
                                n_train=3, n_val=1, n_test=2, batch_windows=2,

@@ -9,6 +9,12 @@ axon TPU platform to JAX_PLATFORMS, so the env-var route is ineffective;
 """
 
 import os
+import sys
+
+# repo root on sys.path so tests importing top-level harnesses (bench,
+# bench_accuracy, __graft_entry__) work regardless of pytest's invocation
+# directory (``pytest tests/`` from elsewhere does not add the rootdir)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 os.environ["XLA_FLAGS"] = (
     os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"

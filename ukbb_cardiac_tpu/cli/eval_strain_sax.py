@@ -1,9 +1,10 @@
 """CLI twin of ``short_axis/eval_strain_sax.py`` — SA strain.
 
-``--par_dir`` is accepted for flag compatibility but unused: the MIRTK
-parameter files are replaced by the built-in registration config
-(``reg.RegConfig``, defaults matching ``par/ffd_cine_2d_motion.cfg``).
-``--start_idx/--end_idx`` manual sharding is kept for fleet runs.
+``--par_dir`` works drop-in: if the directory contains
+``ffd_cine_2d_motion.cfg`` it is parsed (reg/parcfg.py) into the
+registration config, so tuned MIRTK parameter files migrate unchanged;
+otherwise the built-in defaults (matching ``par/ffd_cine_2d_motion.cfg``)
+apply.  ``--start_idx/--end_idx`` manual sharding is kept for fleet runs.
 """
 
 from __future__ import annotations
@@ -27,7 +28,9 @@ def main(argv=None):
     parser.add_argument("--data_dir", metavar="dir_name", required=True)
     parser.add_argument("--output_csv", metavar="csv_name", required=True)
     parser.add_argument("--par_dir", metavar="dir_name", default="",
-                        help="Unused; kept for reference-CLI compatibility.")
+                        help="Directory of MIRTK parameter files; "
+                             "ffd_cine_2d_motion.cfg (if present) is "
+                             "parsed into the registration config.")
     parser.add_argument("--eval_dice", action="store_true",
                         help="Warp each frame's segmentation to ED and "
                              "record the Dice (the reference's dormant "
@@ -43,6 +46,16 @@ def main(argv=None):
     if args.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel import make_mesh
         mesh = make_mesh(args.mesh_devices)
+
+    from ukbb_cardiac_tpu.reg import RegConfig
+    cfg = RegConfig.cine_2d_motion()
+    par_path = os.path.join(args.par_dir, "ffd_cine_2d_motion.cfg")
+    if args.par_dir and os.path.exists(par_path):
+        from ukbb_cardiac_tpu.reg.parcfg import load_par_cfg
+        cfg, ignored = load_par_cfg(par_path, base=cfg)
+        print(f"Loaded MIRTK parameters from {par_path}"
+              + (f" (no JAX equivalent, ignored: {len(ignored)} keys)"
+                 if ignored else ""))
 
     data_list = sorted(os.listdir(args.data_dir))
     end_idx = len(data_list) if args.end_idx == 0 else args.end_idx
@@ -86,7 +99,7 @@ def main(argv=None):
         # a bad subject must not take the in-flight one's finished work
         # down with it: finish N-1 before surfacing N's failure
         try:
-            ctx = start_sa_motion_dispatch(data_dir, motion_dir,
+            ctx = start_sa_motion_dispatch(data_dir, motion_dir, cfg=cfg,
                                            eval_dice=args.eval_dice,
                                            mesh=mesh)
         except Exception as exc:

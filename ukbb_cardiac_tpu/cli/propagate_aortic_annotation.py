@@ -16,6 +16,10 @@ def main(argv=None):
     parser.add_argument("--data_dir", required=True,
                         help="Directory of subject subdirectories with "
                              "ao / label_ao / ao_{ED,ES} / label_ao_{ED,ES}.")
+    parser.add_argument("--par_dir", metavar="dir_name", default="",
+                        help="Directory of MIRTK parameter files; "
+                             "ffd_aortic_motion.cfg (if present) is "
+                             "parsed into the registration config.")
     parser.add_argument("--start_idx", type=int, default=0)
     parser.add_argument("--end_idx", type=int, default=0)
     args = parser.parse_args(argv)
@@ -26,6 +30,11 @@ def main(argv=None):
                 for d in data_list[args.start_idx:end_idx]
                 if os.path.isdir(os.path.join(args.data_dir, d))]
     cfg = RegConfig.aortic_motion()
+    par_path = os.path.join(args.par_dir, "ffd_aortic_motion.cfg")
+    if args.par_dir and os.path.exists(par_path):
+        from ukbb_cardiac_tpu.reg.parcfg import load_par_cfg
+        cfg, _ = load_par_cfg(par_path, base=cfg)
+        print(f"Loaded MIRTK parameters from {par_path}")
     run_fleet(subjects, lambda d: propagate_subject(d, cfg),
               done_check=lambda d: os.path.exists(
                   os.path.join(d, "label_ao_prop.nii.gz")))

@@ -64,6 +64,8 @@ class AorticEngine:
         self._params = jax.device_put(params)
         self._state = jax.device_put(state)
         self._compiled = {}
+        from ukbb_cardiac_tpu.infer import transfer
+        self._bw = transfer.BandwidthTracker()
 
     # -- jitted programs ---------------------------------------------------
     def _lstm_full(self, shape):
@@ -150,16 +152,26 @@ class AorticEngine:
         label readback.  Returns a
         :class:`~ukbb_cardiac_tpu.infer.engine.PendingSegmentation`; its
         ``result()`` blocks on the packed-label readback."""
+        from ukbb_cardiac_tpu.infer import transfer
+
         X, Y, Z, T = image.shape
         n_cls = self.cfg.n_class
         bits = 2 if n_cls <= 4 else (4 if n_cls <= 16 else 8)
-        key = ("seg_cine", image.shape, image.dtype.str, z_score, pad_to)
+        raw = np.ascontiguousarray(image)
+        # adaptive lossless up-leg packing (see infer/transfer.py):
+        # bit-identical reconstruction on device, 25-50% fewer bytes
+        # through a degraded tunnel
+        plan = transfer.plan_pack(raw, self._bw)
+        key = ("seg_cine", image.shape, image.dtype.str, z_score, pad_to,
+               plan)
         if key not in self._compiled:
             one_subject = self._subject_fn(X, Y, z_score, pad_to)
 
             @jax.jit
-            def run(params, state, raw):
-                pred = one_subject(params, state, raw)
+            def run(params, state, *arrs):
+                raw_dev = (transfer.unpack_jax(arrs, plan)
+                           if plan is not None else arrs[0])
+                pred = one_subject(params, state, raw_dev)
                 # bit-pack labels for the slow d2h direction; width scales
                 # with n_class (2 bits for the reference's 3-class aortic
                 # model, wider for bigger label sets)
@@ -173,9 +185,9 @@ class AorticEngine:
 
             self._compiled[key] = run
         from ukbb_cardiac_tpu.infer.engine import PendingSegmentation
-        raw = np.ascontiguousarray(image)
-        packed = self._compiled[key](self._params, self._state,
-                                     jnp.asarray(raw))
+
+        pieces = transfer.pack_and_dispatch(raw, plan, self._bw)
+        packed = self._compiled[key](self._params, self._state, *pieces)
         return PendingSegmentation(packed, (X, Y, Z, T), bits=bits)
 
     def segment_subjects_sharded(self, images: np.ndarray, mesh,

@@ -27,6 +27,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ukbb_cardiac_tpu.infer import transfer
 from ukbb_cardiac_tpu.models import fcn as fcn_mod
 from ukbb_cardiac_tpu.models import unet as unet_mod
 
@@ -145,6 +146,9 @@ class InferenceEngine:
         self.chunk = chunk
         self.pad_factor = pad_factor
         self._compiled = {}
+        # Observed H2D bandwidth (EMA); drives the adaptive lossless
+        # packing of the cine up-leg (see infer/transfer.py)
+        self._bw = transfer.BandwidthTracker()
         # Weights go to device once, not per call.
         self._params = jax.device_put(model.params)
         self._state = jax.device_put(model.state)
@@ -245,7 +249,12 @@ class InferenceEngine:
         whole pipeline compiles pathologically slowly (~10 min: the
         percentile sort + 500-slice conv graph blow up XLA's scheduling),
         while these compile in seconds and run at the same steady-state
-        speed — intermediates never leave HBM."""
+        speed — intermediates never leave HBM.
+
+        ``n_pieces``: an int for the raw path (pieces are contiguous
+        X-slabs), or a :class:`transfer.PackPlan` for the plane-split
+        packed up-leg (degraded-tunnel mode) — prep then starts with the
+        exact device-side reconstruction to the original int dtype."""
         key = ("cine", cine_shape, n_pieces, rescale)
         if key not in self._compiled:
             X, Y, Z, T = cine_shape
@@ -261,6 +270,9 @@ class InferenceEngine:
             from ukbb_cardiac_tpu.ops import (normalise_intensity_jax,
                                               rescale_intensity_jax)
 
+            plan = n_pieces if isinstance(n_pieces, transfer.PackPlan) \
+                else None
+
             @jax.jit
             def prep(*pieces):
                 # pieces split along X (axis 0): contiguous host slabs →
@@ -269,7 +281,10 @@ class InferenceEngine:
                 # keep the cine's own dtype into the intensity op: int16
                 # input (UKB cines ship untouched) takes the 16-round
                 # percentile fast path; both ops return f32
-                cine = jnp.concatenate(pieces, axis=0)
+                if plan is not None:
+                    cine = transfer.unpack_jax(pieces, plan)
+                else:
+                    cine = jnp.concatenate(pieces, axis=0)
                 if rescale == "percentile":
                     cine = rescale_intensity_jax(cine, (1.0, 99.0))
                 elif rescale == "zscore":
@@ -317,13 +332,15 @@ class InferenceEngine:
             self._compiled[key] = run
         return self._compiled[key]
 
-    def _split_pieces(self, image: np.ndarray):
+    def _split_pieces(self, image: np.ndarray, host_only: bool = False):
         """Transfer a raw cine to device as contiguous X-slabs.
 
         Returns (pieces, shape): device arrays plus the original (X,Y,Z,T).
         Exposed separately so callers (e.g. ``bench.py``'s device-compute
         estimator) can pin the input on device once and re-dispatch the
         compiled pipeline without re-paying host→device transfers.
+        ``host_only``: return the numpy slab views instead of device
+        arrays (the dispatcher then times the first transfer itself).
         """
         # transfer in the array's own dtype (demo NIfTIs are int16 — half
         # the bytes of f32, and the device percentile takes its 16-round
@@ -339,7 +356,8 @@ class InferenceEngine:
         row_bytes = Y * Z * T * image.dtype.itemsize
         rows_per_piece = max(1, self._H2D_PIECE_BYTES // row_bytes)
         bounds = list(range(0, X, rows_per_piece)) + [X]
-        pieces = [jnp.asarray(image[a:b])
+        make = (lambda a: a) if host_only else jnp.asarray
+        pieces = [make(image[a:b])
                   for a, b in zip(bounds[:-1], bounds[1:])]
         return pieces, (X, Y, Z, T)
 
@@ -351,9 +369,27 @@ class InferenceEngine:
         Returns a :class:`PendingSegmentation`; call ``result()`` for the
         labels.  Dispatching several cines before resolving any lets the
         runtime overlap their transfers and compute.
+
+        When the observed H2D bandwidth is degraded (tunnel slow mode)
+        and the cine is non-negative <=12-bit integer data, the up-leg
+        ships plane-split packed — exactly reconstructed on device, so
+        labels are bit-identical to the raw path (tests/test_transfer.py)
+        while moving 25-50% fewer bytes.  Packing is per piece, so the
+        single-core host packs piece i+1 while the (network-bound)
+        tunnel moves piece i.
         """
-        pieces, shape = self._split_pieces(image)
-        fn = self._cine_fns(shape, len(pieces), rescale)
+        image = np.ascontiguousarray(image)
+        plan = transfer.plan_pack(image, self._bw) if image.ndim == 4 \
+            else None
+        if plan is None:
+            host_pieces, shape = self._split_pieces(image, host_only=True)
+            pieces = transfer.dispatch_sampled(host_pieces, self._bw)
+            meta = len(pieces)
+        else:
+            shape = plan.shape
+            pieces = transfer.pack_and_dispatch(image, plan, self._bw)
+            meta = plan
+        fn = self._cine_fns(shape, meta, rescale)
         packed = fn(self._params, self._state, *pieces)
         return PendingSegmentation(packed, shape, self._pack_bits())
 

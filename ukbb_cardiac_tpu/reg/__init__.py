@@ -8,6 +8,7 @@ from ukbb_cardiac_tpu.reg.bspline import (
     lattice_shape,
 )
 from ukbb_cardiac_tpu.reg.losses import bending_energy, nmi, ssd
+from ukbb_cardiac_tpu.reg.parcfg import load_par_cfg
 from ukbb_cardiac_tpu.reg.register import (
     RegConfig,
     average_fields,
