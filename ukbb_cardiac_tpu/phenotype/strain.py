@@ -141,6 +141,101 @@ def _field_programs(Z: int, T: int, X: int, Y: int, cfg: RegConfig,
     return dense, combine
 
 
+_HW_BUCKET = 32
+_PTS_BUCKET = 128
+
+
+def bucket_hw(X: int, Y: int, bucket: int = _HW_BUCKET):
+    """Round a crop's in-plane shape up to the compile-shape bucket.
+
+    Per-subject LV crops differ by a few pixels (bbox+20 of a variable
+    anatomy), and XLA keys compiled programs on exact shapes — without
+    bucketing, EVERY cohort subject pays seconds of registration-program
+    compilation.  Zero-padding the crop to a multiple of 32 makes all
+    subjects of similar size share one compiled program set; fields at
+    the (interior) contour points are unaffected beyond float noise."""
+    return (-(-X // bucket) * bucket, -(-Y // bucket) * bucket)
+
+
+@_functools.lru_cache(maxsize=64)
+def _sample_program(Zsel: int, T: int, X: int, Y: int, N: int):
+    """Jitted device twin of :func:`_sample_field` over ALL slices,
+    frames and contour points at once: bilinear (edge-clamped) sampling
+    of (Zsel, T, X, Y, 2) fields at (Zsel, N, 2) voxel coords →
+    (Zsel, T, N, 2).  With this, the dense motion fields never leave
+    HBM — the strain driver's D2H shrinks from megabytes of fields to
+    kilobytes of point displacements."""
+    import jax
+
+    @jax.jit
+    def sample(fields, pts):
+        x = jnp.clip(pts[..., 0], 0.0, X - 1.0)   # (Zsel, N)
+        y = jnp.clip(pts[..., 1], 0.0, Y - 1.0)
+        x0 = jnp.floor(x)
+        y0 = jnp.floor(y)
+        fx = (x - x0)[:, None, :, None]           # (Zsel, 1, N, 1)
+        fy = (y - y0)[:, None, :, None]
+        x0i = x0.astype(jnp.int32)
+        y0i = y0.astype(jnp.int32)
+        x1i = jnp.minimum(x0i + 1, X - 1)
+        y1i = jnp.minimum(y0i + 1, Y - 1)
+
+        def per_slice(f, x0s, x1s, y0s, y1s):
+            # f (T, X, Y, 2); each index array (N,) → (T, N, 2) corners
+            return (f[:, x0s, y0s], f[:, x0s, y1s],
+                    f[:, x1s, y0s], f[:, x1s, y1s])
+
+        f00, f01, f10, f11 = jax.vmap(per_slice)(fields, x0i, x1i, y0i, y1i)
+        return (f00 * (1 - fx) * (1 - fy) + f01 * (1 - fx) * fy +
+                f10 * fx * (1 - fy) + f11 * fx * fy)
+
+    return sample
+
+
+@_functools.lru_cache(maxsize=64)
+def _warp_dice_program(T: int, X: int, Y: int, Xv: int, Yv: int):
+    """Jitted warp-to-ED + per-frame LV/Myo Dice (the reference's dormant
+    self-check, ``cardiac_utils.py:944-967``) entirely on device: labels
+    (Zsel, T, X, Y) + fields (Zsel, T, X, Y, 2) → (Zsel, T, 2) Dice.
+    (Xv, Yv): the valid (pre-bucket-padding) region — warped labels
+    outside it are masked to background so the padding cannot leak real
+    labels into the Dice."""
+    import jax
+
+    @jax.jit
+    def warp_dice(seg, fields):
+        gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
+                              jnp.arange(Y, dtype=jnp.float32),
+                              indexing="ij")
+        valid = (gx < Xv) & (gy < Yv)
+
+        def one_fr(field, seg_fr, ed):
+            cx = gx + field[..., 0]
+            cy = gy + field[..., 1]
+            # scipy map_coordinates order=0 mode='constant' semantics:
+            # nearest = floor(c + 0.5); out-of-bounds reads 0
+            xi = jnp.floor(cx + 0.5).astype(jnp.int32)
+            yi = jnp.floor(cy + 0.5).astype(jnp.int32)
+            inb = ((xi >= 0) & (xi < X) & (yi >= 0) & (yi < Y) & valid)
+            warped = jnp.where(inb, seg_fr[jnp.clip(xi, 0, X - 1),
+                                           jnp.clip(yi, 0, Y - 1)], 0)
+
+            def dice(k):
+                a = (ed == k).astype(jnp.float32)
+                b = (warped == k).astype(jnp.float32)
+                return 2 * jnp.sum(a * b) / (jnp.sum(a) + jnp.sum(b))
+
+            return jnp.stack([dice(1), dice(2)])
+
+        def one_slice(seg_z, fields_z):
+            return jax.vmap(one_fr, in_axes=(0, 0, None))(
+                fields_z, seg_z, seg_z[0])
+
+        return jax.vmap(one_slice)(seg, fields)
+
+    return warp_dice
+
+
 def track_multi_slice_fields(frames_zs: np.ndarray, cfg: RegConfig,
                              register_batch=None,
                              inverse_consistent: bool = True,
@@ -273,44 +368,80 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
         return None
     frames_zs = np.stack([np.transpose(sa_crop[:, :, z, :], (2, 0, 1))
                           for z in selected])  # (Zsel, T, X, Y)
+    # pad to the compile-shape bucket: all cohort subjects with similar
+    # crops share ONE compiled registration/composition program set
+    # (register_batch callers pass a prebuilt program — its shape is
+    # theirs to choose, so only the internal build buckets)
+    Xp, Yp = (X, Y) if register_batch is not None else bucket_hw(X, Y)
+    if (Xp, Yp) != (X, Y):
+        frames_zs = np.pad(frames_zs,
+                           ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y)))
     fields_dev = track_multi_slice_fields(
         frames_zs, cfg, register_batch=register_batch, mesh=mesh,
         inverse_consistent=inverse_consistent, as_numpy=False)
+
+    # contours were just written: load them now and push the POINT
+    # sampling to the device, so the dense fields never leave HBM
+    polys_ED, voxs = [], []
+    for z in selected:
+        poly = load_polydata(
+            os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk"))
+        world = poly.points
+        voxs.append((inv_affine @ np.concatenate(
+            [world, np.ones((len(world), 1))], axis=1).T).T[:, :3])
+        polys_ED.append(poly)
+    n_max = max(len(v) for v in voxs)
+    n_pad = -(-n_max // _PTS_BUCKET) * _PTS_BUCKET
+    pts = np.zeros((len(selected), n_pad, 2), np.float32)
+    for i, v in enumerate(voxs):
+        pts[i, :len(v)] = v[:, :2]
+    disp_dev = _sample_program(len(selected), T, Xp, Yp, n_pad)(
+        fields_dev, jnp.asarray(pts))
+    dice_dev = None
+    if eval_dice:
+        seg_sel = np.stack(
+            [np.transpose(seg_crop_mem[:, :, z, :], (2, 0, 1))
+             for z in selected]).astype(np.int32)
+        seg_sel = np.pad(seg_sel,
+                         ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y)))
+        dice_dev = _warp_dice_program(T, Xp, Yp, X, Y)(
+            jnp.asarray(seg_sel), fields_dev)
     return {"output_dir": output_dir, "selected": selected,
-            "fields_dev": fields_dev, "T": T, "dt": dt, "X": X, "Y": Y,
+            "disp_dev": disp_dev, "dice_dev": dice_dev,
+            "polys_ED": polys_ED, "voxs": voxs,
+            "T": T, "dt": dt, "X": X, "Y": Y,
             "Z": Z, "affine_crop": affine_crop, "inv_affine": inv_affine,
-            "eval_dice": eval_dice, "seg_crop": seg_crop_mem}
+            "eval_dice": eval_dice}
 
 
 def finish_sa_motion(ctx: dict, output_name_stem: str
                      ) -> Optional[pd.DataFrame]:
-    """Stage 2 of the SA strain driver: fetch the motion fields, warp
-    the ED contours through them, merge per-frame polydata and write the
-    strain tables (``cardiac_utils.py:938-987``)."""
+    """Stage 2 of the SA strain driver: fetch the contour-point
+    displacements (the dense fields stay in HBM — sampling and the
+    optional warp-Dice self-check already ran on device), build the
+    per-frame polydata and write the strain tables
+    (``cardiac_utils.py:938-987``)."""
     output_dir = ctx["output_dir"]
     selected = ctx["selected"]
     T, dt = ctx["T"], ctx["dt"]
-    X, Y, Z = ctx["X"], ctx["Y"], ctx["Z"]
-    affine_crop, inv_affine = ctx["affine_crop"], ctx["inv_affine"]
+    affine_crop = ctx["affine_crop"]
     eval_dice = ctx["eval_dice"]
-    seg_crop = ctx["seg_crop"] if eval_dice else None
+    disp_zs = np.asarray(ctx["disp_dev"], dtype=np.float32)
     dice_rows = []
-    combined_zs = np.asarray(ctx["fields_dev"], dtype=np.float32)
+    if eval_dice and ctx["dice_dev"] is not None:
+        # device rows come back (Zsel, T, 2) — same (slice, frame) order
+        # as the host loop appended them
+        dice_rows = list(np.asarray(ctx["dice_dev"],
+                                    dtype=np.float32).reshape(-1, 2))
     polys_by_frame = [[] for _ in range(T)]
 
     for zi, z in enumerate(selected):
-        contour_ED = os.path.join(output_dir, f"myo_contour_ED_z{z:02d}.vtk")
-        combined = combined_zs[zi]
-
-        poly_ED = load_polydata(contour_ED)
-        world = poly_ED.points  # (N, 3)
-        vox = (inv_affine @ np.concatenate(
-            [world, np.ones((len(world), 1))], axis=1).T).T[:, :3]
+        poly_ED = ctx["polys_ED"][zi]
+        vox = ctx["voxs"][zi]
 
         for fr in range(T):
-            disp = _sample_field(combined[fr], vox[:, :2])
             vox_fr = vox.copy()
-            vox_fr[:, :2] += disp
+            vox_fr[:, :2] += disp_zs[zi, fr, :len(vox)]
             world_fr = (affine_crop @ np.concatenate(
                 [vox_fr, np.ones((len(vox_fr), 1))], axis=1).T).T[:, :3]
             poly_fr = PolyData(points=world_fr, lines=list(poly_ED.lines),
@@ -321,20 +452,6 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
                           os.path.join(output_dir,
                                        f"myo_contour_z{z:02d}_fr{fr:02d}.vtk"))
             polys_by_frame[fr].append(poly_fr)
-
-        if eval_dice:
-            # warp each frame's segmentation back to the ED grid and Dice
-            # it against ED (the reference's dormant self-check,
-            # cardiac_utils.py:944-967, enabled here as a real metric)
-            gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
-            for fr in range(T):
-                cx = gx + combined[fr][..., 0]
-                cy = gy + combined[fr][..., 1]
-                warped = map_coordinates(seg_crop[:, :, z, fr].astype(float),
-                                         [cx, cy], order=0, mode="constant")
-                dice_rows.append(
-                    [np_categorical_dice(seg_crop[:, :, z, 0], warped, 1),
-                     np_categorical_dice(seg_crop[:, :, z, 0], warped, 2)])
 
     # merge slices per frame (vtkAppendPolyData twin, :969-984) — the
     # per-slice polydata are still in memory (written above as artifacts)

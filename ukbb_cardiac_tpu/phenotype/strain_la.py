@@ -17,16 +17,17 @@ from typing import Dict, Optional
 
 import numpy as np
 import pandas as pd
-from scipy.ndimage import map_coordinates
 
+import jax.numpy as jnp
 from ukbb_cardiac_tpu.io import nifti
 from ukbb_cardiac_tpu.io.vtkio import PolyData, load_polydata, save_polydata
-from ukbb_cardiac_tpu.ops import np_categorical_dice
 from ukbb_cardiac_tpu.ops.crop import foreground_bbox
 from ukbb_cardiac_tpu.phenotype.aha import determine_aha_coordinate_system
 from ukbb_cardiac_tpu.phenotype.contours import (approximate_contour,
     extract_contour, lv_slice_masks)
-from ukbb_cardiac_tpu.phenotype.strain import _sample_field, track_slice_fields
+from ukbb_cardiac_tpu.phenotype.strain import (_PTS_BUCKET, _sample_program,
+                                               _warp_dice_program, bucket_hw,
+                                               track_slice_fields)
 from ukbb_cardiac_tpu.reg import RegConfig
 
 LA_LABEL = {"BG": 0, "LV": 1, "Myo": 2, "RV": 3, "LA": 4, "RA": 5}
@@ -281,12 +282,36 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
     X, Y = la_crop.shape[:2]
 
     frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
+    # pad to the compile-shape bucket so cohort subjects share compiled
+    # programs (see phenotype/strain.py::bucket_hw)
+    Xp, Yp = (X, Y) if register_batch is not None else bucket_hw(X, Y)
+    if (Xp, Yp) != (X, Y):
+        frames = np.pad(frames, ((0, 0), (0, Xp - X), (0, Yp - Y)))
     fields_dev = track_slice_fields(frames, cfg,
                                     register_batch=register_batch,
                                     mesh=mesh, as_numpy=False)
-    return {"output_dir": output_dir, "fields_dev": fields_dev, "T": T,
+
+    # contour just written: sample the fields at its points ON DEVICE —
+    # the dense fields never leave HBM (see phenotype/strain.py)
+    poly_ED = load_polydata(os.path.join(output_dir,
+                                         "la_4ch_myo_contour_ED.vtk"))
+    world = poly_ED.points
+    vox = (inv_affine @ np.concatenate(
+        [world, np.ones((len(world), 1))], axis=1).T).T[:, :3]
+    n_pad = -(-max(len(vox), 1) // _PTS_BUCKET) * _PTS_BUCKET
+    pts = np.zeros((1, n_pad, 2), np.float32)
+    pts[0, :len(vox)] = vox[:, :2]
+    disp_dev = _sample_program(1, T, Xp, Yp, n_pad)(fields_dev,
+                                                    jnp.asarray(pts))
+    seg_sel = np.transpose(seg_crop_mem[:, :, 0, :],
+                           (2, 0, 1))[None].astype(np.int32)
+    seg_sel = np.pad(seg_sel, ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y)))
+    dice_dev = _warp_dice_program(T, Xp, Yp, X, Y)(jnp.asarray(seg_sel),
+                                                   fields_dev)
+    return {"output_dir": output_dir, "disp_dev": disp_dev,
+            "dice_dev": dice_dev, "poly_ED": poly_ED, "vox": vox, "T": T,
             "dt": dt, "X": X, "Y": Y, "affine_crop": affine_crop,
-            "inv_affine": inv_affine, "seg_crop": seg_crop_mem}
+            "inv_affine": inv_affine}
 
 
 def finish_la_motion(ctx: dict, output_name_stem: str,
@@ -296,20 +321,15 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
     (``cardiac_utils.py:1496-1537``)."""
     output_dir = ctx["output_dir"]
     T, dt = ctx["T"], ctx["dt"]
-    X, Y = ctx["X"], ctx["Y"]
-    affine_crop, inv_affine = ctx["affine_crop"], ctx["inv_affine"]
-    combined = np.asarray(ctx["fields_dev"], dtype=np.float32)[0]
-
-    poly_ED = load_polydata(os.path.join(output_dir, "la_4ch_myo_contour_ED.vtk"))
-    world = poly_ED.points
-    vox = (inv_affine @ np.concatenate(
-        [world, np.ones((len(world), 1))], axis=1).T).T[:, :3]
+    affine_crop = ctx["affine_crop"]
+    disp = np.asarray(ctx["disp_dev"], dtype=np.float32)[0]  # (T, Np, 2)
+    poly_ED = ctx["poly_ED"]
+    vox = ctx["vox"]
 
     frame_polys = []
     for fr in range(T):
-        disp = _sample_field(combined[fr], vox[:, :2])
         vox_fr = vox.copy()
-        vox_fr[:, :2] += disp
+        vox_fr[:, :2] += disp[fr, :len(vox)]
         world_fr = (affine_crop @ np.concatenate(
             [vox_fr, np.ones((len(vox_fr), 1))], axis=1).T).T[:, :3]
         poly_fr = PolyData(points=world_fr, lines=list(poly_ED.lines),
@@ -325,17 +345,9 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
         output_name_stem, polys=frame_polys)
 
     if eval_dice:
-        seg_crop = ctx["seg_crop"]
-        gx, gy = np.meshgrid(np.arange(X), np.arange(Y), indexing="ij")
-        rows = []
-        for fr in range(T):
-            cx = gx + combined[fr][..., 0]
-            cy = gy + combined[fr][..., 1]
-            warped = map_coordinates(seg_crop[:, :, 0, fr].astype(float),
-                                     [cx, cy], order=0, mode="constant")
-            rows.append([np_categorical_dice(seg_crop[:, :, 0, 0], warped, 1),
-                         np_categorical_dice(seg_crop[:, :, 0, 0], warped, 2)])
-        df = pd.DataFrame(rows)
+        # warp-Dice self-check already computed on device at dispatch
+        df = pd.DataFrame(np.asarray(ctx["dice_dev"],
+                                     dtype=np.float32).reshape(-1, 2))
         df.to_csv(os.path.join(output_dir, "dice_cine_la_4ch_warp_ffd.csv"),
                   index=None, header=None)
         return df
