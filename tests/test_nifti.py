@@ -119,3 +119,27 @@ def test_nan_scl_slope_means_no_scaling(tmp_path):
     back = nifti.load(str(p))
     np.testing.assert_array_equal(np.asarray(back.dataobj).reshape(-1),
                                   np.arange(12))
+
+
+def test_read_bytes_cache_invalidation(tmp_path):
+    """The decompressed-bytes LRU returns fresh data after a rewrite."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu.io import nifti
+
+    p = str(tmp_path / "x.nii.gz")
+    a = np.arange(24, dtype=np.int16).reshape(2, 3, 4)
+    nifti.save(nifti.Nifti1Image(a, np.eye(4)), p)
+    first = np.asanyarray(nifti.load(p).dataobj)
+    np.testing.assert_array_equal(first, a)
+    # cached second read
+    np.testing.assert_array_equal(np.asanyarray(nifti.load(p).dataobj), a)
+    # rewrite with different contents -> must NOT serve the stale bytes
+    import os
+    b = a * 7
+    nifti.save(nifti.Nifti1Image(b, np.eye(4)), p)
+    os.utime(p, ns=(os.stat(p).st_atime_ns, os.stat(p).st_mtime_ns + 1))
+    np.testing.assert_array_equal(np.asanyarray(nifti.load(p).dataobj), b)
+    # loaded arrays are read-only views over the cache
+    arr = np.asanyarray(nifti.load(p).dataobj)
+    assert not arr.flags.writeable

@@ -17,8 +17,8 @@ def test_full_roundtrip(tmp_path):
     )
     path = str(tmp_path / "p.vtk")
     save_polydata(pd, path)
-    with open(path) as f:
-        head = f.readline()
+    with open(path, "rb") as f:
+        head = f.readline().decode()
     assert "4.0" in head  # MIRTK-compatible version natively
 
     pd2 = load_polydata(path)
@@ -49,3 +49,33 @@ def test_append_offsets_and_arrays():
     empty = PolyData(points=np.zeros((0, 3)))
     m2 = append_polydata([empty, a])
     assert m2.n_points == 3
+
+
+def test_binary_ascii_equivalence(tmp_path):
+    """Binary (default) and ASCII encodings load back the same polydata;
+    binary points round-trip bit-exact (they feed the strain tables)."""
+    rng = np.random.RandomState(3)
+    pts = rng.randn(40, 3) * 100
+    pd = PolyData(
+        points=pts,
+        lines=[np.array([i, i + 1]) for i in range(39)],
+        point_scalars={"Label": rng.randint(1, 3, 40)},
+        point_vectors={"Direction_Radial": rng.randn(40, 3)},
+        cell_scalars={"Segment_ID": rng.randint(1, 17, 39).astype(np.int32),
+                      "W": rng.rand(39)},
+    )
+    pb, pa = str(tmp_path / "b.vtk"), str(tmp_path / "a.vtk")
+    save_polydata(pd, pb)
+    save_polydata(pd, pa, ascii=True)
+    rb, ra = load_polydata(pb), load_polydata(pa)
+    np.testing.assert_array_equal(rb.points, pts)  # bit-exact
+    np.testing.assert_allclose(ra.points, pts, atol=1e-6)
+    np.testing.assert_array_equal(rb.point_scalars["Label"],
+                                  pd.point_scalars["Label"])
+    np.testing.assert_array_equal(rb.point_vectors["Direction_Radial"],
+                                  pd.point_vectors["Direction_Radial"])
+    np.testing.assert_array_equal(rb.cell_scalars["Segment_ID"],
+                                  pd.cell_scalars["Segment_ID"])
+    np.testing.assert_allclose(rb.cell_scalars["W"], pd.cell_scalars["W"])
+    assert [list(l) for l in rb.lines] == [list(l) for l in pd.lines]
+    assert [list(l) for l in ra.lines] == [list(l) for l in pd.lines]

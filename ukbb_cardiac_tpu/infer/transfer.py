@@ -137,6 +137,7 @@ def dispatch_sampled(arrs, bw: Optional[BandwidthTracker]) -> List:
     and reads slow — that biases toward packing once, which is lossless
     and ~45 ms of host work: harmless.
     """
+    import threading
     import time
 
     sample = bw is not None and bw.want_sample()
@@ -145,9 +146,21 @@ def dispatch_sampled(arrs, bw: Optional[BandwidthTracker]) -> List:
         dev = jnp.asarray(arr)
         if sample:
             sample = False
+            # stamp at sample START so concurrent dispatches during the
+            # (possibly slow) resolve don't all decide to sample too
+            bw._last_sample_t = time.monotonic()
             t0 = time.perf_counter()
-            touch(dev).block_until_ready()
-            bw.update(dev.nbytes, time.perf_counter() - t0)
+            handle = touch(dev)
+
+            def _resolve(handle=handle, nbytes=dev.nbytes, t0=t0):
+                handle.block_until_ready()
+                bw.update(nbytes, time.perf_counter() - t0)
+
+            # resolve the sample OFF the dispatching thread: blocking
+            # here (0.4 s on a degraded link) would stall the pipeline
+            # stage this dispatch is feeding — the sample's only
+            # consumer is the NEXT dispatch's pack decision
+            threading.Thread(target=_resolve, daemon=True).start()
         out.append(dev)
     return out
 

@@ -13,6 +13,7 @@ and ``.get_fdata()``.
 from __future__ import annotations
 
 import gzip
+import os
 import struct
 
 import numpy as np
@@ -160,12 +161,46 @@ def _qform_to_affine(quatern, qoffset, pixdim):
     return affine
 
 
-def _read_bytes(filename: str) -> bytes:
+def _read_bytes_uncached(filename: str) -> bytes:
     if str(filename).endswith(".gz"):
         with gzip.open(filename, "rb") as f:
             return f.read()
     with open(filename, "rb") as f:
         return f.read()
+
+
+# Decompressed-bytes LRU: the cohort pipeline reads the same subject
+# files from several stages (image for deploy + volumes + strain; seg
+# for volumes + QC + contours), and on this 1-core host the repeated
+# zlib inflates were a top-5 profiled cost (~0.3 s/subject).  Safe to
+# share: ``load`` hands out read-only ``frombuffer`` views, so callers
+# cannot mutate the cached bytes; the (mtime_ns, size) key invalidates
+# rewritten files (the deploy→phenotype chain rewrites seg files).
+_BYTES_CACHE: dict = {}
+_BYTES_CACHE_BUDGET = 512 * 1024 * 1024
+_bytes_cache_size = 0
+
+
+def _read_bytes(filename: str) -> bytes:
+    global _bytes_cache_size
+    try:
+        st = os.stat(filename)
+    except OSError:
+        return _read_bytes_uncached(filename)
+    key = (os.path.realpath(filename), st.st_mtime_ns, st.st_size)
+    hit = _BYTES_CACHE.get(key)
+    if hit is not None:
+        # move-to-end for LRU order (dicts preserve insertion order)
+        _BYTES_CACHE[key] = _BYTES_CACHE.pop(key)
+        return hit
+    raw = _read_bytes_uncached(filename)
+    if len(raw) <= _BYTES_CACHE_BUDGET // 4:
+        _BYTES_CACHE[key] = raw
+        _bytes_cache_size += len(raw)
+        while _bytes_cache_size > _BYTES_CACHE_BUDGET and _BYTES_CACHE:
+            oldest = next(iter(_BYTES_CACHE))
+            _bytes_cache_size -= len(_BYTES_CACHE.pop(oldest))
+    return raw
 
 
 def load(filename: str) -> Nifti1Image:
@@ -240,7 +275,9 @@ def _build_header_bytes(image: Nifti1Image) -> bytes:
 def save(image: Nifti1Image, filename: str) -> None:
     """Save to ``.nii`` / ``.nii.gz``."""
     hdr, data = _build_header_bytes(image)
-    payload = hdr + b"\x00" * 4 + np.asfortranarray(data).tobytes(order="F")
+    # tobytes(order="F") serialises Fortran order directly — routing
+    # through asfortranarray first made a second full copy
+    payload = hdr + b"\x00" * 4 + data.tobytes(order="F")
     if str(filename).endswith(".gz"):
         # mtime=0 → deterministic output bytes for golden-file tests.
         # compresslevel=1, like nibabel's default: level 9 costs ~30 s on
