@@ -422,18 +422,22 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
         shutil.rmtree(root, ignore_errors=True)
 
 
-def bench_train_ao_e2e(n_subjects=12, warm_iters=8, lo=24, hi=84, repeats=2):
+def bench_train_ao_e2e(n_subjects=12, warm_iters=8, lo=24, hi=84, repeats=2,
+                       device_windows=True):
     """END-TO-END aortic UNet-LSTM trainer from a dataset on disk, in the
-    production configuration (window pool, K=4 dispatch, device augment,
-    bf16, subject cache, compact transfer, staged H2D).
+    production configuration: DEVICE-RESIDENT WINDOWS (each cine ships to
+    HBM once and the step gathers its 9-frame circular windows by index
+    — ``train/device_pool.py``), K=4 dispatch, in-step augmentation,
+    bf16, subject cache.
 
-    Measured on this host (2026-08): 231 ms/iter = 21.6 windows/s vs the
-    41.6 windows/s device step — bound by tunnel H2D bandwidth (~35 MB
-    per 4-step chunk even in f16/uint8 against 0.48 s of device compute;
-    see DESIGN.md), NOT by the host sampler (35-90 ms/batch warm).  On a
-    directly-attached chip the e2e rate recovers the device-step rate.
-    Run via BENCH_AO_E2E=1 python bench_train.py (too slow for the
-    default bench budget)."""
+    History on this host: the host-sliced window path measured
+    21.6 windows/s against the 41.6 windows/s device step — bound by
+    tunnel H2D (~35 MB per 4-step chunk even in f16/uint8; DESIGN.md).
+    ``device_windows`` replaces those megabytes with ~360 bytes of int32
+    indices per chunk, so e2e ≈ device rate even through the degraded
+    link (VERDICT r3 #5).  ``device_windows=False`` measures the old
+    path for comparison.  Run via BENCH_AO_E2E=1 python bench_train.py
+    (too slow for the default bench budget)."""
     import shutil
     import tempfile
 
@@ -474,7 +478,9 @@ def bench_train_ao_e2e(n_subjects=12, warm_iters=8, lo=24, hi=84, repeats=2):
                                 checkpoint_every=10 ** 9,
                                 batch_windows=5, steps_per_dispatch=4,
                                 device_augment=True, bf16=True,
-                                cache_gb=2.0, compact_transfer=True, seed=0)
+                                cache_gb=2.0, compact_transfer=True,
+                                device_windows=device_windows,
+                                pool_gb=2.0, seed=0)
             t0 = time.time()
             train(cfg, max_iterations=iters, progress_every=10 ** 9)
             return time.time() - t0

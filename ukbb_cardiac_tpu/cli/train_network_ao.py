@@ -51,6 +51,10 @@ def main(argv=None):
                              "(lax.scan); requires --batch_windows.")
     add_bool_flag(parser, "device_augment", False)
     add_bool_flag(parser, "bf16", False)
+    add_bool_flag(parser, "device_windows", False)
+    parser.add_argument("--pool_gb", type=float, default=2.0,
+                        help="HBM budget for --device_windows' resident "
+                             "cine pool, GiB (train/device_pool.py).")
     parser.add_argument("--mesh_devices", type=int, default=0,
                         help="Data-parallel mesh size (windows shard over "
                              "chips); requires --batch_windows divisible "
@@ -75,6 +79,7 @@ def main(argv=None):
         batch_windows=args.batch_windows,
         steps_per_dispatch=args.steps_per_dispatch,
         device_augment=args.device_augment, bf16=args.bf16,
+        device_windows=args.device_windows, pool_gb=args.pool_gb,
         mesh_devices=args.mesh_devices, seed=args.seed)
     train(cfg)
 

@@ -203,6 +203,24 @@ def _read_bytes(filename: str) -> bytes:
     return raw
 
 
+def read_shape(filename: str) -> tuple:
+    """Shape of a ``.nii`` / ``.nii.gz`` volume from its header ONLY.
+
+    Reads just the first 352 bytes (streamed for gzip, so the voxel
+    payload is never inflated) — used to size device-resident pools over
+    a whole dataset without decoding every cine
+    (``train/device_pool.py``)."""
+    if str(filename).endswith(".gz"):
+        with gzip.open(filename, "rb") as f:
+            hdr = f.read(_HDR_SIZE)
+    else:
+        with open(filename, "rb") as f:
+            hdr = f.read(_HDR_SIZE)
+    meta = _parse_header(hdr)
+    dim = meta["dim"]
+    return tuple(int(x) for x in dim[1 : 1 + int(dim[0])])
+
+
 def load(filename: str) -> Nifti1Image:
     """Load a ``.nii`` / ``.nii.gz`` file."""
     raw = _read_bytes(filename)

@@ -98,6 +98,14 @@ class AoTrainConfig:
     # replicate, GSPMD inserts the ICI gradient psum (train/steps.py).
     # Requires ``batch_windows`` divisible by the device count.
     mesh_devices: int = 0
+    # keep normalised cines resident in HBM and gather each step's time
+    # windows ON DEVICE (train/device_pool.py): each cine crosses
+    # host->device once on first touch instead of every window it feeds,
+    # so the trainer runs at device-step rate through a slow host link.
+    # Requires batch_windows and device_augment; single-chip.
+    device_windows: bool = False
+    # HBM budget for the device window pool, GiB
+    pool_gb: float = 2.0
 
     @property
     def n_class(self) -> int:
@@ -152,6 +160,74 @@ def scan_dataset_ao(dataset_dir: str, seq_name: str = "ao"):
     return data_list
 
 
+def _load_subject_ao(entry, image_size=256, z_score=True, cache=None,
+                     verbose=False):
+    """Decode, crop and normalise one subject's (image, label[, prop])
+    triple — the per-subject half of ``train_network_ao.py:98-155``,
+    shared by the host window samplers and the device-pool sampler.
+
+    Returns (image f32 (X,Y,1,T) normalised, label int32, label_prop
+    int32 or None) or None when the reference's validation gates reject
+    the subject (mismatched shapes / blank image — same error prints).
+    ``cache`` is a ``train.sa.SubjectCache``."""
+    image_name, label_name = entry[0], entry[1]
+    label_prop_name = entry[2] if len(entry) == 3 else None
+    if not (os.path.exists(image_name) and os.path.exists(label_name)):
+        return None
+    if verbose:
+        print(f"  Select {image_name} {label_name}")
+    ckey = cached = None
+    if cache is not None:
+        ckey = (image_name, label_name, label_prop_name, image_size,
+                z_score, os.path.getmtime(image_name),
+                os.path.getmtime(label_name),
+                os.path.getmtime(label_prop_name)
+                if label_prop_name else None)
+        cached = cache.get(ckey)
+    if cached is not None:
+        image, label, label_prop = cached
+    else:
+        image = np.asanyarray(nifti.load(image_name).dataobj).astype(np.float32)
+        label = np.asanyarray(nifti.load(label_name).dataobj)
+        label_prop = (np.asanyarray(nifti.load(label_prop_name).dataobj)
+                      if label_prop_name else None)
+
+        if image.shape != label.shape:
+            print(f"Error: mismatched size, image.shape = {image.shape}, "
+                  f"label.shape = {label.shape}")
+            return None
+        if label_prop is not None and image.shape != label_prop.shape:
+            print(f"Error: mismatched size, image.shape = {image.shape}, "
+                  f"label_prop.shape = {label_prop.shape}")
+            return None
+        if image.max() < 1e-6:
+            print(f"Error: blank image, image.max = {image.max()}")
+            return None
+
+        X, Y = image.shape[:2]
+        cx, cy = X // 2, Y // 2
+        image = crop_image(image, cx, cy, image_size)
+        label = crop_image(label, cx, cy, image_size)
+        if label_prop is not None:
+            label_prop = crop_image(label_prop, cx, cy, image_size)
+
+        if z_score:
+            image = normalise_intensity(image, 10.0)
+        else:
+            image = rescale_intensity(image, (1.0, 99.0))
+        # int32 now = the exact cast applied at window stacking below
+        label = np.asarray(label, dtype=np.int32)
+        if label_prop is not None:
+            label_prop = np.asarray(label_prop, dtype=np.int32)
+        if cache is not None:
+            cache.put(ckey, (image, label,
+                             label_prop if label_prop is not None
+                             else np.empty(0, np.int32)))
+    if isinstance(label_prop, np.ndarray) and label_prop.size == 0:
+        label_prop = None
+    return image, label, label_prop
+
+
 def get_random_batch_ao(filename_list, batch_size, image_size=256,
                         time_window=1, z_score=True, flatten=False,
                         data_augmentation=False, shift=0.0, rotate=0.0,
@@ -170,61 +246,13 @@ def get_random_batch_ao(filename_list, batch_size, image_size=256,
     n_selected = 0
     while n_selected < batch_size:
         entry = filename_list[rng.randrange(n_file)]
-        image_name, label_name = entry[0], entry[1]
-        label_prop_name = entry[2] if len(entry) == 3 else None
-        if not (os.path.exists(image_name) and os.path.exists(label_name)):
+        loaded = _load_subject_ao(entry, image_size=image_size,
+                                  z_score=z_score, cache=cache,
+                                  verbose=verbose)
+        if loaded is None:
             continue
-        if verbose:
-            print(f"  Select {image_name} {label_name}")
-        ckey = cached = None
-        if cache is not None:
-            ckey = (image_name, label_name, label_prop_name, image_size,
-                    z_score, os.path.getmtime(image_name),
-                    os.path.getmtime(label_name),
-                    os.path.getmtime(label_prop_name)
-                    if label_prop_name else None)
-            cached = cache.get(ckey)
-        if cached is not None:
-            image, label, label_prop = cached
-        else:
-            image = np.asanyarray(nifti.load(image_name).dataobj).astype(np.float32)
-            label = np.asanyarray(nifti.load(label_name).dataobj)
-            label_prop = (np.asanyarray(nifti.load(label_prop_name).dataobj)
-                          if label_prop_name else None)
-
-            if image.shape != label.shape:
-                print(f"Error: mismatched size, image.shape = {image.shape}, "
-                      f"label.shape = {label.shape}")
-                continue
-            if label_prop is not None and image.shape != label_prop.shape:
-                print(f"Error: mismatched size, image.shape = {image.shape}, "
-                      f"label_prop.shape = {label_prop.shape}")
-                continue
-            if image.max() < 1e-6:
-                print(f"Error: blank image, image.max = {image.max()}")
-                continue
-
-            X, Y = image.shape[:2]
-            cx, cy = X // 2, Y // 2
-            image = crop_image(image, cx, cy, image_size)
-            label = crop_image(label, cx, cy, image_size)
-            if label_prop is not None:
-                label_prop = crop_image(label_prop, cx, cy, image_size)
-
-            if z_score:
-                image = normalise_intensity(image, 10.0)
-            else:
-                image = rescale_intensity(image, (1.0, 99.0))
-            # int32 now = the exact cast applied at window stacking below
-            label = np.asarray(label, dtype=np.int32)
-            if label_prop is not None:
-                label_prop = np.asarray(label_prop, dtype=np.int32)
-            if cache is not None:
-                cache.put(ckey, (image, label,
-                                 label_prop if label_prop is not None
-                                 else np.empty(0, np.int32)))
-        if isinstance(label_prop, np.ndarray) and label_prop.size == 0:
-            label_prop = None
+        image, label, label_prop = loaded
+        label_name = entry[1]
         T = image.shape[3]
 
         t_anno = np.nonzero(np.sum(label > 0, axis=(0, 1, 2)))[0]
@@ -295,6 +323,99 @@ def make_window_pool_sampler(filename_list, batch_windows: int,
             images = images.reshape((-1,) + images.shape[2:])
             labels = labels.reshape((-1,) + labels.shape[2:])
         return {"image": images, "label": labels}
+
+    return next_batch
+
+
+def make_device_window_sampler(filename_list, batch_windows: int, pool,
+                               image_size=256, time_window=1, z_score=True,
+                               rng=None, cache=None, verbose=False):
+    """Index-batch sampler over a :class:`train.device_pool.DeviceCinePool`.
+
+    Draws subjects with EXACTLY the host samplers' semantics — the same
+    one-``randrange``-per-subject stream, the same validation gates, the
+    same circular windows around every annotated frame with FIFO window
+    pooling (``make_window_pool_sampler``) — but instead of slicing
+    pixels it ensures the subject's cine is device-resident and emits
+    {"slot": (B,), "tidx": (B, TW), "lidx": (B, TW)} int32 index batches
+    for :func:`train.device_pool.make_pool_window_multi_step` to gather
+    in HBM.  ``lidx`` is the window itself when a densely propagated
+    label exists, else the annotated centre frame repeated
+    (``train_network_ao.py:181-187``).
+
+    Steady state does no host decode at all: per-subject window metadata
+    (t_anno, T, has-prop) is memoised by file key, so a pool hit costs a
+    dict lookup.  Every emitted window PINS its slot; the consumer must
+    ``pool.unpin`` each batch's slots once it has taken the pool
+    snapshot the batch will gather from.
+    """
+    rng = rng or random
+    n_file = len(filename_list)
+    rad = (time_window - 1) // 2
+    meta = {}  # key -> (t_anno tuple, T, has_prop)
+    buf: list = []
+
+    def subject_key(entry):
+        image_name, label_name = entry[0], entry[1]
+        prop_name = entry[2] if len(entry) == 3 else None
+        return (image_name, label_name, prop_name, image_size, z_score,
+                os.path.getmtime(image_name), os.path.getmtime(label_name),
+                os.path.getmtime(prop_name) if prop_name else None)
+
+    def draw():
+        entry = filename_list[rng.randrange(n_file)]
+        if not (os.path.exists(entry[0]) and os.path.exists(entry[1])):
+            return
+        key = subject_key(entry)
+        m = meta.get(key)
+        loaded = None
+        if m is None:
+            loaded = _load_subject_ao(entry, image_size=image_size,
+                                      z_score=z_score, cache=cache,
+                                      verbose=verbose)
+            if loaded is None:
+                return
+            image, label, label_prop = loaded
+            t_anno = np.nonzero(np.sum(label > 0, axis=(0, 1, 2)))[0]
+            if len(t_anno) == 0:
+                print(f"Error: no annotated frame in {entry[1]}, skip.")
+                meta[key] = ((), image.shape[3], False)
+                return
+            m = (tuple(int(t) for t in t_anno), image.shape[3],
+                 label_prop is not None)
+            meta[key] = m
+        t_anno, T, has_prop = m
+        if not t_anno:
+            return
+
+        def make_host(entry=entry):
+            got = _load_subject_ao(entry, image_size=image_size,
+                                   z_score=z_score, cache=cache)
+            if got is None:
+                raise RuntimeError(f"subject {entry[0]} failed to re-load "
+                                   "for pool upload")
+            image, label, label_prop = got
+            src = label_prop if label_prop is not None else label
+            # (X, Y, 1, T) -> (T, X, Y); pool stores f16 img / uint8 lab
+            img_txy = np.transpose(image[:, :, 0, :], (2, 0, 1))
+            lab_txy = np.transpose(src[:, :, 0, :], (2, 0, 1))
+            return img_txy, lab_txy
+
+        slot = pool.ensure(key, make_host)
+        for t in t_anno:
+            idx = [(i + T) % T for i in range(t - rad, t + rad + 1)]
+            lidx = idx if has_prop else [t] * time_window
+            pool.pin(slot)
+            buf.append((slot, idx, lidx))
+
+    def next_batch():
+        while len(buf) < batch_windows:
+            draw()
+        take = buf[:batch_windows]
+        del buf[:batch_windows]
+        return {"slot": np.asarray([s for s, _, _ in take], np.int32),
+                "tidx": np.asarray([t for _, t, _ in take], np.int32),
+                "lidx": np.asarray([li for _, _, li in take], np.int32)}
 
     return next_batch
 
@@ -400,6 +521,52 @@ def restore_pretrained_unet(params, state, model_path: str):
     return params, state
 
 
+def _make_device_window_pipeline(cfg: AoTrainConfig, train_list, K, rng,
+                                 cache):
+    """Size and build the HBM cine pool and its index sampler.
+
+    ``t_max`` comes from a header-only scan of the training cines
+    (``io.nifti.read_shape`` — no voxel payload is decompressed); the
+    slot count fits ``pool_gb`` and is floored at one dispatch chunk's
+    worst-case working set (every window of a K-step chunk from a
+    distinct subject, plus sampler spill-over) so eviction can always
+    make progress."""
+    from ukbb_cardiac_tpu.train.device_pool import DeviceCinePool
+
+    t_max = 0
+    for entry in train_list:
+        try:
+            shape = nifti.read_shape(entry[0])
+        except Exception:
+            continue
+        if len(shape) >= 4:
+            t_max = max(t_max, int(shape[3]))
+    if t_max <= 0:
+        raise ValueError("device_windows: no readable 4D training cine")
+    s = cfg.image_size
+    bytes_per_slot = t_max * s * s * 3  # f16 image + uint8 label
+    budget_slots = int(cfg.pool_gb * (1 << 30) / bytes_per_slot)
+    # worst case pinned at once: the prefetch queue (depth K+1), the
+    # batch in flight, and the chunk under construction — every window
+    # from a distinct subject
+    min_slots = min(len(train_list), (2 * K + 2) * cfg.batch_windows + 4)
+    n_slots = min(len(train_list), max(budget_slots, 1))
+    if n_slots < min_slots:
+        raise ValueError(
+            f"device_windows: pool_gb={cfg.pool_gb} holds {n_slots} cines "
+            f"({bytes_per_slot / 2 ** 20:.0f} MiB each) but one dispatch "
+            f"chunk may pin {min_slots}; raise pool_gb or lower "
+            "batch_windows/steps_per_dispatch")
+    pool = DeviceCinePool(n_slots, t_max, s, s)
+    print(f"Device window pool: {n_slots} slots x T{t_max} @ {s}x{s} "
+          f"({pool.nbytes / 2 ** 30:.2f} GiB HBM)")
+    sample = make_device_window_sampler(
+        train_list, cfg.batch_windows, pool, image_size=cfg.image_size,
+        time_window=cfg.time_window, z_score=cfg.z_score, rng=rng,
+        cache=cache)
+    return pool, sample
+
+
 def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
           progress_every: int = 100):
     data_list = scan_dataset_ao(cfg.dataset_dir, cfg.seq_name)
@@ -426,6 +593,18 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     if K > 1 and cfg.batch_windows <= 0:
         raise ValueError("steps_per_dispatch > 1 requires batch_windows "
                          "(a static batch shape to stack K batches)")
+    if cfg.device_windows:
+        if cfg.batch_windows <= 0:
+            raise ValueError("device_windows requires batch_windows "
+                             "(a static window batch to index-gather)")
+        if not cfg.device_augment:
+            raise ValueError("device_windows requires device_augment: the "
+                             "windows never exist on the host, so the "
+                             "affine augmentation must run in the step")
+        if cfg.mesh_devices > 1:
+            raise ValueError("device_windows is single-chip (the pool "
+                             "gather path); use compact_transfer for "
+                             "mesh data-parallel training")
     if cfg.mesh_devices > 1:
         if cfg.batch_windows <= 0:
             raise ValueError("mesh_devices > 1 requires batch_windows "
@@ -439,6 +618,11 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
         step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
         multi_step = (steps_lib.make_multi_dp_train_step(
             loss_fn, optimizer, mesh) if K > 1 else None)
+    elif cfg.device_windows:
+        from ukbb_cardiac_tpu.train.device_pool import \
+            make_pool_window_multi_step
+        step = None  # every dispatch (k_now >= 1) goes through the scan
+        multi_step = make_pool_window_multi_step(loss_fn, optimizer)
     else:
         step = steps_lib.make_train_step(loss_fn, optimizer)
         multi_step = (steps_lib.make_multi_train_step(loss_fn, optimizer)
@@ -477,7 +661,10 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     # through the host path so each window shares one transform in the
     # jitted augmenter; the loss folds T into the batch afterwards
     host_flatten = flatten and not cfg.device_augment
-    if cfg.batch_windows > 0:
+    if cfg.device_windows:
+        pool, sample = _make_device_window_pipeline(cfg, data_list["train"],
+                                                    K, rng, cache)
+    elif cfg.batch_windows > 0:
         sample = make_window_pool_sampler(
             data_list["train"], cfg.batch_windows, image_size=cfg.image_size,
             time_window=cfg.time_window, z_score=cfg.z_score,
@@ -495,7 +682,7 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
                 rng=rng, cache=cache)
             return {"image": images, "label": labels_arr}
 
-    if cfg.compact_transfer:
+    if cfg.compact_transfer and not cfg.device_windows:
         def make_batch():  # cast on the prefetch thread
             b = sample()
             return {"image": b["image"].astype(np.float16),
@@ -504,20 +691,47 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
         make_batch = sample
 
     prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
-    # the next chunk is device_put one dispatch ahead: its H2D transfer
-    # rides under the running step (transfers overlap compute — train.sa)
     from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
-    build_input = make_chunk_builder(
-        prefetcher, K, total,
-        (cfg.validation_every, cfg.checkpoint_every, progress_every),
-        stage=jax.device_put if cfg.mesh_devices <= 1 else None)
+    if cfg.device_windows:
+        # index chunks are a few hundred bytes; the pool snapshot the
+        # chunk gathers from is taken HERE (after all its subjects are
+        # ensured), then the windows' slot pins release
+        def build_input(it):
+            k_now = min(K, total - it)
+            for c in (cfg.validation_every, cfg.checkpoint_every,
+                      progress_every):
+                if c and c > 0:
+                    k_now = min(k_now, c - it % c)
+            chunk = [prefetcher.next() for _ in range(k_now)]
+            pool_img, pool_lab = pool.snapshot()
+            batches = {k: jax.device_put(np.stack([b[k] for b in chunk]))
+                       for k in chunk[0]}
+            for b in chunk:
+                for s in b["slot"]:
+                    pool.unpin(int(s))
+            keys_arr = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(it + 1, it + 1 + k_now))
+            return k_now, (pool_img, pool_lab, batches), keys_arr
+    else:
+        # the next chunk is device_put one dispatch ahead: its H2D
+        # transfer rides under the running step (transfers overlap
+        # compute — train.sa)
+        build_input = make_chunk_builder(
+            prefetcher, K, total,
+            (cfg.validation_every, cfg.checkpoint_every, progress_every),
+            stage=jax.device_put if cfg.mesh_devices <= 1 else None)
 
     iteration = 0
     pending = build_input(iteration) if total > 0 else None
     while iteration < total:
         t0 = time.time()
         k_now, batches, keys = pending
-        if k_now > 1:
+        if cfg.device_windows:
+            pool_img, pool_lab, idx = batches
+            params, state, opt_state, losses_k, aux = multi_step(
+                params, state, opt_state, pool_img, pool_lab, idx, keys)
+            loss = losses_k[-1]
+        elif k_now > 1:
             params, state, opt_state, losses_k, aux = multi_step(
                 params, state, opt_state, batches, keys)
             loss = losses_k[-1]
