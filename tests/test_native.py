@@ -250,3 +250,37 @@ def test_dicom_scan_declines_when_table_overflows():
     assert native.dicom_scan(stream) is None
     # just below the cap the scanner still handles it
     assert native.dicom_scan(el * 60).shape == (60, 4)
+
+
+def test_unpack_bits_matches_numpy_fallback():
+    """Native single-pass unpack == the vectorised numpy fallback == the
+    original values, for every supported field width (the deploy
+    engines' packed-label readback depends on this exactness)."""
+    import numpy as np
+
+    from ukbb_cardiac_tpu import native
+
+    rng = np.random.RandomState(0)
+    for bits in (1, 2, 4):
+        per = 8 // bits
+        for n in (1, 7, 8, 12345):
+            vals = rng.randint(0, 1 << bits, size=n).astype(np.uint8)
+            pad = (-n) % per
+            v = np.concatenate([vals, np.zeros(pad, np.uint8)])
+            v = v.reshape(-1, per)
+            packed = np.zeros(v.shape[0], np.uint8)
+            for j in range(per):
+                packed |= v[:, j] << (bits * j)
+            out = native.unpack_bits(packed, bits, n)
+            assert out.dtype == np.uint8
+            np.testing.assert_array_equal(out, vals)
+    # numpy fallback (library forced away) gives the same bytes
+    import unittest.mock as mock
+    vals = rng.randint(0, 4, size=1001).astype(np.uint8)
+    v = np.concatenate([vals, np.zeros((-1001) % 4, np.uint8)]).reshape(-1, 4)
+    packed = np.zeros(v.shape[0], np.uint8)
+    for j in range(4):
+        packed |= v[:, j] << (2 * j)
+    with mock.patch.object(native, "get_lib", return_value=None):
+        out = native.unpack_bits(packed, 2, 1001)
+    np.testing.assert_array_equal(out, vals)

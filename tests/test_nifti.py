@@ -143,3 +143,37 @@ def test_read_bytes_cache_invalidation(tmp_path):
     # loaded arrays are read-only views over the cache
     arr = np.asanyarray(nifti.load(p).dataobj)
     assert not arr.flags.writeable
+
+
+@pytest.mark.parametrize("order", ["C", "F"])
+def test_save_bytes_identical_across_memory_orders(tmp_path, order, rng):
+    """The zero-copy F-contiguous write path produces byte-identical
+    files to the serialising (tobytes) path — the two must never
+    diverge (golden CSV/NIfTI fixtures pin the byte stream)."""
+    data = rng.randint(0, 500, size=(11, 7, 3, 4)).astype(np.int16)
+    arr = np.asfortranarray(data) if order == "F" else np.ascontiguousarray(data)
+    assert arr.flags.f_contiguous == (order == "F")
+    img = nifti.Nifti1Image(arr, np.eye(4))
+    p = str(tmp_path / f"x_{order}.nii.gz")
+    nifti.save(img, p)
+    # compare loaded voxels AND the full compressed byte stream across
+    # memory orders (deterministic: mtime=0, same compressor inputs)
+    back = nifti.load(p)
+    np.testing.assert_array_equal(np.asanyarray(back.dataobj), data)
+    other = str(tmp_path / "other.nii.gz")
+    nifti.save(nifti.Nifti1Image(
+        np.ascontiguousarray(data) if order == "F"
+        else np.asfortranarray(data), np.eye(4)), other)
+    assert open(p, "rb").read() == open(other, "rb").read()
+
+
+def test_save_noncontiguous_slice(tmp_path, rng):
+    """A strided view (neither C- nor F-contiguous) still writes
+    correct F-order voxels via the tobytes fallback."""
+    base = rng.randint(0, 500, size=(12, 8, 6)).astype(np.int16)
+    view = base[::2, 1:7, ::3]
+    assert not view.flags.c_contiguous and not view.flags.f_contiguous
+    p = str(tmp_path / "v.nii")
+    nifti.save(nifti.Nifti1Image(view, np.eye(4)), p)
+    np.testing.assert_array_equal(
+        np.asanyarray(nifti.load(p).dataobj), view)

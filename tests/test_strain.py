@@ -179,3 +179,33 @@ def test_reference_scheme_both_directions(sax_subject, tmp_path):
     # peak global circumferential strain within 3 percentage points
     assert abs(circ_ref.min() - circ_default.min()) < 3.0, \
         (circ_ref.min(), circ_default.min())
+
+
+def test_finish_no_artifacts_same_tables(sax_subject, tmp_path):
+    """``write_artifacts=False`` (the cohort driver's mode — it deletes
+    the motion dir right after harvesting) produces byte-identical
+    strain CSVs while writing NO per-frame contour VTKs."""
+    from ukbb_cardiac_tpu.phenotype.strain import (finish_sa_motion,
+                                                   start_sa_motion_dispatch)
+
+    cfg = RegConfig(spacing=8, levels=2, iters=30, lr=0.5, be_weight=1e-2)
+    outs = {}
+    for mode in ("artifacts", "bare"):
+        d = tmp_path / mode
+        d.mkdir()
+        ctx = start_sa_motion_dispatch(str(sax_subject), str(d), cfg)
+        assert ctx is not None
+        finish_sa_motion(ctx, str(d / "strain_sa"),
+                         write_artifacts=(mode == "artifacts"))
+        outs[mode] = d
+        frame_vtks = [p for p in os.listdir(d)
+                      if p.startswith("myo_contour_fr")
+                      or "_fr" in p and p.endswith(".vtk")]
+        if mode == "artifacts":
+            assert frame_vtks
+        else:
+            assert not frame_vtks
+    for name in ("strain_sa_radial.csv", "strain_sa_circum.csv"):
+        a = (outs["artifacts"] / name).read_bytes()
+        b = (outs["bare"] / name).read_bytes()
+        assert a == b

@@ -94,13 +94,14 @@ class PendingSegmentation:
         self._bits = bits
 
     def result(self) -> np.ndarray:
+        from ukbb_cardiac_tpu import native
+
         packed = np.asarray(self._packed)  # blocks until ready
-        per_byte = 8 // self._bits
-        mask = (1 << self._bits) - 1
-        shifts = np.arange(per_byte, dtype=np.uint8) * self._bits
-        unpacked = (packed[:, None] >> shifts) & mask
         n = int(np.prod(self._shape))
-        return unpacked.reshape(-1)[:n].reshape(self._shape).astype(np.uint8)
+        # single-pass C++ unpack (numpy fallback inside): the numpy
+        # expression materialised a (bytes, 8/bits) temporary plus two
+        # copies per cine — measurable on the 1-core cohort host
+        return native.unpack_bits(packed, self._bits, n).reshape(self._shape)
 
 
 def pad_stack_to_multiple(stack: np.ndarray, n: int):

@@ -98,6 +98,9 @@ def _load_locked() -> Optional[ctypes.CDLL]:
         fn.restype = ctypes.c_int32
         fn.argtypes = [ctypes.c_char_p, ctypes.c_int64, u16p,
                        ctypes.c_int64, i32_ref, i32_ref]
+    lib.unpack_bits.restype = None
+    lib.unpack_bits.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32, i8p,
+                                ctypes.c_int64]
     _lib = lib
     return _lib
 
@@ -227,3 +230,28 @@ def dicom_scan(buf: bytes):
     if k < 0:
         return None
     return out[:k]
+
+
+def unpack_bits(packed: np.ndarray, bits: int, n: int) -> np.ndarray:
+    """Unpack ``bits``-wide fields (low field first) from a uint8 byte
+    array into ``n`` uint8 values — the host-side inverse of the deploy
+    engines' device-side label pack (``infer/engine.py``).  Native
+    single-pass kernel when the library is available; vectorised numpy
+    otherwise (identical output, ~4x the memory traffic)."""
+    if bits not in (1, 2, 4):
+        raise ValueError(f"bits must be 1, 2 or 4, got {bits}")
+    packed = np.ascontiguousarray(packed, dtype=np.uint8).reshape(-1)
+    per = 8 // bits
+    if n > packed.size * per:
+        raise ValueError(f"{packed.size} packed bytes hold at most "
+                         f"{packed.size * per} values, asked for {n}")
+    lib = get_lib()
+    if lib is not None:
+        out = np.empty(n, dtype=np.uint8)
+        lib.unpack_bits(packed, np.int64(packed.size), np.int32(bits),
+                        out, np.int64(n))
+        return out
+    shifts = np.arange(per, dtype=np.uint8) * bits
+    mask = (1 << bits) - 1
+    unpacked = (packed[:, None] >> shifts) & mask
+    return unpacked.reshape(-1)[:n].astype(np.uint8)

@@ -866,4 +866,29 @@ int32_t jpegls_decode(const uint8_t* data, int64_t n, uint16_t* out,
   return r.err ? -1 : 0;
 }
 
+// ---------------------------------------------------------------------------
+// Bit-field unpack for the deploy engines' packed label readback.
+// ---------------------------------------------------------------------------
+
+// Unpack `bits`-wide fields (bits in {1,2,4}) from n_bytes packed bytes
+// into n uint8 values, low field first — the exact inverse of the
+// device-side pack (infer/engine.py).  The numpy unpack materialised a
+// (n_bytes, 8/bits) temporary plus two reshape/astype copies per cine;
+// this writes the output buffer once via a 256-entry per-byte table.
+void unpack_bits(const uint8_t* in, int64_t n_bytes, int32_t bits,
+                 uint8_t* out, int64_t n) {
+  const int32_t per = 8 / bits;
+  const uint8_t mask = (uint8_t)((1u << bits) - 1u);
+  // per-byte lookup: byte -> up to 8 unpacked values
+  uint8_t table[256][8];
+  for (int v = 0; v < 256; ++v)
+    for (int32_t j = 0; j < per; ++j)
+      table[v][j] = (uint8_t)((v >> (bits * j)) & mask);
+  const int64_t full = n / per;  // bytes whose every field is in range
+  for (int64_t i = 0; i < full; ++i)
+    std::memcpy(out + i * per, table[in[i]], (size_t)per);
+  for (int64_t o = full * per; o < n; ++o)
+    out[o] = table[in[o / per]][o % per];
+}
+
 }  // extern "C"

@@ -143,7 +143,9 @@ def process_subject_sa(engine, data_dir: str,
                                             register_batch=register_batch,
                                             mesh=mesh, **kwargs)
             if sctx is not None:
-                finish_sa_motion(sctx, os.path.join(data_dir, "strain_sa"))
+                # motion_dir is deleted below: skip its per-frame VTKs
+                finish_sa_motion(sctx, os.path.join(data_dir, "strain_sa"),
+                                 write_artifacts=False)
         finally:
             shutil.rmtree(motion_dir, ignore_errors=True)
         if os.path.exists(radial_csv) and os.path.exists(circum_csv):
@@ -316,9 +318,11 @@ def process_subject_full(engines: Dict[str, object], data_dir: str,
             ctx = start_la_motion_dispatch(data_dir, motion_dir, mesh=mesh,
                                            **kwargs)
             if ctx is not None:
+                # motion_dir is deleted below: skip its per-frame VTKs
                 finish_la_motion(ctx, os.path.join(data_dir,
                                                    "strain_la_4ch"),
-                                 eval_dice=eval_dice)
+                                 eval_dice=eval_dice,
+                                 write_artifacts=False)
         finally:
             shutil.rmtree(motion_dir, ignore_errors=True)
         if os.path.exists(longit_csv):

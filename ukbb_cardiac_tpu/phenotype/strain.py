@@ -41,13 +41,17 @@ from ukbb_cardiac_tpu.reg import RegConfig, make_register_batch, total_field
 
 
 def evaluate_strain_by_length(contour_name_stem: str, T: int, dt: float,
-                              output_name_stem: str, polys=None) -> None:
+                              output_name_stem: str, polys=None,
+                              write_vtk: bool = True) -> None:
     """Lagrangian strain per line cell vs ED; per-AHA-segment tables
     (``cardiac_utils.py:755-837``).  Reads ``<stem><fr:02d>.vtk`` (or the
     same polydata passed in-memory via ``polys`` — the driver already
     holds the objects it just wrote, so reloading the text files doubled
     the finish stage's cost), writes the Strain cell array back and
-    ``<out>_radial.csv`` / ``<out>_circum.csv``."""
+    ``<out>_radial.csv`` / ``<out>_circum.csv``.  ``write_vtk=False``
+    skips rewriting the Strain-annotated frame files (callers that
+    delete the motion directory right after harvesting the CSVs —
+    ``parallel/cohort.py`` — pay the file I/O for nothing)."""
     poly_ED = (polys[0] if polys is not None
                else load_polydata(f"{contour_name_stem}{0:02d}.vtk"))
     pts = poly_ED.points
@@ -65,7 +69,8 @@ def evaluate_strain_by_length(contour_name_stem: str, T: int, dt: float,
         d = np.linalg.norm(p[lines_arr[:, 0]] - p[lines_arr[:, 1]], axis=1)
         strain = (d - length_ED) / length_ED * 100
         poly.cell_scalars["Strain"] = strain
-        save_polydata(poly, filename)
+        if write_vtk:
+            save_polydata(poly, filename)
 
         for i in range(16):
             table_strain["radial"][i, fr] = np.mean(
@@ -414,13 +419,17 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
             "eval_dice": eval_dice}
 
 
-def finish_sa_motion(ctx: dict, output_name_stem: str
+def finish_sa_motion(ctx: dict, output_name_stem: str,
+                     write_artifacts: bool = True
                      ) -> Optional[pd.DataFrame]:
     """Stage 2 of the SA strain driver: fetch the contour-point
     displacements (the dense fields stay in HBM — sampling and the
     optional warp-Dice self-check already ran on device), build the
     per-frame polydata and write the strain tables
-    (``cardiac_utils.py:938-987``)."""
+    (``cardiac_utils.py:938-987``).  ``write_artifacts=False`` skips the
+    per-frame contour VTK files (cohort drivers delete the motion
+    directory right after reading the CSVs; on a 1-core host those
+    ~4·T writes per subject are a measurable share of the wall)."""
     output_dir = ctx["output_dir"]
     selected = ctx["selected"]
     T, dt = ctx["T"], ctx["dt"]
@@ -448,9 +457,11 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
                                point_scalars=dict(poly_ED.point_scalars),
                                point_vectors=dict(poly_ED.point_vectors),
                                cell_scalars=dict(poly_ED.cell_scalars))
-            save_polydata(poly_fr,
-                          os.path.join(output_dir,
-                                       f"myo_contour_z{z:02d}_fr{fr:02d}.vtk"))
+            if write_artifacts:
+                save_polydata(
+                    poly_fr,
+                    os.path.join(output_dir,
+                                 f"myo_contour_z{z:02d}_fr{fr:02d}.vtk"))
             polys_by_frame[fr].append(poly_fr)
 
     # merge slices per frame (vtkAppendPolyData twin, :969-984) — the
@@ -459,12 +470,14 @@ def finish_sa_motion(ctx: dict, output_name_stem: str
     for fr in range(T):
         parts = [polys_by_frame[fr][zi] for zi in range(len(selected))]
         m = append_polydata(parts)
-        save_polydata(m, os.path.join(output_dir,
-                                      f"myo_contour_fr{fr:02d}.vtk"))
+        if write_artifacts:
+            save_polydata(m, os.path.join(output_dir,
+                                          f"myo_contour_fr{fr:02d}.vtk"))
         merged.append(m)
 
     evaluate_strain_by_length(os.path.join(output_dir, "myo_contour_fr"),
-                              T, dt, output_name_stem, polys=merged)
+                              T, dt, output_name_stem, polys=merged,
+                              write_vtk=write_artifacts)
     if eval_dice and dice_rows:
         df = pd.DataFrame(dice_rows)
         df.to_csv(os.path.join(output_dir, "dice_cine_warp_ffd.csv"),

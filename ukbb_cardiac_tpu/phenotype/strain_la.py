@@ -202,11 +202,13 @@ def extract_la_myocardial_contour(seg_la_name: str, seg_sa_name: str,
 
 
 def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
-                                 output_name_stem: str, polys=None) -> None:
+                                 output_name_stem: str, polys=None,
+                                 write_vtk: bool = True) -> None:
     """Longitudinal strain table, 7 rows (6 segments + Global)
     (``cardiac_utils.py:1325-1404``).  ``polys``: optional in-memory
     per-frame polydata (skips reloading the files the driver just
-    wrote; the Strain-annotated files are still written)."""
+    wrote; the Strain-annotated files are still written unless
+    ``write_vtk=False`` — see ``phenotype/strain.py``)."""
     poly_ED = (polys[0] if polys is not None
                else load_polydata(f"{contour_name_stem}{0:02d}.vtk"))
     pts = poly_ED.points
@@ -224,7 +226,8 @@ def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
         d = np.linalg.norm(p[lines_arr[:, 0]] - p[lines_arr[:, 1]], axis=1)
         strain = (d - length_ED) / length_ED * 100
         poly.cell_scalars["Strain"] = strain
-        save_polydata(poly, filename)
+        if write_vtk:
+            save_polydata(poly, filename)
         for i in range(6):
             sel = (seg_id == (i + 1)) & (dir_id == 3)
             table[i, fr] = np.mean(strain[sel]) if np.any(sel) else np.nan
@@ -315,10 +318,12 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
 
 
 def finish_la_motion(ctx: dict, output_name_stem: str,
-                     eval_dice: bool = False) -> Optional[pd.DataFrame]:
+                     eval_dice: bool = False,
+                     write_artifacts: bool = True) -> Optional[pd.DataFrame]:
     """Stage 2 of the LA strain driver: fetch the fields, warp the ED
     contour through them and write the strain tables
-    (``cardiac_utils.py:1496-1537``)."""
+    (``cardiac_utils.py:1496-1537``).  ``write_artifacts=False`` skips
+    the per-frame contour VTKs (see ``phenotype/strain.py``)."""
     output_dir = ctx["output_dir"]
     T, dt = ctx["T"], ctx["dt"]
     affine_crop = ctx["affine_crop"]
@@ -336,13 +341,14 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
                            point_scalars=dict(poly_ED.point_scalars),
                            point_vectors=dict(poly_ED.point_vectors),
                            cell_scalars=dict(poly_ED.cell_scalars))
-        save_polydata(poly_fr, os.path.join(
-            output_dir, f"la_4ch_myo_contour_fr{fr:02d}.vtk"))
+        if write_artifacts:
+            save_polydata(poly_fr, os.path.join(
+                output_dir, f"la_4ch_myo_contour_fr{fr:02d}.vtk"))
         frame_polys.append(poly_fr)
 
     evaluate_la_strain_by_length(
         os.path.join(output_dir, "la_4ch_myo_contour_fr"), T, dt,
-        output_name_stem, polys=frame_polys)
+        output_name_stem, polys=frame_polys, write_vtk=write_artifacts)
 
     if eval_dice:
         # warp-Dice self-check already computed on device at dispatch
