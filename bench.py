@@ -426,6 +426,10 @@ def main():
         "cohort_full_subjects": cohort_full.get("n"),
         "cohort_full_wall_s": cohort_full.get("wall_s"),
         "cohort_full_subjects_per_s": cohort_full.get("subjects_per_s"),
+        "cohort_full_stage_means_s": cohort_full.get("stage_means_s"),
+        # host context: the cohort chain's host stages serialise on this
+        # many cores (duty/throughput scale with host CPU, not the chip)
+        "host_cpus": os.cpu_count(),
         # SA strain tracking, 3 slices x T=50 @ 96x96 (measured; the
         # reference's MIRTK path takes "several minutes" on CPU):
         "strain_tracking_s": round(strain_s, 3) if strain_s else None,
@@ -754,9 +758,19 @@ def _bench_cohort_full(engines, n=None, shape=(160, 160, 10, 20),
                               post_segment_hook=None if trained else hook,
                               verbose=False)
         n_ok = len(res.fleet.succeeded)
+        # mean seconds per pipeline stage across subjects — makes the
+        # artifact self-explanatory about WHERE the per-subject wall goes
+        # (on this 1-core host the host stages serialise)
+        stage_means = {}
+        for stages in res.stage_seconds.values():
+            for k, v in stages.items():
+                stage_means.setdefault(k, []).append(v)
+        stage_means = {k: round(float(np.mean(v)), 3)
+                       for k, v in stage_means.items()}
         return {"n": n_ok, "wall_s": round(res.wall_seconds, 2),
                 "subjects_per_s": round(n_ok / res.wall_seconds, 3)
-                if res.wall_seconds > 0 else None}
+                if res.wall_seconds > 0 else None,
+                "stage_means_s": stage_means}
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
