@@ -129,3 +129,56 @@ def test_verify_dice_on_subjects(tmp_path, capsys):
     out = capsys.readouterr().out
     assert rc == 0, out
     assert "ED JAX-vs-TF Dice" in out
+
+
+def test_fingerprint_dump_and_diff(tmp_path):
+    """--fingerprint writes the per-tensor audit JSON; --fingerprint_diff
+    flags exactly the tensors whose bytes changed (the offline
+    conversion-audit path for the released checkpoints, ckpt/fingerprint.py)."""
+    import json
+
+    import jax
+    import numpy as np
+
+    from ukbb_cardiac_tpu.ckpt.store import save_model
+    from ukbb_cardiac_tpu.cli import verify_checkpoint
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+
+    cfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(2, 4, 4),
+                            n_block=(1, 1, 1), same_dim=4, fc=4)
+    p, s, n = fcn_mod.init_fcn(jax.random.PRNGKey(0), cfg)
+    bundle = str(tmp_path / "m.npz")
+    save_model(bundle, "fcn", cfg, n, p, s)
+
+    fp_a = str(tmp_path / "a.json")
+    rc = verify_checkpoint.main(["--model_path", bundle,
+                                 "--fingerprint", fp_a])
+    assert rc in (None, 0)
+    a = json.load(open(fp_a))
+    assert a["n_tensors"] > 5
+    first = next(iter(a["tensors"].values()))
+    assert {"shape", "dtype", "sha256_16", "mean"} <= set(first)
+
+    # identical dump diffs clean (exit 0)
+    assert verify_checkpoint.main(
+        ["--fingerprint_diff", fp_a, fp_a]) == 0
+
+    # perturb ONE tensor: the diff names exactly it (exit 1)
+    key = sorted(k for k in p)[0]
+    leaf = p[key]
+    while isinstance(leaf, dict):
+        leaf = leaf[sorted(leaf)[0]]
+    p2 = jax.tree_util.tree_map(lambda x: x, p)
+    node, path = p2, [key]
+    while isinstance(node[path[-1]], dict):
+        node = node[path[-1]]
+        path.append(sorted(node)[0])
+    node[path[-1]] = node[path[-1]] + 1.0
+    bundle2 = str(tmp_path / "m2.npz")
+    save_model(bundle2, "fcn", cfg, n, p2, s)
+    fp_b = str(tmp_path / "b.json")
+    verify_checkpoint.main(["--model_path", bundle2, "--fingerprint", fp_b])
+    assert verify_checkpoint.main(
+        ["--fingerprint_diff", fp_a, fp_b]) == 1
+    d = json.load(open(fp_b))
+    assert d["n_tensors"] == a["n_tensors"]

@@ -230,9 +230,10 @@ def main(argv=None):
     parser = argparse.ArgumentParser(
         description=__doc__,
         formatter_class=argparse.RawDescriptionHelpFormatter)
-    parser.add_argument("--model_path", required=True,
+    parser.add_argument("--model_path", default="",
                         help="TF checkpoint prefix, its directory, or a "
-                             "converted .npz bundle")
+                             "converted .npz bundle (required except "
+                             "with --fingerprint_diff)")
     parser.add_argument("--data_dir", default="",
                         help="Subject directories with <seq_name>.nii.gz "
                              "for the Dice check")
@@ -241,10 +242,37 @@ def main(argv=None):
                         help="Max-abs activation tolerance vs the TF ops")
     parser.add_argument("--dice_min", type=float, default=0.999,
                         help="Per-class JAX-vs-TF label Dice threshold")
+    parser.add_argument("--fingerprint", default="", metavar="OUT.json",
+                        help="After conversion, write per-tensor content "
+                             "fingerprints (name, shape, dtype, sha256, "
+                             "moments) to this JSON — the offline "
+                             "conversion-audit artifact (ckpt/"
+                             "fingerprint.py); diff two dumps with "
+                             "--fingerprint_diff")
+    parser.add_argument("--fingerprint_diff", nargs=2, default=None,
+                        metavar=("A.json", "B.json"),
+                        help="Diff two fingerprint dumps and exit: lists "
+                             "missing/extra/changed tensors (exit 1 on "
+                             "any difference)")
     args = parser.parse_args(argv)
 
     from ukbb_cardiac_tpu.ckpt import store
 
+    if args.fingerprint_diff:
+        import json as _json
+
+        from ukbb_cardiac_tpu.ckpt.fingerprint import diff_fingerprints
+        with open(args.fingerprint_diff[0]) as f:
+            a = _json.load(f)
+        with open(args.fingerprint_diff[1]) as f:
+            b = _json.load(f)
+        d = diff_fingerprints(a, b)
+        print(_json.dumps(d, indent=1))
+        return 1 if (d["missing"] or d["extra"] or d["changed"]) else 0
+
+    if not args.model_path:
+        parser.error("--model_path is required (except with "
+                     "--fingerprint_diff)")
     prefix = resolve_prefix(args.model_path)
     if prefix.endswith(".npz"):
         bundle = prefix
@@ -253,6 +281,11 @@ def main(argv=None):
         from ukbb_cardiac_tpu.ckpt.tf_reader import convert_tf_checkpoint
         bundle = convert_tf_checkpoint(prefix)
         print(f"Converted {prefix} -> {bundle}")
+    if args.fingerprint:
+        from ukbb_cardiac_tpu.ckpt.fingerprint import write_fingerprint
+        fp = write_fingerprint(bundle, args.fingerprint)
+        print(f"Fingerprinted {fp['n_tensors']} tensors -> "
+              f"{args.fingerprint}")
     kind, cfg, names, params, state, extra = store.load_model(bundle)
     print(f"kind={kind} config={cfg}")
 
