@@ -179,12 +179,13 @@ def main():
     _prng = np.random.RandomState(7)
     sa = np.round(sax_phantom(192, 208, 10, 50, r_lv=30.0, wall=10.0,
                               rng=_prng)[0]).astype(np.int16)
-    la = {"la_2ch": np.round(la_phantom(192, 208, 50, n_class=2,
+    _s4 = np.round(seg4_la_phantom(192, 208, 50, zoom=2.0,
+                                   rng=_prng)[0]).astype(np.int16)
+    # la_4ch and seg4 deploy the SAME 4-chamber cine, like production
+    # (both networks read la_4ch.nii.gz, demo_pipeline.py:63-99)
+    la = {"la_2ch": np.round(la_phantom(192, 208, 50, n_class=2, r_la=20.0,
                                         rng=_prng)[0]).astype(np.int16),
-          "la_4ch": np.round(la_phantom(192, 208, 50, n_class=3,
-                                        rng=_prng)[0]).astype(np.int16),
-          "seg4": np.round(seg4_la_phantom(192, 208, 50, zoom=2.0,
-                                           rng=_prng)[0]).astype(np.int16)}
+          "la_4ch": _s4, "seg4": _s4}
     ao = np.round(ao_phantom(240, 196, 100, rng=_prng,
                              r_aa=18.0, r_da=12.0)[0]).astype(np.int16)
 
@@ -693,9 +694,21 @@ def _bench_cohort_full(engines, n=None, shape=(160, 160, 10, 20),
         os.makedirs(d, exist_ok=True)
         rng = np.random.RandomState(i)
         sa_img, sa_seg = sax_phantom(X, Y, Z, T, rng=rng)
-        la2_img, la2_seg = la_phantom(X, Y, T, n_class=2, rng=rng)
-        la4_img, la4_seg = la_phantom(X, Y, T, n_class=3, rng=rng)
-        s4_img, s4_seg = seg4_la_phantom(X, Y, T, rng=rng)
+        # LA anatomy drawn from the weight bundles' training distribution
+        # (bench_accuracy.make_la_cohort): plausible-cohort subjects, and
+        # the trained seg4 deploy passes LA QC so the LA strain stage
+        # does its real work instead of silently skipping.  la_4ch and
+        # seg4 share ONE 4-chamber cine — exactly like production, where
+        # both networks read the same la_4ch.nii.gz
+        # (demo_pipeline.py:63-99)
+        r_la = X * (0.08 + 0.05 * rng.rand())
+        zoom = X / 96.0 * (0.8 + 0.4 * rng.rand())
+        la2_img, la2_seg = la_phantom(X, Y, T, n_class=2, rng=rng, r_la=r_la)
+        s4_img, s4_seg = seg4_la_phantom(X, Y, T, rng=rng, zoom=zoom)
+        la4_img = s4_img
+        la4_seg = np.zeros_like(s4_seg)
+        la4_seg[s4_seg == 4] = 1   # LA
+        la4_seg[s4_seg == 5] = 2   # RA
         ao_img, ao_seg = ao_phantom(X, Y, T, rng=rng)
         _save(d, "sa.nii.gz", sa_img.astype(np.int16), affine_sa)
         _save(d, "la_2ch.nii.gz", la2_img.astype(np.int16), affine_la)

@@ -132,3 +132,29 @@ def test_aortic_packed_dispatch_bit_identical():
     eng._bw = _degraded()
     seg_pack = eng.segment_cine(cine, z_score=True, pad_to=48)
     np.testing.assert_array_equal(seg_pack, seg_raw)
+
+
+def test_native_pack_matches_numpy():
+    """pack_piece's native one-pass path produces bit-identical planes to
+    the numpy path, for both int16 and uint16 and ragged tails."""
+    import unittest.mock as mock
+
+    import numpy as np
+
+    from ukbb_cardiac_tpu import native
+    from ukbb_cardiac_tpu.infer import transfer
+
+    rng = np.random.RandomState(0)
+    for dtype in (np.int16, np.uint16):
+        for hi_bits, mx in ((2, 1024), (4, 4096)):
+            for n in (8, 11, 100003):
+                vals = rng.randint(0, mx, size=n).astype(dtype)
+                plan = transfer.PackPlan((n,), np.dtype(dtype).str,
+                                         hi_bits, (0, n))
+                got = transfer.pack_piece(vals, plan, 0)
+                with mock.patch.object(native, "pack_lo_hi_i16",
+                                       return_value=None):
+                    want = transfer.pack_piece(vals, plan, 0)
+                assert len(got) == len(want) == 2
+                np.testing.assert_array_equal(got[0], want[0])
+                np.testing.assert_array_equal(got[1], want[1])

@@ -230,6 +230,14 @@ def pack_piece(image_flat: np.ndarray, plan: PackPlan, i: int
     """Pack piece ``i`` of the flat array: [lo_u8] or [lo_u8, hi_packed]."""
     a, b = plan.bounds[i], plan.bounds[i + 1]
     piece = image_flat[a:b]
+    if plan.hi_bits and piece.dtype in (np.int16, np.uint16):
+        # one-pass native pack (int16 is the UKB cine dtype; the planner
+        # only packs values < 4096, so a uint16 view as int16 is exact)
+        from ukbb_cardiac_tpu import native
+
+        packed = native.pack_lo_hi_i16(piece.view(np.int16), plan.hi_bits)
+        if packed is not None:
+            return list(packed)
     lo = piece.astype(np.uint8)  # truncating cast == & 0xFF
     if plan.hi_bits == 0:
         return [lo]

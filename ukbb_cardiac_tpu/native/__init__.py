@@ -101,6 +101,9 @@ def _load_locked() -> Optional[ctypes.CDLL]:
     lib.unpack_bits.restype = None
     lib.unpack_bits.argtypes = [i8p, ctypes.c_int64, ctypes.c_int32, i8p,
                                 ctypes.c_int64]
+    lib.pack_lo_hi_i16.restype = None
+    lib.pack_lo_hi_i16.argtypes = [i16p, ctypes.c_int64, ctypes.c_int32,
+                                   i8p, i8p]
     _lib = lib
     return _lib
 
@@ -255,3 +258,22 @@ def unpack_bits(packed: np.ndarray, bits: int, n: int) -> np.ndarray:
     mask = (1 << bits) - 1
     unpacked = (packed[:, None] >> shifts) & mask
     return unpacked.reshape(-1)[:n].astype(np.uint8)
+
+
+def pack_lo_hi_i16(piece: np.ndarray, hi_bits: int):
+    """One-pass plane-split pack of a non-negative int16 array:
+    (lo_u8, hi_packed_u8) with the high bytes packed ``hi_bits`` per
+    value (the H2D transfer pack, ``infer/transfer.py``).  Returns None
+    when the native library is unavailable (caller uses its numpy path)."""
+    lib = get_lib()
+    if lib is None:
+        return None
+    if hi_bits not in (1, 2, 4):
+        raise ValueError(f"hi_bits must be 1, 2 or 4, got {hi_bits}")
+    piece = np.ascontiguousarray(piece, dtype=np.int16).reshape(-1)
+    per = 8 // hi_bits
+    lo = np.empty(piece.size, dtype=np.uint8)
+    hi = np.empty(-(-piece.size // per), dtype=np.uint8)
+    lib.pack_lo_hi_i16(piece, np.int64(piece.size), np.int32(hi_bits),
+                       lo, hi)
+    return lo, hi
