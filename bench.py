@@ -235,8 +235,12 @@ def main():
     # --- SAX-cine-only metrics (BASELINE.md row: 192x208x10x50, ~10 s on
     # the K80; north-star target <1 s/chip) --------------------------------
     # (a) wall-clock through the tunnel: dispatch one SA cine and fetch.
+    # Byte accounting (VERDICT r4 #1): engine TransferStats deltas around
+    # the loop → bytes shipped per cine per direction in the artifact.
     sax_wall_s = sax_wall_median_s = None
+    sax_xfer = {}
     try:
+        st0 = _stats_snapshot(sa_engine)
         sax_wall = []
         for _ in range(REPEATS):
             t0 = time.time()
@@ -246,8 +250,29 @@ def main():
                 break
         sax_wall_s = float(np.min(sax_wall))
         sax_wall_median_s = float(np.median(sax_wall))
+        d = _stats_delta(sa_engine, st0, len(sax_wall))
+        sax_xfer = {"sax_h2d_bytes": d["h2d_bytes"],
+                    "sax_h2d_raw_bytes": d["h2d_raw_bytes"],
+                    "sax_d2h_bytes": d["d2h_bytes"],
+                    "sax_packed_frac": d["packed_frac"],
+                    "sax_delta_frac": d["delta_frac"]}
+        if sa_engine._bw.mbps is not None:
+            sax_xfer["h2d_mbps_ema"] = round(sa_engine._bw.mbps, 1)
         partial.update({"sax_cine_wall_s": round(sax_wall_s, 3),
-                        "sax_cine_wall_median_s": round(sax_wall_median_s, 3)})
+                        "sax_cine_wall_median_s": round(sax_wall_median_s, 3),
+                        **sax_xfer})
+    except Exception:
+        pass
+
+    # (a2) tunnel link microbenchmark: two-size transfers per direction
+    # solve rate + fixed per-transfer latency, so the artifact carries
+    # wall = f(bandwidth) arithmetic (VERDICT r4 #1: a wall regression
+    # must be attributable to link vs software from the artifact alone).
+    link = {}
+    try:
+        if not past_deadline():
+            link = _bench_link()
+            partial.update(link)
     except Exception:
         pass
 
@@ -287,6 +312,27 @@ def main():
     compute_valid = sax_compute_s is not None and sax_compute_s > 0
     if compute_valid:
         partial["sax_cine_device_compute_s"] = round(sax_compute_s, 3)
+
+    # link-floor arithmetic: the fastest a SAX deploy can possibly go on
+    # THIS link = up-leg + down-leg + fixed latencies + device compute.
+    # sax_wall_over_floor ≈ 1 means the wall IS the tunnel's byte floor
+    # and further software byte cuts are the only lever left.
+    sax_floor_s = None
+    try:
+        if link.get("tunnel_h2d_mbps") and link.get("tunnel_d2h_mbps") \
+                and sax_xfer and compute_valid:
+            sax_floor_s = (
+                sax_xfer["sax_h2d_bytes"] / 1e6 / link["tunnel_h2d_mbps"]
+                + sax_xfer["sax_d2h_bytes"] / 1e6 / link["tunnel_d2h_mbps"]
+                + link.get("tunnel_h2d_fixed_s", 0.0)
+                + link.get("tunnel_d2h_fixed_s", 0.0)
+                + sax_compute_s)
+            partial["sax_link_floor_s"] = round(sax_floor_s, 3)
+            if sax_wall_s:
+                partial["sax_wall_over_floor"] = round(
+                    sax_wall_s / sax_floor_s, 2)
+    except Exception:
+        pass
 
     # --- SA strain motion tracking (the MIRTK replacement) ---------------
     # Workload mirrors the real driver: 3 slices x T=50 at the 96x96 LV
@@ -450,6 +496,87 @@ def main():
     })
     print(json.dumps(partial))
     all_done.set()
+
+
+_STATS_KEYS = ("h2d_bytes", "h2d_raw_bytes", "h2d_dispatches",
+               "packed_dispatches", "delta_dispatches", "d2h_bytes",
+               "d2h_seconds", "d2h_fetches")
+
+
+def _stats_snapshot(engine) -> dict:
+    s = engine._stats
+    return {k: getattr(s, k) for k in _STATS_KEYS}
+
+
+def _stats_delta(engine, before: dict, n: int) -> dict:
+    """Per-cine transfer byte accounting over ``n`` dispatches."""
+    s = engine._stats
+    d = {k: getattr(s, k) - before[k] for k in _STATS_KEYS}
+    n = max(1, n)
+    disp = max(1, d["h2d_dispatches"])
+    return {"h2d_bytes": d["h2d_bytes"] // n,
+            "h2d_raw_bytes": d["h2d_raw_bytes"] // n,
+            "d2h_bytes": d["d2h_bytes"] // n,
+            "packed_frac": round(d["packed_dispatches"] / disp, 2),
+            "delta_frac": round(d["delta_dispatches"] / disp, 2)}
+
+
+def _bench_link() -> dict:
+    """Tunnel link microbenchmark: time two transfer sizes per direction
+    and solve  t = fixed + bytes/rate  for the rate and the fixed
+    per-transfer latency.  H2D is timed via the transfer.touch round
+    trip (asarray alone is lazy on this backend); D2H fetches FRESH
+    jit outputs (a jax.Array caches its host copy after the first
+    ``np.asarray``, so refetching the same array times nothing).
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from ukbb_cardiac_tpu.infer import transfer
+
+    rng = np.random.RandomState(0)
+    out = {}
+
+    def _h2d_time(nbytes, reps=3):
+        ts = []
+        for r in range(reps):
+            host = rng.randint(0, 255, size=nbytes, dtype=np.uint8)
+            t0 = time.perf_counter()
+            dev = jnp.asarray(host)
+            transfer.touch(dev).block_until_ready()
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    def _d2h_time(nbytes, reps=3):
+        bump = jax.jit(lambda x, k: x + k)
+        dev = jnp.asarray(rng.randint(0, 200, size=nbytes, dtype=np.uint8))
+        np.asarray(bump(dev, np.uint8(0)))  # warm compile + first fetch
+        ts = []
+        for r in range(reps):
+            y = bump(dev, np.uint8(r + 1))  # fresh array: no cached host copy
+            y.block_until_ready()           # compute done; fetch is pure D2H
+            t0 = time.perf_counter()
+            np.asarray(y)
+            ts.append(time.perf_counter() - t0)
+        return float(np.min(ts))
+
+    small, big = 2 * 1024 * 1024, 24 * 1024 * 1024
+    # warm the touch programs (compile cost must not read as transfer)
+    _h2d_time(small, reps=1), _h2d_time(big, reps=1)
+    t_s, t_b = _h2d_time(small), _h2d_time(big)
+    if t_b > t_s:
+        rate = (big - small) / 1e6 / (t_b - t_s)
+        out["tunnel_h2d_mbps"] = round(rate, 1)
+        out["tunnel_h2d_fixed_s"] = round(max(0.0, t_s - small / 1e6 / rate),
+                                          3)
+    d_small, d_big = 1 * 1024 * 1024, 5 * 1024 * 1024
+    u_s, u_b = _d2h_time(d_small), _d2h_time(d_big)
+    if u_b > u_s:
+        rate = (d_big - d_small) / 1e6 / (u_b - u_s)
+        out["tunnel_d2h_mbps"] = round(rate, 1)
+        out["tunnel_d2h_fixed_s"] = round(
+            max(0.0, u_s - d_small / 1e6 / rate), 3)
+    return out
 
 
 def _bench_train_step():

@@ -1,7 +1,8 @@
 """Tests for the adaptive lossless transfer packing (infer/transfer.py).
 
 The packed up-leg must be EXACT — the engines' voxel outputs with a
-packed transfer are pinned bit-identical to the raw path.
+packed transfer are pinned bit-identical to the raw path, for both the
+plane-split and the temporal-delta encodings.
 """
 
 import numpy as np
@@ -29,36 +30,63 @@ def _fast():
 
 
 @pytest.mark.parametrize("hi_max", [255, 1023, 4095])
-def test_pack_roundtrip_exact(hi_max):
+def test_plane_roundtrip_exact(hi_max):
     rng = np.random.RandomState(0)
     img = rng.randint(0, hi_max + 1, size=(13, 17, 3, 5)).astype(np.int16)
     plan = transfer.plan_pack(img, _degraded())
-    assert plan is not None
+    assert plan is not None and plan.mode == "plane"  # T=5 < 8: no delta
     expected_bits = 8 if hi_max == 255 else (10 if hi_max == 1023 else 12)
     assert plan.hi_bits == expected_bits - 8
-    flat = img.reshape(-1)
-    arrs = [a for i in range(plan.n_pieces)
-            for a in transfer.pack_piece(flat, plan, i)]
-    rec = np.asarray(transfer.unpack_jax([jnp.asarray(a) for a in arrs],
-                                         plan))
+    buf = transfer.pack_buffer(img, plan)
+    assert buf.nbytes == transfer.packed_nbytes(plan) < img.nbytes
+    rec = np.asarray(transfer.unpack_jax(jnp.asarray(buf), plan))
     assert rec.dtype == img.dtype
     np.testing.assert_array_equal(rec, img)
 
 
-def test_pack_multi_piece_roundtrip_exact(monkeypatch):
-    # force several pieces by shrinking the piece size
-    monkeypatch.setattr(transfer, "PACK_PIECE_BYTES", 1024)
+@pytest.mark.parametrize("dtype", [np.int16, np.uint16])
+def test_delta_roundtrip_exact(dtype):
+    """A quiet cine (small temporal deltas) engages delta mode and
+    reconstructs bit-exactly through the device cumsum."""
     rng = np.random.RandomState(1)
-    img = rng.randint(0, 1000, size=(9, 11, 2, 7)).astype(np.int16)
+    base = rng.randint(0, 4000, size=(32, 36, 4, 1)).astype(np.int32)
+    walk = rng.randint(-40, 41, size=(32, 36, 4, 24)).astype(np.int32)
+    walk[..., 0] = 0
+    img = np.clip(base + np.cumsum(walk, axis=-1), 0, 4095).astype(dtype)
     plan = transfer.plan_pack(img, _degraded())
-    assert plan.n_pieces > 1
-    flat = img.reshape(-1)
-    arrs = [a for i in range(plan.n_pieces)
-            for a in transfer.pack_piece(flat, plan, i)]
-    rec = np.asarray(transfer.unpack_jax([jnp.asarray(a) for a in arrs],
-                                         plan))
+    assert plan is not None and plan.mode == "delta"
+    # 12-bit frame 0, ~7-bit zigzag deltas: delta must ship fewer bytes
+    plane = transfer.PackPlan(img.shape, np.dtype(dtype).str, "plane", 4)
+    assert transfer.packed_nbytes(plan) < \
+        transfer.DELTA_MIN_SAVING * transfer.packed_nbytes(plane)
+    buf = transfer.pack_buffer(img, plan)
+    rec = np.asarray(transfer.unpack_jax(jnp.asarray(buf), plan))
+    assert rec.dtype == img.dtype
     np.testing.assert_array_equal(rec, img)
-    assert transfer.packed_nbytes(plan) < img.nbytes
+
+
+def test_delta_not_chosen_on_noisy_data():
+    """Independent per-frame noise makes deltas need MORE bits than the
+    raw values (the measured DESIGN.md round-5 result) — the planner
+    must keep the plane pack."""
+    rng = np.random.RandomState(2)
+    img = np.clip(500 + 80 * rng.randn(24, 24, 2, 20), 0,
+                  1023).astype(np.int16)
+    plan = transfer.plan_pack(img, _degraded())
+    assert plan is not None and plan.mode == "plane" and plan.hi_bits == 2
+
+
+def test_delta_roundtrip_with_moving_edge():
+    """Large but <12-bit deltas (a moving bright edge) still reconstruct
+    exactly when delta mode is forced."""
+    img = np.zeros((8, 8, 1, 16), np.int16)
+    for t in range(16):
+        img[t % 8, :, 0, t] = 2000  # |Δ|=2000 → zigzag 4000 < 4096
+    plan = transfer.PackPlan(img.shape, img.dtype.str, "delta",
+                             hi_bits=4, f0_hi_bits=4)
+    buf = transfer.pack_buffer(img, plan)
+    rec = np.asarray(transfer.unpack_jax(jnp.asarray(buf), plan))
+    np.testing.assert_array_equal(rec, img)
 
 
 def test_plan_pack_decisions():
@@ -82,6 +110,21 @@ def test_plan_pack_decisions():
                               _degraded()) is None
 
 
+def test_single_buffer_single_transfer():
+    """The packed path must ship exactly ONE array (one H2D transfer —
+    each extra costs ~0.25 s fixed through the degraded tunnel)."""
+    rng = np.random.RandomState(3)
+    img = rng.randint(0, 1000, size=(32, 32, 4, 12)).astype(np.int16)
+    plan = transfer.plan_pack(img, _degraded())
+    stats = transfer.TransferStats()
+    pieces = transfer.pack_and_dispatch(img, plan, None, stats)
+    assert len(pieces) == 1
+    assert stats.h2d_dispatches == 1
+    assert stats.h2d_bytes == transfer.packed_nbytes(plan)
+    assert stats.h2d_raw_bytes == img.nbytes
+    assert stats.packed_dispatches == 1
+
+
 def test_bandwidth_tracker_ema():
     bw = transfer.BandwidthTracker()
     assert bw.degraded  # unknown
@@ -101,11 +144,13 @@ def test_engine_packed_dispatch_bit_identical():
     params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), TINY)
     model = SegmentationModel.from_fcn(params, state, names, TINY)
     rng = np.random.RandomState(7)
-    cine = (rng.rand(48, 52, 3, 5) * 1000).astype(np.int16)
+    cine = (rng.rand(48, 52, 3, 9) * 1000).astype(np.int16)
 
     eng_raw = InferenceEngine(model, chunk=8)
     eng_raw._bw = _fast()
     seg_raw = eng_raw.segment_sequence_fused(cine)
+    assert eng_raw._stats.packed_dispatches == 0
+    assert eng_raw._stats.h2d_bytes == cine.nbytes
 
     eng_pack = InferenceEngine(model, chunk=8)
     eng_pack._bw = _degraded()
@@ -113,6 +158,33 @@ def test_engine_packed_dispatch_bit_identical():
     assert plan is not None and plan.hi_bits == 2
     seg_pack = eng_pack.segment_sequence_fused(cine)
     np.testing.assert_array_equal(seg_pack, seg_raw)
+    assert eng_pack._stats.packed_dispatches == 1
+    assert eng_pack._stats.h2d_bytes < cine.nbytes
+    assert eng_pack._stats.d2h_fetches == 1
+    assert eng_pack._stats.d2h_bytes > 0
+
+
+def test_engine_delta_dispatch_bit_identical():
+    """A quiet cine routes through delta mode inside the fused deploy
+    and still produces identical labels."""
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), TINY)
+    model = SegmentationModel.from_fcn(params, state, names, TINY)
+    rng = np.random.RandomState(11)
+    base = (rng.rand(48, 52, 3, 1) * 3800).astype(np.int32)
+    walk = rng.randint(-30, 31, size=(48, 52, 3, 12))
+    walk[..., 0] = 0
+    cine = np.clip(base + np.cumsum(walk, axis=-1), 0, 4095).astype(np.int16)
+
+    eng_raw = InferenceEngine(model, chunk=8)
+    eng_raw._bw = _fast()
+    seg_raw = eng_raw.segment_sequence_fused(cine)
+
+    eng_pack = InferenceEngine(model, chunk=8)
+    eng_pack._bw = _degraded()
+    assert transfer.plan_pack(cine, eng_pack._bw).mode == "delta"
+    seg_pack = eng_pack.segment_sequence_fused(cine)
+    np.testing.assert_array_equal(seg_pack, seg_raw)
+    assert eng_pack._stats.delta_dispatches == 1
 
 
 def test_aortic_packed_dispatch_bit_identical():
@@ -132,17 +204,15 @@ def test_aortic_packed_dispatch_bit_identical():
     eng._bw = _degraded()
     seg_pack = eng.segment_cine(cine, z_score=True, pad_to=48)
     np.testing.assert_array_equal(seg_pack, seg_raw)
+    assert eng._stats.packed_dispatches == 1
 
 
-def test_native_pack_matches_numpy():
-    """pack_piece's native one-pass path produces bit-identical planes to
-    the numpy path, for both int16 and uint16 and ragged tails."""
+def test_native_pack_into_matches_numpy():
+    """pack_buffer's native one-pass path produces a bit-identical
+    buffer to the numpy fallback, for int16/uint16 and ragged tails."""
     import unittest.mock as mock
 
-    import numpy as np
-
     from ukbb_cardiac_tpu import native
-    from ukbb_cardiac_tpu.infer import transfer
 
     rng = np.random.RandomState(0)
     for dtype in (np.int16, np.uint16):
@@ -150,11 +220,9 @@ def test_native_pack_matches_numpy():
             for n in (8, 11, 100003):
                 vals = rng.randint(0, mx, size=n).astype(dtype)
                 plan = transfer.PackPlan((n,), np.dtype(dtype).str,
-                                         hi_bits, (0, n))
-                got = transfer.pack_piece(vals, plan, 0)
-                with mock.patch.object(native, "pack_lo_hi_i16",
-                                       return_value=None):
-                    want = transfer.pack_piece(vals, plan, 0)
-                assert len(got) == len(want) == 2
-                np.testing.assert_array_equal(got[0], want[0])
-                np.testing.assert_array_equal(got[1], want[1])
+                                         "plane", hi_bits)
+                got = transfer.pack_buffer(vals, plan)
+                with mock.patch.object(native, "pack_lo_hi_i16_into",
+                                       return_value=False):
+                    want = transfer.pack_buffer(vals, plan)
+                np.testing.assert_array_equal(got, want)

@@ -66,6 +66,7 @@ class AorticEngine:
         self._compiled = {}
         from ukbb_cardiac_tpu.infer import transfer
         self._bw = transfer.BandwidthTracker()
+        self._stats = transfer.TransferStats()
 
     # -- jitted programs ---------------------------------------------------
     def _lstm_full(self, shape):
@@ -169,7 +170,7 @@ class AorticEngine:
 
             @jax.jit
             def run(params, state, *arrs):
-                raw_dev = (transfer.unpack_jax(arrs, plan)
+                raw_dev = (transfer.unpack_jax(arrs[0], plan)
                            if plan is not None else arrs[0])
                 pred = one_subject(params, state, raw_dev)
                 # bit-pack labels for the slow d2h direction; width scales
@@ -186,9 +187,11 @@ class AorticEngine:
             self._compiled[key] = run
         from ukbb_cardiac_tpu.infer.engine import PendingSegmentation
 
-        pieces = transfer.pack_and_dispatch(raw, plan, self._bw)
+        pieces = transfer.pack_and_dispatch(raw, plan, self._bw,
+                                            self._stats)
         packed = self._compiled[key](self._params, self._state, *pieces)
-        return PendingSegmentation(packed, (X, Y, Z, T), bits=bits)
+        return PendingSegmentation(packed, (X, Y, Z, T), bits=bits,
+                                   stats=self._stats)
 
     def segment_subjects_sharded(self, images: np.ndarray, mesh,
                                  z_score: bool = True,

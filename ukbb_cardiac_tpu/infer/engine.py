@@ -88,15 +88,25 @@ class PendingSegmentation:
     ``sess.run`` loop is fully synchronous, ``deploy_network.py:103-116``).
     """
 
-    def __init__(self, packed_dev, out_shape, bits: int):
+    def __init__(self, packed_dev, out_shape, bits: int, stats=None):
         self._packed = packed_dev
         self._shape = tuple(out_shape)
         self._bits = bits
+        self._stats = stats
 
     def result(self) -> np.ndarray:
+        import time
+
         from ukbb_cardiac_tpu import native
 
+        t0 = time.perf_counter()
         packed = np.asarray(self._packed)  # blocks until ready
+        if self._stats is not None:
+            # wall blocked here includes any compute still in flight —
+            # an upper bound on the pure D2H time (bench.py measures
+            # the pure link rate separately with a re-fetch)
+            self._stats.record_d2h(packed.nbytes,
+                                   time.perf_counter() - t0)
         n = int(np.prod(self._shape))
         # single-pass C++ unpack (numpy fallback inside): the numpy
         # expression materialised a (bytes, 8/bits) temporary plus two
@@ -150,6 +160,8 @@ class InferenceEngine:
         # Observed H2D bandwidth (EMA); drives the adaptive lossless
         # packing of the cine up-leg (see infer/transfer.py)
         self._bw = transfer.BandwidthTracker()
+        # Cumulative byte/time accounting for the bench artifact
+        self._stats = transfer.TransferStats()
         # Weights go to device once, not per call.
         self._params = jax.device_put(model.params)
         self._state = jax.device_put(model.state)
@@ -253,9 +265,9 @@ class InferenceEngine:
         speed — intermediates never leave HBM.
 
         ``n_pieces``: an int for the raw path (pieces are contiguous
-        X-slabs), or a :class:`transfer.PackPlan` for the plane-split
-        packed up-leg (degraded-tunnel mode) — prep then starts with the
-        exact device-side reconstruction to the original int dtype."""
+        X-slabs), or a :class:`transfer.PackPlan` for the packed up-leg
+        (degraded-tunnel mode; ONE uint8 buffer) — prep then starts with
+        the exact device-side reconstruction to the original int dtype."""
         key = ("cine", cine_shape, n_pieces, rescale)
         if key not in self._compiled:
             X, Y, Z, T = cine_shape
@@ -283,7 +295,7 @@ class InferenceEngine:
                 # input (UKB cines ship untouched) takes the 16-round
                 # percentile fast path; both ops return f32
                 if plan is not None:
-                    cine = transfer.unpack_jax(pieces, plan)
+                    cine = transfer.unpack_jax(pieces[0], plan)
                 else:
                     cine = jnp.concatenate(pieces, axis=0)
                 if rescale == "percentile":
@@ -373,26 +385,30 @@ class InferenceEngine:
 
         When the observed H2D bandwidth is degraded (tunnel slow mode)
         and the cine is non-negative <=12-bit integer data, the up-leg
-        ships plane-split packed — exactly reconstructed on device, so
-        labels are bit-identical to the raw path (tests/test_transfer.py)
-        while moving 25-50% fewer bytes.  Packing is per piece, so the
-        single-core host packs piece i+1 while the (network-bound)
-        tunnel moves piece i.
+        ships packed into ONE uint8 buffer (plane-split, or temporal-
+        delta when the planner prices it cheaper) — exactly
+        reconstructed on device, so labels are bit-identical to the raw
+        path (tests/test_transfer.py) while moving 25-50% fewer bytes
+        in ONE transfer (each extra transfer costs ~0.25 s fixed in the
+        tunnel's degraded mode).
         """
         image = np.ascontiguousarray(image)
         plan = transfer.plan_pack(image, self._bw) if image.ndim == 4 \
             else None
         if plan is None:
             host_pieces, shape = self._split_pieces(image, host_only=True)
+            self._stats.record_h2d(image.nbytes, image.nbytes, None)
             pieces = transfer.dispatch_sampled(host_pieces, self._bw)
             meta = len(pieces)
         else:
             shape = plan.shape
-            pieces = transfer.pack_and_dispatch(image, plan, self._bw)
+            pieces = transfer.pack_and_dispatch(image, plan, self._bw,
+                                                self._stats)
             meta = plan
         fn = self._cine_fns(shape, meta, rescale)
         packed = fn(self._params, self._state, *pieces)
-        return PendingSegmentation(packed, shape, self._pack_bits())
+        return PendingSegmentation(packed, shape, self._pack_bits(),
+                                   stats=self._stats)
 
     def segment_sequence_fused(self, image: np.ndarray,
                                rescale: str = "percentile") -> np.ndarray:

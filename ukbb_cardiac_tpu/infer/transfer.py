@@ -1,4 +1,4 @@
-"""Adaptive lossless host→device transfer packing.
+"""Adaptive lossless host→device transfer packing + link telemetry.
 
 The deploy engines ship raw int16 cines to the device (UKB DICOM
 convention; ``common/deploy_network.py:80-89`` reads them with nibabel
@@ -8,26 +8,42 @@ H2D link oscillates between ~1.3 GB/s and ~40 MB/s (measured), and in
 the degraded mode the up-leg dominates the whole per-cine wall clock
 (BENCH_r03: 0.98 s of a 1.09 s SAX deploy).
 
-Bytes are the only lever the software controls, so: **plane-split
-lossless packing**.  A non-negative int16 cine with max < 2^(8+h)
-splits into a low byte (pure truncating cast — ~5 ms for a 20M-voxel
-cine on this 1-core host) and an h-bit high plane packed 8/h values per
-byte (~35 ms).  Real UKB cines are 12-bit DICOM (h=4 → 25% fewer
-bytes); typical windowed data is 10-bit (h=2 → 37.5% fewer).  The
-device reconstructs exactly: integer shift-or, so voxel outputs are
-bit-identical to the raw path (pinned by tests/test_transfer.py).
+Bytes AND transfer count are the levers the software controls:
+
+- **Plane-split lossless packing.**  A non-negative int16 cine with
+  max < 2^(8+h) splits into a low byte (pure truncating cast) and an
+  h-bit high plane packed 8/h values per byte.  Real UKB cines are
+  12-bit DICOM (h=4 → 25% fewer bytes); typical windowed data is
+  10-bit (h=2 → 37.5% fewer).
+- **Temporal-delta mode.**  Cine frames are temporally redundant, so
+  the planner also prices frame-0 + zigzag(Δt) at their own plane
+  widths (device reconstructs by cumsum — bit-exact) and picks the
+  cheaper encoding.  Measured on the bench SAX phantom (MRI-realistic
+  noise σ≈50) deltas need MORE bits than the raw values (moving edges
+  set the max; noise floors the low byte), so delta engages only on
+  quiet data where it genuinely wins — see DESIGN.md round 5.
+- **One buffer, one transfer.**  All planes land in a SINGLE uint8
+  buffer shipped as one ``jnp.asarray``: in the tunnel's degraded mode
+  each transfer carries ~0.25 s of fixed overhead, so the round-4
+  pieces×planes layout (4 transfers/cine) cost ~0.75 s more than its
+  byte savings bought back.  Packing is one native pass (~45 ms for a
+  40 MB cine on this 1-core host) — cheap against one saved transfer.
+
+The device reconstructs exactly — integer shift-or (+ cumsum for
+delta), so voxel outputs are bit-identical to the raw path (pinned by
+tests/test_transfer.py).
 
 Packing costs host CPU, so it only pays when the link is slow; the
-:class:`BandwidthTracker` keeps an EMA of observed H2D bandwidth (one
-sample per dispatch, from blocking on the first piece — the pieces
-serialise through one tunnel, so piece 0's latency is a clean sample)
-and the engines pack only below ``PACK_BELOW_MBPS``.
+:class:`BandwidthTracker` keeps an EMA of observed H2D bandwidth and
+the engines pack only below ``PACK_BELOW_MBPS``.  :class:`TransferStats`
+accumulates bytes/seconds per direction so the bench artifact can show
+wall = f(bandwidth) arithmetic (VERDICT r4 #1).
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
-from typing import List, Optional, Sequence
+from typing import List, Optional
 
 import jax.numpy as jnp
 import numpy as np
@@ -36,26 +52,65 @@ import numpy as np
 # moves in <100 ms and the ~45 ms single-core pack would be pure
 # overhead; at the degraded ~40 MB/s it saves ~250-370 ms per cine.
 PACK_BELOW_MBPS = 400.0
-# Piece size while packing: small enough that packing piece i+1
-# overlaps the (network-bound) transfer of piece i, large enough that
-# per-transfer fixed overhead stays negligible (measured: <=4 pieces of
-# a 40 MB cine add no overhead; 16 pieces double the wall).
-PACK_PIECE_BYTES = 10 * 1024 * 1024
+# Delta mode must beat plane mode by at least this byte ratio to engage
+# (covers its extra host pass computing the diffs).
+DELTA_MIN_SAVING = 0.92
 
 
 @dataclass(frozen=True)
 class PackPlan:
-    """Static description of a plane-split packed transfer (hashable —
-    part of the compiled-program cache key)."""
+    """Static description of a packed transfer (hashable — part of the
+    compiled-program cache key).
 
-    shape: tuple          # original array shape
+    mode 'plane': every value plane-split at width 8+hi_bits.
+    mode 'delta': frame-0 section (prod(shape[:-1]) values at width
+    8+f0_hi_bits) followed by zigzag temporal deltas (at 8+hi_bits);
+    the device reconstructs with an exact int32 cumsum along the last
+    axis.
+    """
+
+    shape: tuple          # original array shape (..., T)
     dtype: str            # original dtype str, e.g. '<i2'
-    hi_bits: int          # high-plane width: 0 (pure uint8), 2 or 4
-    bounds: tuple         # flat voxel boundaries of the pieces
+    mode: str             # 'plane' | 'delta'
+    hi_bits: int          # main-section high-plane width: 0, 2 or 4
+    f0_hi_bits: int = 0   # delta mode: frame-0 section width
 
     @property
-    def n_pieces(self) -> int:
-        return len(self.bounds) - 1
+    def n(self) -> int:
+        return int(np.prod(self.shape))
+
+    @property
+    def m(self) -> int:
+        """Voxels per frame (delta mode's frame-0 section length)."""
+        return int(np.prod(self.shape[:-1]))
+
+    def sections(self):
+        """[(length, hi_bits), ...] in buffer order."""
+        if self.mode == "plane":
+            return [(self.n, self.hi_bits)]
+        return [(self.m, self.f0_hi_bits),
+                (self.n - self.m, self.hi_bits)]
+
+
+def _section_nbytes(k: int, hi_bits: int) -> int:
+    return k + ((k * hi_bits + 7) // 8 if hi_bits else 0)
+
+
+def packed_nbytes(plan: PackPlan) -> int:
+    """Total bytes a packed transfer ships (for bandwidth accounting)."""
+    return sum(_section_nbytes(k, h) for k, h in plan.sections())
+
+
+def _width_for(mx: int) -> Optional[int]:
+    """hi_bits for non-negative values bounded by ``mx``; None if the
+    data exceeds the 12-bit packable range."""
+    if mx < 256:
+        return 0
+    if mx < 1024:
+        return 2
+    if mx < 4096:
+        return 4
+    return None
 
 
 class BandwidthTracker:
@@ -63,9 +118,9 @@ class BandwidthTracker:
     first sample.  0.5 weighting: recovers from the tunnel's mode flips
     (and from the first-transfer session-setup penalty) in ~2 samples."""
 
-    # Sampling means blocking the dispatching thread on one piece's
-    # transfer, which stops it from pipelining the next cine's host-side
-    # pack under this one's transfer — so sample at most this often.
+    # Sampling means blocking the dispatching thread on one transfer,
+    # which stops it from pipelining the next cine's host-side pack
+    # under this one's transfer — so sample at most this often.
     SAMPLE_EVERY_S = 2.0
 
     def __init__(self):
@@ -96,6 +151,51 @@ class BandwidthTracker:
         return self.mbps is None or self.mbps < PACK_BELOW_MBPS
 
 
+@dataclass
+class TransferStats:
+    """Cumulative transfer accounting (bench artifact: VERDICT r4 #1 —
+    bytes shipped + observed bandwidth per direction, so a wall-clock
+    regression is attributable from the artifact alone)."""
+
+    h2d_bytes: int = 0         # bytes actually shipped up
+    h2d_raw_bytes: int = 0     # bytes the unpacked path would have shipped
+    h2d_dispatches: int = 0
+    packed_dispatches: int = 0
+    delta_dispatches: int = 0
+    d2h_bytes: int = 0         # packed label bytes fetched
+    d2h_seconds: float = 0.0   # wall blocked in fetches (incl. compute wait)
+    d2h_fetches: int = 0
+
+    def record_h2d(self, shipped: int, raw: int, plan) -> None:
+        self.h2d_bytes += shipped
+        self.h2d_raw_bytes += raw
+        self.h2d_dispatches += 1
+        if plan is not None:
+            self.packed_dispatches += 1
+            if plan.mode == "delta":
+                self.delta_dispatches += 1
+
+    def record_d2h(self, n_bytes: int, seconds: float) -> None:
+        self.d2h_bytes += n_bytes
+        self.d2h_seconds += seconds
+        self.d2h_fetches += 1
+
+    def snapshot(self, bw: Optional[BandwidthTracker] = None) -> dict:
+        out = {
+            "h2d_bytes": self.h2d_bytes,
+            "h2d_raw_bytes": self.h2d_raw_bytes,
+            "h2d_dispatches": self.h2d_dispatches,
+            "packed_dispatches": self.packed_dispatches,
+            "delta_dispatches": self.delta_dispatches,
+            "d2h_bytes": self.d2h_bytes,
+            "d2h_seconds": round(self.d2h_seconds, 3),
+            "d2h_fetches": self.d2h_fetches,
+        }
+        if bw is not None and bw.mbps is not None:
+            out["h2d_mbps_ema"] = round(bw.mbps, 1)
+        return out
+
+
 _TOUCH_CACHE = {}
 
 
@@ -104,11 +204,11 @@ def touch(dev):
 
     On the axon backend ``jnp.asarray``/``device_put`` is lazy: the
     transfer does not start until a computation consumes the array, so
-    without this (a) host-side packing of piece i+1 cannot overlap the
-    transfer of piece i, and (b) blocking on the array returns
-    immediately and reads as infinite bandwidth.  A trivial jitted
-    reduction (scalar out, ~1 ms for a 10 MB piece) makes the transfer
-    eager; block on the returned scalar to time the transfer.
+    without this (a) blocking on the array returns immediately and
+    reads as infinite bandwidth, and (b) a bandwidth sample would time
+    nothing.  A trivial jitted reduction (scalar out, ~1 ms for a 10 MB
+    piece) makes the transfer eager; block on the returned scalar to
+    time the transfer.
     """
     import jax
 
@@ -123,7 +223,7 @@ def touch(dev):
 
 
 def dispatch_sampled(arrs, bw: Optional[BandwidthTracker]) -> List:
-    """``jnp.asarray`` each host array in order; on the first piece (if
+    """``jnp.asarray`` each host array in order; on the first one (if
     the tracker's throttle allows) time a :func:`touch` round trip as the
     bandwidth sample.
 
@@ -133,7 +233,7 @@ def dispatch_sampled(arrs, bw: Optional[BandwidthTracker]) -> List:
     would read a degraded tunnel as fast and wrongly disable packing.
     The touch reduction's scalar can only come back after the bytes
     actually landed, so its latency bounds the true link rate.  The
-    first sample per piece shape pays the touch program's ~0.7 s compile
+    first sample per shape pays the touch program's ~0.7 s compile
     and reads slow — that biases toward packing once, which is lossless
     and ~45 ms of host work: harmless.
     """
@@ -166,16 +266,19 @@ def dispatch_sampled(arrs, bw: Optional[BandwidthTracker]) -> List:
 
 
 def pack_and_dispatch(image: np.ndarray, plan: Optional[PackPlan],
-                      bw: Optional[BandwidthTracker]) -> List:
-    """Dispatch a cine to device: raw (plan None → single piece) or
-    plane-split packed.  Packing is lazy per piece, so the host packs
-    piece i+1 while the (network-bound) transport moves piece i."""
+                      bw: Optional[BandwidthTracker],
+                      stats: Optional[TransferStats] = None) -> List:
+    """Dispatch a cine to device: raw (plan None) or packed into one
+    uint8 buffer → exactly ONE host→device transfer either way (in the
+    tunnel's degraded mode every extra transfer costs ~0.25 s fixed)."""
     if plan is None:
+        if stats is not None:
+            stats.record_h2d(image.nbytes, image.nbytes, None)
         return dispatch_sampled([image], bw)
-    flat = image.reshape(-1)
-    return dispatch_sampled(
-        (a for i in range(plan.n_pieces) for a in pack_piece(flat, plan, i)),
-        bw)
+    buf = pack_buffer(image, plan)
+    if stats is not None:
+        stats.record_h2d(buf.nbytes, image.nbytes, plan)
+    return dispatch_sampled([buf], bw)
 
 
 def plan_pack(image: np.ndarray, bw: Optional[BandwidthTracker]
@@ -183,7 +286,10 @@ def plan_pack(image: np.ndarray, bw: Optional[BandwidthTracker]
     """Decide whether/how to pack ``image`` for transfer.
 
     Returns a :class:`PackPlan`, or None for the raw path (fast link,
-    non-integer dtype, negative values, or >12-bit range).
+    non-integer dtype, negative values, or >12-bit range).  When the
+    last axis looks like time (>=8 frames) the temporal-delta encoding
+    is priced too and chosen if it ships ``DELTA_MIN_SAVING``× fewer
+    bytes than the plane pack.
     """
     if bw is not None and not bw.degraded:
         return None
@@ -194,84 +300,125 @@ def plan_pack(image: np.ndarray, bw: Optional[BandwidthTracker]
     if mn < 0:
         return None
     mx = int(image.max())
-    if mx < 256:
-        hi_bits = 0
-    elif mx < 1024:
-        hi_bits = 2
-    elif mx < 4096:
-        hi_bits = 4
-    else:
+    w = _width_for(mx)
+    if w is None:
         return None
-    n = int(np.prod(image.shape))
-    per = max(8, (PACK_PIECE_BYTES // 8) * 8)  # voxels, 8-aligned
-    bounds = list(range(0, n, per)) + [n]
-    # merge a tiny tail piece into its neighbour
-    if len(bounds) > 2 and bounds[-1] - bounds[-2] < per // 4:
-        del bounds[-2]
-    return PackPlan(tuple(image.shape), dt.str, hi_bits, tuple(bounds))
+    shape = tuple(image.shape)
+    plan = PackPlan(shape, dt.str, "plane", w)
+    best_bytes = packed_nbytes(plan)
+    T = shape[-1] if image.ndim else 1
+    if image.ndim >= 2 and T >= 8 and image.size >= (1 << 16):
+        # price the temporal-delta encoding: frame 0 at its own width,
+        # zigzag deltas at theirs.  Prescreen on a row subsample first
+        # (~2% of a cine): the subsample's max only UNDERestimates the
+        # true max, so "subsample already needs >= the plane width"
+        # safely skips the full pass — on noise-dominated data (the
+        # common case, DESIGN.md round 5) this keeps the per-dispatch
+        # pricing cost at ~2 ms instead of a full 40 MB pass.
+        a = image.reshape(-1, T)
+        if a.dtype == np.uint16:
+            a = a.view(np.int16)  # exact: planner only packs < 4096
+        m = a.shape[0]
+        sub = a[::max(1, m // 4096)]
+        wd_sub = _delta_width(sub)
+        if wd_sub is not None and wd_sub < w:
+            wd = _delta_width(a)
+            wf0 = _width_for(int(a[:, 0].max()))
+            if wd is not None and wd < w and wf0 is not None:
+                delta_bytes = (_section_nbytes(m, wf0) +
+                               _section_nbytes(image.size - m, wd))
+                if delta_bytes < DELTA_MIN_SAVING * best_bytes:
+                    plan = PackPlan(shape, dt.str, "delta", wd, wf0)
+    return plan
 
 
-def _pack_hi(hi: np.ndarray, hi_bits: int) -> np.ndarray:
-    """Pack a uint8 high plane at ``hi_bits`` per value (length must be
-    a multiple of 8/hi_bits is NOT required — pads internally)."""
+def _delta_width(a16: np.ndarray) -> Optional[int]:
+    """Plane width for the zigzag temporal deltas of int16 rows
+    (voxels, T); None if they exceed the packable range."""
+    d = np.diff(a16, axis=-1)  # int16-exact: values < 4096
+    if d.size == 0:
+        return 0
+    # zigzag(v) is 2v (v>=0) or 2|v|-1 (v<0)
+    return _width_for(max(2 * int(d.max()), -2 * int(d.min()) - 1, 0))
+
+
+def _pack_section_into(vals: np.ndarray, hi_bits: int,
+                       out: np.ndarray) -> None:
+    """Plane-split ``vals`` (non-negative int16/uint16, flat) into the
+    ``out`` uint8 slice: [lo (k)] + [hi packed] when hi_bits > 0."""
+    from ukbb_cardiac_tpu import native
+
+    k = vals.size
+    vals = np.ascontiguousarray(vals)
+    if vals.dtype == np.uint16:
+        # planner only packs values < 4096, so an int16 view is exact
+        vals = vals.view(np.int16)
+    if hi_bits == 0:
+        np.copyto(out[:k], vals.astype(np.uint8))  # truncating == exact
+        return
+    if vals.dtype == np.int16 and native.pack_lo_hi_i16_into(
+            vals, hi_bits, out[:k], out[k:]):
+        return
+    lo = vals.astype(np.uint8)
+    hi = (vals >> 8).astype(np.uint8)
     per = 8 // hi_bits
-    pad = (-hi.size) % per
+    pad = (-k) % per
     if pad:
         hi = np.concatenate([hi, np.zeros(pad, np.uint8)])
     hi = hi.reshape(-1, per)
-    out = hi[:, 0].copy()
+    acc = hi[:, 0].copy()
     for j in range(1, per):
-        out |= hi[:, j] << (hi_bits * j)
-    return out
+        acc |= hi[:, j] << (hi_bits * j)
+    np.copyto(out[:k], lo)
+    np.copyto(out[k:], acc)
 
 
-def pack_piece(image_flat: np.ndarray, plan: PackPlan, i: int
-               ) -> List[np.ndarray]:
-    """Pack piece ``i`` of the flat array: [lo_u8] or [lo_u8, hi_packed]."""
-    a, b = plan.bounds[i], plan.bounds[i + 1]
-    piece = image_flat[a:b]
-    if plan.hi_bits and piece.dtype in (np.int16, np.uint16):
-        # one-pass native pack (int16 is the UKB cine dtype; the planner
-        # only packs values < 4096, so a uint16 view as int16 is exact)
-        from ukbb_cardiac_tpu import native
-
-        packed = native.pack_lo_hi_i16(piece.view(np.int16), plan.hi_bits)
-        if packed is not None:
-            return list(packed)
-    lo = piece.astype(np.uint8)  # truncating cast == & 0xFF
-    if plan.hi_bits == 0:
-        return [lo]
-    hi = (piece >> 8).astype(np.uint8)
-    return [lo, _pack_hi(hi, plan.hi_bits)]
-
-
-def packed_nbytes(plan: PackPlan) -> int:
-    """Total bytes a packed transfer ships (for bandwidth accounting)."""
-    n = plan.bounds[-1]
-    if plan.hi_bits == 0:
-        return n
-    return n + -(-n * plan.hi_bits // 8)
+def pack_buffer(image: np.ndarray, plan: PackPlan) -> np.ndarray:
+    """Pack the whole array into ONE uint8 buffer per ``plan``."""
+    buf = np.empty(packed_nbytes(plan), np.uint8)
+    if plan.mode == "plane":
+        _pack_section_into(image.reshape(-1), plan.hi_bits, buf)
+        return buf
+    T = plan.shape[-1]
+    a = image.reshape(-1, T)
+    if a.dtype == np.uint16:
+        a = a.view(np.int16)  # exact: planner only packs < 4096
+    f0 = np.ascontiguousarray(a[:, 0])
+    d = np.diff(a, axis=-1)  # int16-exact: |d| <= 4095
+    zz = ((d << 1) ^ (d >> 15)).reshape(-1)
+    o = _section_nbytes(plan.m, plan.f0_hi_bits)
+    _pack_section_into(f0, plan.f0_hi_bits, buf[:o])
+    _pack_section_into(zz, plan.hi_bits, buf[o:])
+    return buf
 
 
-def unpack_jax(arrs: Sequence, plan: PackPlan):
-    """Device-side exact reconstruction: the jnp twin of
-    :func:`pack_piece` over all pieces.  Returns the original-shape
-    array in the original (integer) dtype — downstream intensity ops
-    keep their int16 percentile fast path."""
-    per_piece = 1 if plan.hi_bits == 0 else 2
-    los, his = [], []
-    for i in range(plan.n_pieces):
-        los.append(arrs[per_piece * i])
-        if per_piece == 2:
-            his.append(arrs[per_piece * i + 1])
-    lo = jnp.concatenate(los)
-    x = lo.astype(jnp.int32)
-    if plan.hi_bits:
-        per = 8 // plan.hi_bits
-        mask = (1 << plan.hi_bits) - 1
-        shifts = jnp.arange(per, dtype=jnp.uint8) * plan.hi_bits
-        n = plan.bounds[-1]
-        hi = jnp.concatenate(his)
-        hi = ((hi[:, None] >> shifts) & mask).reshape(-1)[:n]
+def _unpack_section_jax(buf, offset: int, k: int, hi_bits: int):
+    """Device-side exact inverse of :func:`_pack_section_into` →
+    int32 values of length ``k``."""
+    x = buf[offset:offset + k].astype(jnp.int32)
+    if hi_bits:
+        per = 8 // hi_bits
+        mask = (1 << hi_bits) - 1
+        hs = (k * hi_bits + 7) // 8
+        hi = buf[offset + k:offset + k + hs]
+        shifts = jnp.arange(per, dtype=jnp.uint8) * hi_bits
+        hi = ((hi[:, None] >> shifts) & mask).reshape(-1)[:k]
         x = x | (hi.astype(jnp.int32) << 8)
+    return x
+
+
+def unpack_jax(buf, plan: PackPlan):
+    """Device-side exact reconstruction of the single packed buffer.
+    Returns the original-shape array in the original (integer) dtype —
+    downstream intensity ops keep their int16 percentile fast path."""
+    if plan.mode == "plane":
+        x = _unpack_section_jax(buf, 0, plan.n, plan.hi_bits)
+    else:
+        m, T = plan.m, plan.shape[-1]
+        o = _section_nbytes(m, plan.f0_hi_bits)
+        f0 = _unpack_section_jax(buf, 0, m, plan.f0_hi_bits)
+        zz = _unpack_section_jax(buf, o, plan.n - m, plan.hi_bits)
+        d = (zz >> 1) ^ -(zz & 1)  # un-zigzag
+        x = jnp.concatenate([f0[:, None], d.reshape(m, T - 1)], axis=1)
+        x = jnp.cumsum(x, axis=1)  # int32-exact temporal reconstruction
     return x.astype(np.dtype(plan.dtype)).reshape(plan.shape)

@@ -277,3 +277,28 @@ def pack_lo_hi_i16(piece: np.ndarray, hi_bits: int):
     lib.pack_lo_hi_i16(piece, np.int64(piece.size), np.int32(hi_bits),
                        lo, hi)
     return lo, hi
+
+
+def pack_lo_hi_i16_into(piece: np.ndarray, hi_bits: int,
+                        lo_out: np.ndarray, hi_out: np.ndarray) -> bool:
+    """:func:`pack_lo_hi_i16` writing straight into caller-provided
+    uint8 slices (the single-buffer transfer layout, infer/transfer.py —
+    zero extra copies).  ``lo_out`` must hold ``piece.size`` bytes and
+    ``hi_out`` at least ``ceil(size*hi_bits/8)``; both must be
+    contiguous views (slices of one contiguous buffer are).  Returns
+    False when the native library is unavailable."""
+    lib = get_lib()
+    if lib is None:
+        return False
+    if hi_bits not in (1, 2, 4):
+        raise ValueError(f"hi_bits must be 1, 2 or 4, got {hi_bits}")
+    piece = np.ascontiguousarray(piece, dtype=np.int16).reshape(-1)
+    n = piece.size
+    if (lo_out.dtype != np.uint8 or hi_out.dtype != np.uint8
+            or not lo_out.flags.c_contiguous
+            or not hi_out.flags.c_contiguous
+            or lo_out.size < n or hi_out.size < (n * hi_bits + 7) // 8):
+        raise ValueError("pack_lo_hi_i16_into: bad output buffers")
+    lib.pack_lo_hi_i16(piece, np.int64(n), np.int32(hi_bits),
+                       lo_out, hi_out)
+    return True
