@@ -182,3 +182,32 @@ def test_fingerprint_dump_and_diff(tmp_path):
         ["--fingerprint_diff", fp_a, fp_b]) == 1
     d = json.load(open(fp_b))
     assert d["n_tensors"] == a["n_tensors"]
+
+
+def test_committed_bundle_fingerprints_match_goldens():
+    """The repo ships fingerprint goldens for the phantom-trained bench
+    bundles (tests/fixtures/bench_weights/fingerprints/): the diff
+    machinery has an in-repo golden pair, so the released-checkpoint
+    audit (``ukbb-verify-checkpoint --fingerprint``) is exercised
+    end-to-end on real committed artifacts, not only on tmp files."""
+    import glob
+    import json
+    import os
+
+    from ukbb_cardiac_tpu.ckpt.fingerprint import (diff_fingerprints,
+                                                   fingerprint_bundle)
+
+    fp_dir = os.path.join(os.path.dirname(__file__), "fixtures",
+                          "bench_weights", "fingerprints")
+    goldens = sorted(glob.glob(os.path.join(fp_dir, "*.json")))
+    assert len(goldens) == 5, "five released-architecture bundles expected"
+    for golden_path in goldens:
+        with open(golden_path) as f:
+            golden = json.load(f)
+        bundle = os.path.join(os.path.dirname(fp_dir),
+                              os.path.basename(golden_path)
+                              .replace(".json", ".npz"))
+        live = fingerprint_bundle(bundle)
+        d = diff_fingerprints(golden, live)
+        assert not d["missing"] and not d["extra"] and not d["changed"], \
+            (golden_path, d)

@@ -94,7 +94,8 @@ def main(argv=None):
         # down with it: finish N-1 before surfacing N's failure
         try:
             ctx = start_la_motion_dispatch(data_dir, motion_dir, cfg=cfg,
-                                           mesh=mesh)
+                                           mesh=mesh,
+                                           eval_dice=args.eval_dice)
         except Exception as exc:
             print(f"  {data}: dispatch failed ({exc!r}); skipping.")
             ctx = None

@@ -316,7 +316,7 @@ def process_subject_full(engines: Dict[str, object], data_dir: str,
         try:
             kwargs = {} if cfg is None else {"cfg": cfg}
             ctx = start_la_motion_dispatch(data_dir, motion_dir, mesh=mesh,
-                                           **kwargs)
+                                           eval_dice=eval_dice, **kwargs)
             if ctx is not None:
                 # motion_dir is deleted below: skip its per-frame VTKs
                 finish_la_motion(ctx, os.path.join(data_dir,

@@ -198,21 +198,24 @@ def _sample_program(Zsel: int, T: int, X: int, Y: int, N: int):
 
 
 @_functools.lru_cache(maxsize=64)
-def _warp_dice_program(T: int, X: int, Y: int, Xv: int, Yv: int):
+def _warp_dice_program(T: int, X: int, Y: int):
     """Jitted warp-to-ED + per-frame LV/Myo Dice (the reference's dormant
     self-check, ``cardiac_utils.py:944-967``) entirely on device: labels
     (Zsel, T, X, Y) + fields (Zsel, T, X, Y, 2) → (Zsel, T, 2) Dice.
     (Xv, Yv): the valid (pre-bucket-padding) region — warped labels
     outside it are masked to background so the padding cannot leak real
-    labels into the Dice."""
+    labels into the Dice.  Passed as RUNTIME scalars: per-subject crops
+    differ by a few pixels, and keying the compiled program on the exact
+    valid size recompiled this program for every cohort subject
+    (profiled at ~2 s/subject, the bulk of the r4 strain_la stage)."""
     import jax
 
     @jax.jit
-    def warp_dice(seg, fields):
+    def warp_dice(seg, fields, xv, yv):
         gx, gy = jnp.meshgrid(jnp.arange(X, dtype=jnp.float32),
                               jnp.arange(Y, dtype=jnp.float32),
                               indexing="ij")
-        valid = (gx < Xv) & (gy < Yv)
+        valid = (gx < xv) & (gy < yv)
 
         def one_fr(field, seg_fr, ed):
             cx = gx + field[..., 0]
@@ -409,8 +412,8 @@ def start_sa_motion_dispatch(data_dir: str, output_dir: str,
              for z in selected]).astype(np.int32)
         seg_sel = np.pad(seg_sel,
                          ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y)))
-        dice_dev = _warp_dice_program(T, Xp, Yp, X, Y)(
-            jnp.asarray(seg_sel), fields_dev)
+        dice_dev = _warp_dice_program(T, Xp, Yp)(
+            jnp.asarray(seg_sel), fields_dev, X, Y)
     return {"output_dir": output_dir, "selected": selected,
             "disp_dev": disp_dev, "dice_dev": dice_dev,
             "polys_ED": polys_ED, "voxs": voxs,

@@ -241,7 +241,8 @@ def evaluate_la_strain_by_length(contour_name_stem: str, T: int, dt: float,
 
 def start_la_motion_dispatch(data_dir: str, output_dir: str,
                              cfg: RegConfig = RegConfig(),
-                             register_batch=None, mesh=None):
+                             register_batch=None, mesh=None,
+                             eval_dice: bool = False):
     """Stage 1 of the LA strain driver: crop chain, ED contour, and the
     registration+composition DISPATCHED as device programs (the fields
     return as an in-flight device array).  Returns a context for
@@ -286,8 +287,13 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
 
     frames = np.transpose(la_crop[:, :, 0, :], (2, 0, 1))
     # pad to the compile-shape bucket so cohort subjects share compiled
-    # programs (see phenotype/strain.py::bucket_hw)
-    Xp, Yp = (X, Y) if register_batch is not None else bucket_hw(X, Y)
+    # programs (see phenotype/strain.py::bucket_hw).  The LA path uses a
+    # COARSER bucket (64) than the SA driver: per-subject 4ch LV crops
+    # straddled two 32-buckets in cohort runs, and for this single-slice
+    # workload one extra registration-program compile costs far more
+    # than the ~1.8x padded compute of the next 64-bucket (profiled —
+    # steady-state dispatch is ~0.2 s vs ~60 s for a cold compile).
+    Xp, Yp = (X, Y) if register_batch is not None else bucket_hw(X, Y, 64)
     if (Xp, Yp) != (X, Y):
         frames = np.pad(frames, ((0, 0), (0, Xp - X), (0, Yp - Y)))
     fields_dev = track_slice_fields(frames, cfg,
@@ -306,11 +312,17 @@ def start_la_motion_dispatch(data_dir: str, output_dir: str,
     pts[0, :len(vox)] = vox[:, :2]
     disp_dev = _sample_program(1, T, Xp, Yp, n_pad)(fields_dev,
                                                     jnp.asarray(pts))
-    seg_sel = np.transpose(seg_crop_mem[:, :, 0, :],
-                           (2, 0, 1))[None].astype(np.int32)
-    seg_sel = np.pad(seg_sel, ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y)))
-    dice_dev = _warp_dice_program(T, Xp, Yp, X, Y)(jnp.asarray(seg_sel),
-                                                   fields_dev)
+    # warp-Dice self-check only when requested: it is its own device
+    # program, and computing it unconditionally cost every cohort
+    # subject its dispatch (the SA driver has always gated this)
+    dice_dev = None
+    if eval_dice:
+        seg_sel = np.transpose(seg_crop_mem[:, :, 0, :],
+                               (2, 0, 1))[None].astype(np.int32)
+        seg_sel = np.pad(seg_sel,
+                         ((0, 0), (0, 0), (0, Xp - X), (0, Yp - Y)))
+        dice_dev = _warp_dice_program(T, Xp, Yp)(jnp.asarray(seg_sel),
+                                                 fields_dev, X, Y)
     return {"output_dir": output_dir, "disp_dev": disp_dev,
             "dice_dev": dice_dev, "poly_ED": poly_ED, "vox": vox, "T": T,
             "dt": dt, "X": X, "Y": Y, "affine_crop": affine_crop,
@@ -350,7 +362,7 @@ def finish_la_motion(ctx: dict, output_name_stem: str,
         os.path.join(output_dir, "la_4ch_myo_contour_fr"), T, dt,
         output_name_stem, polys=frame_polys, write_vtk=write_artifacts)
 
-    if eval_dice:
+    if eval_dice and ctx["dice_dev"] is not None:
         # warp-Dice self-check already computed on device at dispatch
         df = pd.DataFrame(np.asarray(ctx["dice_dev"],
                                      dtype=np.float32).reshape(-1, 2))
@@ -374,5 +386,6 @@ def cine_2d_la_motion_and_strain_analysis(data_dir: str, output_dir: str,
     :func:`start_la_motion_dispatch` + :func:`finish_la_motion`.
     """
     ctx = start_la_motion_dispatch(data_dir, output_dir, cfg,
-                                   register_batch, mesh)
+                                   register_batch, mesh,
+                                   eval_dice=eval_dice)
     return finish_la_motion(ctx, output_name_stem, eval_dice)

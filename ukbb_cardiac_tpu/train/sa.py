@@ -44,6 +44,19 @@ from ukbb_cardiac_tpu.train import steps as steps_lib
 N_CLASS = {"sa": 4, "la_2ch": 2, "la_4ch": 3, "la_4ch_seg4": 6}
 
 
+# The TPU production operating point (measured; DESIGN.md "MXU lane
+# ceiling"): the released FCN's 16-32 channel levels under-fill the MXU
+# at the reference batch (2 subjects ~ 20 slices -> MFU 0.033 on v5e),
+# and batch is the lever — 128 slices is the measured saturating batch
+# (MFU 0.077+, ~2.3x step throughput).  The production CLI profile
+# defaults to this batch.  NOTE the optimisation trajectory differs
+# from the reference's batch-2 run: with the linear-scaling rule the
+# matching learning rate is ``1e-3 * batch_slices / 20`` (the CLI
+# applies this when --learning_rate is not given explicitly); for
+# checkpoint-parity training use ``--profile reference``.
+PRODUCTION_BATCH_SLICES = 128
+
+
 @dataclass
 class SATrainConfig:
     seq_name: str = "sa"
