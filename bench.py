@@ -87,7 +87,10 @@ def main():
                          f"{watchdog_s:.0f}s (TPU tunnel down or hung)"}),
                 flush=True)
             os._exit(2)
-        if not all_done.wait(DEADLINE_S + 900):
+        # extras window: the e2e trainer stages (VERDICT r4 #3) run
+        # before the cohort stages, so the hard stop must leave room
+        # for BOTH groups even on a cold-compile day
+        if not all_done.wait(DEADLINE_S + 1500):
             print(json.dumps({
                 **partial,
                 "error": "watchdog: an extra metric hung past its "
@@ -229,8 +232,12 @@ def main():
 
     bench_start = time.time()
 
-    def past_deadline():
-        return time.time() - bench_start > DEADLINE_S
+    def past_deadline(slack=0.0):
+        # slack: stages late in the order can be granted extra budget
+        # beyond DEADLINE_S (the hard stop is the all_done watchdog at
+        # DEADLINE_S + 1500) — the cohort stages use this so the e2e
+        # trainer stages cannot starve them (and vice versa)
+        return time.time() - bench_start > DEADLINE_S + slack
 
     # --- SAX-cine-only metrics (BASELINE.md row: 192x208x10x50, ~10 s on
     # the K80; north-star target <1 s/chip) --------------------------------
@@ -434,8 +441,13 @@ def main():
     try:
         if not past_deadline():
             import bench_train as bt
+            # 300-iter spread + mean-of-diffs: with a 40-iter spread the
+            # min-of-diffs estimator once reported 127 w/s against a
+            # 41.6 w/s device-step rate (tunnel jitter exceeded the
+            # signal); 300 iters ≈ 36 s of signal vs ±3 s of jitter
             ao_train_e2e_windows_s = bt.bench_train_ao_e2e(
-                n_subjects=8, warm_iters=8, lo=20, hi=60, repeats=2)
+                n_subjects=8, warm_iters=8, lo=20, hi=320, repeats=2,
+                estimator="mean")
             if ao_train_e2e_windows_s is not None:
                 partial["ao_train_e2e_windows_per_s"] = round(
                     ao_train_e2e_windows_s, 1)
@@ -450,7 +462,7 @@ def main():
     # smaller figures of their deadline budget.
     cohort = {}
     try:
-        if not past_deadline():
+        if not past_deadline(300):
             cohort = _bench_cohort(sa_engine, sax_compute_s
                                    if compute_valid else None,
                                    trained=sa_trained)
@@ -464,7 +476,7 @@ def main():
     # overlapped cohort driver — the production UKB number.
     cohort_full = {}
     try:
-        if not past_deadline():
+        if not past_deadline(600):
             cohort_full = _bench_cohort_full(
                 {"sa": sa_engine, **la_engines, "ao": ao_engine},
                 trained=all_trained)

@@ -423,7 +423,7 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
 
 
 def bench_train_ao_e2e(n_subjects=12, warm_iters=8, lo=24, hi=84, repeats=2,
-                       device_windows=True):
+                       device_windows=True, estimator="min"):
     """END-TO-END aortic UNet-LSTM trainer from a dataset on disk, in the
     production configuration: DEVICE-RESIDENT WINDOWS (each cine ships to
     HBM once and the step gathers its 9-frame circular windows by index
@@ -486,7 +486,15 @@ def bench_train_ao_e2e(n_subjects=12, warm_iters=8, lo=24, hi=84, repeats=2,
             return time.time() - t0
 
         run(warm_iters)  # XLA compiles persist; see bench_train_e2e note
-        sec = min((run(hi) - run(lo)) / (hi - lo) for _ in range(repeats))
+        # estimator: 'min' (timeit-style; assumes additive noise, but a
+        # noise swing LARGER than the (hi-lo) signal can push a pair's
+        # diff below the device floor and overstate the rate — measured
+        # once at 127 w/s vs the 41.6 w/s step rate with a 40-iter
+        # spread); 'mean' averages the pair diffs — callers wanting an
+        # artifact-grade number should pair it with a spread whose
+        # signal dwarfs the tunnel jitter (hi-lo >= 300 iters here).
+        diffs = [(run(hi) - run(lo)) / (hi - lo) for _ in range(repeats)]
+        sec = min(diffs) if estimator == "min" else float(np.mean(diffs))
         return (5 / sec) if sec > 0 else None
     finally:
         shutil.rmtree(root, ignore_errors=True)
