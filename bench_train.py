@@ -361,7 +361,8 @@ def main():
     }))
 
 
-def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
+def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=340, repeats=2,
+                    device_slices=True, estimator="mean"):
     """END-TO-END trainer throughput from a dataset on disk — the number
     a user actually gets, not just the device step.
 
@@ -406,7 +407,12 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
                 validation_every=10 ** 9, checkpoint_every=10 ** 9,
                 batch_slices=20, steps_per_dispatch=10,
                 device_augment=True, cache_gb=2.0, seed=0,
-                bf16=True, compact_transfer=True)
+                bf16=True, compact_transfer=True,
+                # HBM slice pool (r5): each subject-frame ships once,
+                # steps gather (slot, z) indices — removes the per-batch
+                # H2D that bound the old path on slow links.  False
+                # measures the host-batched path for comparison.
+                device_slices=device_slices, pool_gb=2.0)
             t0 = time.time()
             train(cfg, max_iterations=iters, progress_every=10 ** 9)
             return time.time() - t0
@@ -414,9 +420,14 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=140, repeats=3):
         # warm run: XLA compiles persist (compilation cache); the
         # SubjectCache does NOT persist across train() calls, so each
         # measured run re-decodes subjects during its first iterations —
-        # that cost appears in both two-point samples and cancels
+        # that cost appears in both two-point samples and cancels.
+        # estimator: see bench_train_ao_e2e — 'min' can report above the
+        # device-step rate when tunnel jitter exceeds the (hi-lo)
+        # signal; the 300-iter spread + 'mean' default keeps the
+        # artifact number physical.
         run(warm_iters)
-        sec = min((run(hi) - run(lo)) / (hi - lo) for _ in range(repeats))
+        diffs = [(run(hi) - run(lo)) / (hi - lo) for _ in range(repeats)]
+        sec = min(diffs) if estimator == "min" else float(np.mean(diffs))
         return (20 / sec) if sec > 0 else None
     finally:
         shutil.rmtree(root, ignore_errors=True)

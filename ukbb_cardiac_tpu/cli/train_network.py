@@ -80,6 +80,17 @@ def main(argv=None):
                              "(2.7x fewer host->device bytes; labels "
                              "exact, images rounded ~5e-4).  Default: on "
                              "(production) / off (reference).")
+    parser.add_argument("--device_slices", default=None,
+                        action=argparse.BooleanOptionalAction,
+                        help="HBM-resident slice pool: each subject-frame "
+                             "ships to device once and the step gathers "
+                             "(slot, z) indices — steady-state H2D is "
+                             "bytes, not megabytes.  Batch values match "
+                             "--compact_transfer exactly.  Default: on "
+                             "(production, single-device) / off "
+                             "(reference or mesh).")
+    parser.add_argument("--pool_gb", type=float, default=2.0,
+                        help="HBM budget for the device slice pool, GiB.")
     args = parser.parse_args(argv)
 
     prod = args.profile == "production"
@@ -92,6 +103,8 @@ def main(argv=None):
         lr = 1e-3 * batch_slices / 20.0
     else:
         lr = 1e-3
+    device_augment = (args.device_augment
+                      if args.device_augment is not None else prod)
     cfg = SATrainConfig(
         seq_name=args.seq_name, image_size=args.image_size,
         train_batch_size=args.train_batch_size,
@@ -100,8 +113,7 @@ def main(argv=None):
         num_level=args.num_level, learning_rate=lr,
         dataset_dir=args.dataset_dir, checkpoint_dir=args.checkpoint_dir,
         log_dir=args.log_dir, seed=args.seed, mesh_devices=args.mesh_devices,
-        device_augment=(args.device_augment if args.device_augment is not None
-                        else prod),
+        device_augment=device_augment,
         batch_slices=batch_slices,
         steps_per_dispatch=(args.steps_per_dispatch
                             if args.steps_per_dispatch is not None
@@ -110,7 +122,12 @@ def main(argv=None):
                   else (4.0 if prod else 0.0)),
         bf16=(args.bf16 if args.bf16 is not None else prod),
         compact_transfer=(args.compact_transfer
-                          if args.compact_transfer is not None else prod))
+                          if args.compact_transfer is not None else prod),
+        device_slices=(args.device_slices
+                       if args.device_slices is not None
+                       else (prod and batch_slices > 0 and device_augment
+                             and args.mesh_devices <= 1)),
+        pool_gb=args.pool_gb)
     train(cfg, resume_from=args.resume_from or None)
 
 

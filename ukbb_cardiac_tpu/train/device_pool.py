@@ -152,6 +152,47 @@ class DeviceCinePool:
             return slot
 
 
+def make_pool_slice_multi_step(loss_fn, optimizer: optax.GradientTransformation):
+    """K-step scan dispatch whose batches are (slot, z-index) pairs
+    gathered from a :class:`DeviceCinePool` snapshot on device — the SA
+    trainer's twin of :func:`make_pool_window_multi_step` (the pool's
+    ``t_max`` axis holds SLICES of a subject-frame volume rather than
+    frames of a cine).
+
+    ``batches``: {"slot": (K, B) int32, "zidx": (K, B) int32}.  The
+    gather builds the exact {"image": (B, X, Y, 1) f16, "label":
+    (B, X, Y) uint8} batch the host slice-pool sampler would have
+    shipped (``train.sa.make_slice_pool_sampler`` with
+    ``compact_transfer``), so ``loss_fn`` (``train.sa.make_fcn_loss``)
+    is reused unchanged.  Steady-state H2D is 8 bytes per slice.
+    """
+
+    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
+                   keys):
+        n_slots, z_max = pool_img.shape[0], pool_img.shape[1]
+        flat_img = pool_img.reshape((n_slots * z_max,) + pool_img.shape[2:])
+        flat_lab = pool_lab.reshape((n_slots * z_max,) + pool_lab.shape[2:])
+
+        def body(carry, xs):
+            params, state, opt_state = carry
+            ib, key = xs
+            fi = ib["slot"] * z_max + ib["zidx"]
+            batch = {"image": flat_img[fi][..., None],
+                     "label": flat_lab[fi]}
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return jax.jit(multi_step)
+
+
 def make_pool_window_multi_step(loss_fn, optimizer: optax.GradientTransformation):
     """K-step scan dispatch whose batches are (slot, frame-index) tuples
     gathered from a :class:`DeviceCinePool` snapshot on device.

@@ -98,6 +98,17 @@ class SATrainConfig:
     # is the bound (this machine's TPU tunnel: 59 -> 22 MB per 10-step
     # dispatch).
     compact_transfer: bool = False
+    # train on DEVICE-RESIDENT slices: each subject-frame volume ships
+    # to an HBM pool once (f16 image + uint8 label) and the jitted step
+    # gathers (slot, z) indices — steady-state H2D is ~8 bytes/slice
+    # instead of ~110 KB (train/device_pool.py; the aortic trainer's
+    # window-pool inversion applied to the SA slice stream).  Requires
+    # batch_slices > 0 and device_augment (augmentation must happen
+    # in-step — the pool holds un-augmented slices).  Batch values are
+    # identical to compact_transfer's (f16/uint8).
+    device_slices: bool = False
+    # HBM budget for the device slice pool, GiB
+    pool_gb: float = 2.0
     # >0: LRU cache of decoded subjects, in GiB.  The reference re-reads
     # and gzip-inflates both NIfTI files of every drawn subject on EVERY
     # iteration (``train_network.py:57-118``); with the device step at
@@ -282,6 +293,91 @@ def make_slice_pool_sampler(filename_list, batch_slices: int,
     return next_batch
 
 
+def make_device_slice_sampler(filename_list, batch_slices: int, pool,
+                              image_size=192, rng=None,
+                              cache: Optional["SubjectCache"] = None):
+    """Index-batch sampler over a :class:`train.device_pool.DeviceCinePool`
+    whose slots hold subject-frame volumes as (Z, S, S) slice stacks.
+
+    Draws subjects with EXACTLY :func:`make_slice_pool_sampler`'s
+    semantics — one ``randrange`` per subject, the same existence/shape/
+    blank-image gates, slices buffered FIFO in z order — but instead of
+    shipping pixels it ensures the subject's volume is device-resident
+    and emits {"slot": (B,), "zidx": (B,)} int32 batches for
+    :func:`train.device_pool.make_pool_slice_multi_step`.  Steady state
+    does no host decode: per-subject Z is memoised by file key.  Every
+    emitted slice PINS its slot; the consumer must ``pool.unpin`` each
+    batch's slots after taking the pool snapshot it gathers from.
+    """
+    rng = rng or random
+    n_file = len(filename_list)
+    meta = {}  # key -> Z (0 = invalid subject)
+    buf: list = []
+
+    def load_volume(image_name, label_name, key):
+        cached = cache.get(key) if cache is not None else None
+        if cached is not None:
+            return cached
+        image = np.asarray(nifti.load(image_name).dataobj, dtype=np.float32)
+        label = np.asarray(nifti.load(label_name).dataobj)
+        if image.shape != label.shape:
+            print(f"Error: mismatched size, image.shape = {image.shape}, "
+                  f"label.shape = {label.shape}")
+            print(f"Skip {image_name}, {label_name}")
+            return None
+        if image.max() < 1e-6:
+            print(f"Error: blank image, image.max = {image.max()}")
+            print(f"Skip {image_name} {label_name}")
+            return None
+        X, Y = image.shape[:2]
+        cx, cy = X // 2, Y // 2
+        image = crop_image(image, cx, cy, image_size)
+        label = crop_image(label, cx, cy, image_size)
+        image = rescale_intensity(image, (1.0, 99.0))
+        label = np.asarray(label, dtype=np.int32)
+        if cache is not None:
+            cache.put(key, (image, label))
+        return image, label
+
+    def draw():
+        image_name, label_name = filename_list[rng.randrange(n_file)]
+        if not (os.path.exists(image_name) and os.path.exists(label_name)):
+            return
+        key = (image_name, label_name, image_size,
+               os.path.getmtime(image_name), os.path.getmtime(label_name))
+        z = meta.get(key)
+        if z is None:
+            got = load_volume(image_name, label_name, key)
+            meta[key] = z = 0 if got is None else got[0].shape[2]
+        if z == 0:
+            return
+
+        def make_host():
+            got = load_volume(image_name, label_name, key)
+            if got is None:
+                raise RuntimeError(f"subject {image_name} failed to "
+                                   "re-load for pool upload")
+            image, label = got
+            # (S, S, Z) -> (Z, S, S); pool stores f16 img / uint8 lab
+            return (np.transpose(image, (2, 0, 1)),
+                    np.transpose(label, (2, 0, 1)))
+
+        slot = pool.ensure(key, make_host)
+        for zi in range(z):
+            pool.pin(slot)
+            buf.append((slot, zi))
+
+    def next_batch():
+        while len(buf) < batch_slices:
+            draw()
+        take = buf[:batch_slices]
+        del buf[:batch_slices]
+        return {"slot": np.asarray([s for s, _ in take], np.int32),
+                "zidx": np.asarray([zi for _, zi in take], np.int32)}
+
+    return next_batch
+
+
 def make_fcn_loss(names, cfg: fcn_mod.FCNConfig, device_augment: bool = False,
                   shift=0.0, rotate=10.0, scale=0.2, intensity=0.0,
                   flip=False, compute_dtype=None):
@@ -371,6 +467,17 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     if K > 1 and cfg.batch_slices <= 0:
         raise ValueError("steps_per_dispatch > 1 requires batch_slices "
                          "(a static batch shape to stack K batches)")
+    if cfg.device_slices:
+        if cfg.batch_slices <= 0:
+            raise ValueError("device_slices requires batch_slices (the "
+                             "pool gather needs a static batch shape)")
+        if not cfg.device_augment:
+            raise ValueError("device_slices requires device_augment: the "
+                             "pool holds un-augmented slices, so the "
+                             "affine augmentation must run in-step")
+        if cfg.mesh_devices > 1:
+            raise ValueError("device_slices is single-device for now — "
+                             "use compact_transfer for mesh training")
     if cfg.mesh_devices > 1 and cfg.batch_slices > 0 \
             and cfg.batch_slices % cfg.mesh_devices:
         # validated regardless of K: a K=1 mesh run would otherwise fail
@@ -380,8 +487,12 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
         raise ValueError("batch_slices must divide evenly over "
                          f"mesh_devices ({cfg.batch_slices} % "
                          f"{cfg.mesh_devices} != 0)")
-    multi_step = None
-    if cfg.mesh_devices > 1:
+    multi_step = step = None
+    if cfg.device_slices:
+        from ukbb_cardiac_tpu.train.device_pool import \
+            make_pool_slice_multi_step
+        multi_step = make_pool_slice_multi_step(loss_fn, optimizer)
+    elif cfg.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_devices)
         step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
@@ -421,7 +532,44 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
     cache = (SubjectCache(int(cfg.cache_gb * (1 << 30)))
              if cfg.cache_gb > 0 else None)
-    if cfg.batch_slices > 0:
+    pool = None
+    if cfg.device_slices:
+        from ukbb_cardiac_tpu.train.device_pool import DeviceCinePool
+        z_max = z_min = 0
+        for image_name, _label in data_list["train"]:
+            try:
+                shape = nifti.read_shape(image_name)
+            except Exception:
+                continue
+            if len(shape) >= 3 and shape[2] > 0:
+                z_max = max(z_max, int(shape[2]))
+                z_min = (int(shape[2]) if z_min == 0
+                         else min(z_min, int(shape[2])))
+        if z_max <= 0:
+            raise ValueError("device_slices: no readable 3D training volume")
+        s = cfg.image_size
+        bytes_per_slot = z_max * s * s * 3  # f16 image + uint8 label
+        budget_slots = int(cfg.pool_gb * (1 << 30) / bytes_per_slot)
+        # worst-case pinned at once: the prefetch queue (depth K+1), the
+        # batch in flight and the chunk under construction, each batch
+        # spanning ceil(B/z_min)+1 distinct subjects (slices of a drawn
+        # subject are consecutive)
+        per_batch = -(-cfg.batch_slices // max(z_min, 1)) + 1
+        min_slots = min(len(data_list["train"]), (2 * K + 2) * per_batch + 4)
+        n_slots = min(len(data_list["train"]), max(budget_slots, 1))
+        if n_slots < min_slots:
+            raise ValueError(
+                f"device_slices: pool_gb={cfg.pool_gb} holds {n_slots} "
+                f"volumes ({bytes_per_slot / 2 ** 20:.1f} MiB each) but "
+                f"one dispatch chunk may pin {min_slots}; raise pool_gb "
+                "or lower batch_slices/steps_per_dispatch")
+        pool = DeviceCinePool(n_slots, z_max, s, s)
+        print(f"Device slice pool: {n_slots} slots x Z{z_max} @ {s}x{s} "
+              f"({pool.nbytes / 2 ** 30:.2f} GiB HBM)")
+        sample = make_device_slice_sampler(
+            data_list["train"], cfg.batch_slices, pool,
+            image_size=cfg.image_size, rng=rng, cache=cache)
+    elif cfg.batch_slices > 0:
         sample = make_slice_pool_sampler(
             data_list["train"], cfg.batch_slices, image_size=cfg.image_size,
             data_augmentation=not cfg.device_augment, shift=0, rotate=10,
@@ -435,8 +583,9 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
                 scale=0.2, intensity=0, flip=False, rng=rng, cache=cache)
             return {"image": images, "label": labels}
 
-    if cfg.compact_transfer:
-        # cast on the prefetch thread, not the step loop
+    if cfg.compact_transfer and not cfg.device_slices:
+        # cast on the prefetch thread, not the step loop (index batches
+        # are already tiny — nothing to compact)
         def make_batch():
             b = sample()
             return {"image": b["image"].astype(np.float16),
@@ -446,16 +595,38 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
     prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
 
-    # single-device batches are device_put one dispatch AHEAD, so the
-    # host->device transfer of chunk N+1 rides under the device compute
-    # of chunk N (transfers overlap compute; measured on this host's
-    # tunnel: both = max, not sum).  Mesh batches stay host-side — the
-    # sharded jit places them per its in_shardings.
     from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
-    build_input = make_chunk_builder(
-        prefetcher, K, total,
-        (cfg.validation_every, cfg.checkpoint_every, progress_every),
-        stage=jax.device_put if cfg.mesh_devices <= 1 else None)
+    if cfg.device_slices:
+        # index chunks are a few hundred bytes; the pool snapshot the
+        # chunk gathers from is taken HERE (after all its subjects are
+        # ensured), then the slices' slot pins release (train/ao.py's
+        # device-window chunk builder, slice-shaped)
+        def build_input(it):
+            k_now = min(K, total - it)
+            for c in (cfg.validation_every, cfg.checkpoint_every,
+                      progress_every):
+                if c and c > 0:
+                    k_now = min(k_now, c - it % c)
+            chunk = [prefetcher.next() for _ in range(k_now)]
+            pool_img, pool_lab = pool.snapshot()
+            batches = {k: jax.device_put(np.stack([b[k] for b in chunk]))
+                       for k in chunk[0]}
+            for b in chunk:
+                for s_ in b["slot"]:
+                    pool.unpin(int(s_))
+            keys_arr = jax.vmap(jax.random.PRNGKey)(
+                jnp.arange(it + 1, it + 1 + k_now))
+            return k_now, (pool_img, pool_lab, batches), keys_arr
+    else:
+        # single-device batches are device_put one dispatch AHEAD, so the
+        # host->device transfer of chunk N+1 rides under the device
+        # compute of chunk N (transfers overlap compute; measured on this
+        # host's tunnel: both = max, not sum).  Mesh batches stay
+        # host-side — the sharded jit places them per its in_shardings.
+        build_input = make_chunk_builder(
+            prefetcher, K, total,
+            (cfg.validation_every, cfg.checkpoint_every, progress_every),
+            stage=jax.device_put if cfg.mesh_devices <= 1 else None)
 
     iteration = start_iteration
     # a resume at/past total must not sample/transfer a never-used batch
@@ -463,7 +634,12 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
     while iteration < total:
         t0 = time.time()
         k_now, batches, keys = pending
-        if k_now > 1:
+        if cfg.device_slices:
+            pool_img, pool_lab, idx = batches
+            params, state, opt_state, losses, aux = multi_step(
+                params, state, opt_state, pool_img, pool_lab, idx, keys)
+            loss = losses[-1]
+        elif k_now > 1:
             params, state, opt_state, losses, aux = multi_step(
                 params, state, opt_state, batches, keys)
             loss = losses[-1]
