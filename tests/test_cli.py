@@ -233,3 +233,43 @@ def test_phewas_cli_with_shipped_metadata(tmp_path):
     assert len(cat) == 17  # 14 recommended + smoking + alcohol + cognitive
     cont = load_continuous_map()
     assert int(cont.loc[50]["continuous"]) == 1
+
+
+def test_train_cli_profile_resolution(monkeypatch, tmp_path):
+    """The production profile resolves to the measured TPU operating
+    point (saturating batch, K-step, device augment, bf16, compact
+    transfer, slice pool, linear-scaled lr); --profile reference keeps
+    the reference budget; explicit flags override either way."""
+    from ukbb_cardiac_tpu.cli import train_network as tn
+    from ukbb_cardiac_tpu.train.sa import PRODUCTION_BATCH_SLICES
+
+    seen = {}
+    monkeypatch.setattr(tn, "train",
+                        lambda cfg, resume_from=None: seen.update(cfg=cfg))
+    base = ["--dataset_dir", str(tmp_path)]
+
+    tn.main(base)  # default = production
+    cfg = seen["cfg"]
+    assert cfg.batch_slices == PRODUCTION_BATCH_SLICES
+    assert cfg.steps_per_dispatch == 10
+    assert cfg.device_augment and cfg.bf16 and cfg.compact_transfer
+    assert cfg.device_slices and cfg.cache_gb == 4.0
+    assert cfg.learning_rate == 1e-3 * PRODUCTION_BATCH_SLICES / 20.0
+
+    tn.main(base + ["--profile", "reference"])
+    cfg = seen["cfg"]
+    assert cfg.batch_slices == 0 and cfg.steps_per_dispatch == 1
+    assert not (cfg.device_augment or cfg.bf16 or cfg.compact_transfer
+                or cfg.device_slices)
+    assert cfg.cache_gb == 0.0 and cfg.learning_rate == 1e-3
+
+    # explicit flags override the profile
+    tn.main(base + ["--batch_slices", "32", "--learning_rate", "2e-3",
+                    "--no-device_slices"])
+    cfg = seen["cfg"]
+    assert cfg.batch_slices == 32 and cfg.learning_rate == 2e-3
+    assert not cfg.device_slices and cfg.bf16  # rest still production
+
+    # mesh training auto-disables the (single-device) slice pool
+    tn.main(base + ["--mesh_devices", "2", "--batch_slices", "32"])
+    assert not seen["cfg"].device_slices
