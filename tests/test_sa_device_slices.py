@@ -210,3 +210,79 @@ def test_device_slices_config_validation(sa_dataset, tmp_path):
         batch_slices=0, device_augment=True)
     with pytest.raises(ValueError, match="batch_slices"):
         sa_lib.train(cfg2, max_iterations=1)
+
+
+def test_pool_dp_step_matches_single_device(sa_dataset, eight_devices):
+    """The mesh-DP pool step (pool replicated, index batches sharded on
+    B) produces the same losses/params as the single-device pool step —
+    the gradient all-reduce GSPMD derives from the shardings changes
+    nothing numerically."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ukbb_cardiac_tpu.models import fcn as fcn_mod
+    from ukbb_cardiac_tpu.parallel import make_mesh
+    from ukbb_cardiac_tpu.train.device_pool import (
+        make_pool_slice_multi_dp_step)
+
+    train_list = sa_lib.scan_dataset(sa_dataset, "sa")["train"]
+    mcfg = fcn_mod.FCNConfig(n_class=4, n_level=3, n_filter=(4, 8, 8),
+                             n_block=(1, 1, 1), same_dim=4, fc=8)
+    params, state, names = fcn_mod.init_fcn(jax.random.PRNGKey(0), mcfg)
+    loss_fn = sa_lib.make_fcn_loss(names, mcfg, device_augment=True,
+                                   shift=0, rotate=10, scale=0.2)
+    optimizer = optax.adam(1e-3)
+    opt_state = optimizer.init(params)
+
+    B, K = 8, 2
+    z_max = max(nifti.read_shape(e[0])[2] for e in train_list)
+
+    def batches_with(pool):
+        rng = random.Random(3)
+        sample = sa_lib.make_device_slice_sampler(
+            train_list, B, pool, image_size=48, rng=rng)
+        idx = [sample() for _ in range(K)]
+        for b in idx:
+            for s in b["slot"]:
+                pool.unpin(int(s))
+        return {k: np.stack([b[k] for b in idx]) for k in ("slot", "zidx")}
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1, 1 + K))
+
+    pool1 = DeviceCinePool(6, z_max, 48, 48)
+    st1 = batches_with(pool1)
+    img1, lab1 = pool1.snapshot()
+    p_step = make_pool_slice_multi_step(loss_fn, optimizer)
+    p1, _, _, l1, _ = p_step(params, state, opt_state, img1, lab1,
+                             {k: jnp.asarray(v) for k, v in st1.items()},
+                             keys)
+
+    mesh = make_mesh(8)
+    pool8 = DeviceCinePool(6, z_max, 48, 48,
+                           sharding=NamedSharding(mesh, P()))
+    st8 = batches_with(pool8)
+    img8, lab8 = pool8.snapshot()
+    dp_step = make_pool_slice_multi_dp_step(loss_fn, optimizer, mesh)
+    p8, _, _, l8, _ = dp_step(params, state, opt_state, img8, lab8, st8,
+                              keys)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_train_device_slices_mesh_smoke(sa_dataset, tmp_path,
+                                        eight_devices):
+    """train() with device_slices + mesh_devices=8 on the virtual CPU
+    mesh: runs, checkpoints, finite params."""
+    cfg = sa_lib.SATrainConfig(
+        seq_name="sa", image_size=48, num_filter=4, num_level=3,
+        dataset_dir=sa_dataset, checkpoint_dir=str(tmp_path / "ck"),
+        batch_slices=8, steps_per_dispatch=2, device_augment=True,
+        device_slices=True, pool_gb=0.5, mesh_devices=8,
+        validation_every=4, checkpoint_every=4, seed=0)
+    params, _, _, _ = sa_lib.train(cfg, max_iterations=4, progress_every=4)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves(params))

@@ -86,9 +86,11 @@ def main(argv=None):
                              "ships to device once and the step gathers "
                              "(slot, z) indices — steady-state H2D is "
                              "bytes, not megabytes.  Batch values match "
-                             "--compact_transfer exactly.  Default: on "
-                             "(production, single-device) / off "
-                             "(reference or mesh).")
+                             "--compact_transfer exactly.  With "
+                             "--mesh_devices the pool replicates over "
+                             "the mesh (index batches shard on B).  "
+                             "Default: on (production, single-device) / "
+                             "off (reference; mesh opts in explicitly).")
     parser.add_argument("--pool_gb", type=float, default=2.0,
                         help="HBM budget for the device slice pool, GiB.")
     args = parser.parse_args(argv)

@@ -56,7 +56,11 @@ class DeviceCinePool:
     """
 
     def __init__(self, n_slots: int, t_max: int, x: int, y: int,
-                 img_dtype=jnp.float16):
+                 img_dtype=jnp.float16, sharding=None):
+        """``sharding``: optional ``NamedSharding`` for the pool arrays —
+        pass a replicated spec (``P()``) for mesh data-parallel training
+        so every chip holds the pool and the sharded step's per-shard
+        gathers are local; uploads then broadcast each cine once."""
         if n_slots < 1:
             raise ValueError("n_slots must be >= 1")
         self.n_slots = int(n_slots)
@@ -64,6 +68,9 @@ class DeviceCinePool:
         self.shape_xy = (int(x), int(y))
         self._img = jnp.zeros((n_slots, t_max, x, y), img_dtype)
         self._lab = jnp.zeros((n_slots, t_max, x, y), jnp.uint8)
+        if sharding is not None:
+            self._img = jax.device_put(self._img, sharding)
+            self._lab = jax.device_put(self._lab, sharding)
         self._slot_of = collections.OrderedDict()  # key -> slot, LRU order
         self._key_of = {}                          # slot -> key
         self._pins = collections.Counter()         # slot -> refcount
@@ -81,8 +88,16 @@ class DeviceCinePool:
 
         # NO donation: snapshots held by queued batches must survive
         # (see module docstring).  ``slot`` is a traced scalar so every
-        # upload reuses one compiled program.
-        self._upload = jax.jit(_upload)
+        # upload reuses one compiled program.  With a sharding, pinning
+        # the pool operands/results to it keeps uploads from silently
+        # collapsing the pool onto one device.
+        if sharding is None:
+            self._upload = jax.jit(_upload)
+        else:
+            self._upload = jax.jit(
+                _upload,
+                in_shardings=(sharding, sharding, None, None, None),
+                out_shardings=(sharding, sharding))
 
     @property
     def nbytes(self) -> int:
@@ -191,6 +206,55 @@ def make_pool_slice_multi_step(loss_fn, optimizer: optax.GradientTransformation)
         return params, state, opt_state, losses, last_aux
 
     return jax.jit(multi_step)
+
+
+def make_pool_slice_multi_dp_step(loss_fn,
+                                  optimizer: optax.GradientTransformation,
+                                  mesh, axis: str = "data"):
+    """Mesh data-parallel :func:`make_pool_slice_multi_step`.
+
+    The pool arrays are REPLICATED over the mesh (build the
+    :class:`DeviceCinePool` with ``sharding=NamedSharding(mesh, P())``)
+    and the (K, B) index batches are sharded over ``axis`` on B — each
+    chip gathers its batch shard from its own pool replica locally, and
+    the only collective is the per-step ICI gradient all-reduce GSPMD
+    derives from the shardings (``train/steps.py`` pattern).  Uploads
+    broadcast each subject once; steady-state H2D stays bytes of
+    indices.
+    """
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard_idx = NamedSharding(mesh, P(None, axis))
+
+    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
+                   keys):
+        n_slots, z_max = pool_img.shape[0], pool_img.shape[1]
+        flat_img = pool_img.reshape((n_slots * z_max,) + pool_img.shape[2:])
+        flat_lab = pool_lab.reshape((n_slots * z_max,) + pool_lab.shape[2:])
+
+        def body(carry, xs):
+            params, state, opt_state = carry
+            ib, key = xs
+            fi = ib["slot"] * z_max + ib["zidx"]
+            batch = {"image": flat_img[fi][..., None],
+                     "label": flat_lab[fi]}
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return jax.jit(
+        multi_step,
+        in_shardings=(repl, repl, repl, repl, repl,
+                      {"slot": shard_idx, "zidx": shard_idx}, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
 
 
 def make_pool_window_multi_step(loss_fn, optimizer: optax.GradientTransformation):

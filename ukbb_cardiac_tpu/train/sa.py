@@ -105,7 +105,9 @@ class SATrainConfig:
     # window-pool inversion applied to the SA slice stream).  Requires
     # batch_slices > 0 and device_augment (augmentation must happen
     # in-step — the pool holds un-augmented slices).  Batch values are
-    # identical to compact_transfer's (f16/uint8).
+    # identical to compact_transfer's (f16/uint8).  With
+    # mesh_devices > 1 the pool replicates over the mesh and index
+    # batches shard on B (make_pool_slice_multi_dp_step).
     device_slices: bool = False
     # HBM budget for the device slice pool, GiB
     pool_gb: float = 2.0
@@ -475,9 +477,6 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
             raise ValueError("device_slices requires device_augment: the "
                              "pool holds un-augmented slices, so the "
                              "affine augmentation must run in-step")
-        if cfg.mesh_devices > 1:
-            raise ValueError("device_slices is single-device for now — "
-                             "use compact_transfer for mesh training")
     if cfg.mesh_devices > 1 and cfg.batch_slices > 0 \
             and cfg.batch_slices % cfg.mesh_devices:
         # validated regardless of K: a K=1 mesh run would otherwise fail
@@ -488,10 +487,24 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
                          f"mesh_devices ({cfg.batch_slices} % "
                          f"{cfg.mesh_devices} != 0)")
     multi_step = step = None
+    pool_sharding = None
     if cfg.device_slices:
-        from ukbb_cardiac_tpu.train.device_pool import \
-            make_pool_slice_multi_step
-        multi_step = make_pool_slice_multi_step(loss_fn, optimizer)
+        if cfg.mesh_devices > 1:
+            # mesh DP: pool replicated over the chips, index batches
+            # sharded on B — per-shard gathers are local, the gradient
+            # all-reduce rides ICI (device_pool.py)
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ukbb_cardiac_tpu.parallel.mesh import make_mesh
+            from ukbb_cardiac_tpu.train.device_pool import \
+                make_pool_slice_multi_dp_step
+            mesh = make_mesh(cfg.mesh_devices)
+            pool_sharding = NamedSharding(mesh, PartitionSpec())
+            multi_step = make_pool_slice_multi_dp_step(loss_fn, optimizer,
+                                                       mesh)
+        else:
+            from ukbb_cardiac_tpu.train.device_pool import \
+                make_pool_slice_multi_step
+            multi_step = make_pool_slice_multi_step(loss_fn, optimizer)
     elif cfg.mesh_devices > 1:
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_devices)
@@ -563,7 +576,8 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
                 f"volumes ({bytes_per_slot / 2 ** 20:.1f} MiB each) but "
                 f"one dispatch chunk may pin {min_slots}; raise pool_gb "
                 "or lower batch_slices/steps_per_dispatch")
-        pool = DeviceCinePool(n_slots, z_max, s, s)
+        pool = DeviceCinePool(n_slots, z_max, s, s,
+                              sharding=pool_sharding)
         print(f"Device slice pool: {n_slots} slots x Z{z_max} @ {s}x{s} "
               f"({pool.nbytes / 2 ** 30:.2f} GiB HBM)")
         sample = make_device_slice_sampler(
@@ -609,7 +623,11 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
                     k_now = min(k_now, c - it % c)
             chunk = [prefetcher.next() for _ in range(k_now)]
             pool_img, pool_lab = pool.snapshot()
-            batches = {k: jax.device_put(np.stack([b[k] for b in chunk]))
+            # mesh runs leave the (tiny) index batches host-side: the
+            # sharded jit places them per its in_shardings
+            stage = jax.device_put if cfg.mesh_devices <= 1 else (
+                lambda x: x)
+            batches = {k: stage(np.stack([b[k] for b in chunk]))
                        for k in chunk[0]}
             for b in chunk:
                 for s_ in b["slot"]:
