@@ -212,3 +212,82 @@ def test_device_windows_config_validation(ao_dataset, tmp_path):
         batch_windows=0, device_augment=True)
     with pytest.raises(ValueError, match="batch_windows"):
         ao_lib.train(cfg2, max_iterations=1)
+
+
+def test_pool_window_dp_step_matches_single_device(ao_dataset,
+                                                   eight_devices):
+    """The mesh-DP window-pool step (pool replicated, index batches
+    sharded on B) equals the single-device pool step."""
+    import optax
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ukbb_cardiac_tpu.parallel import make_mesh
+    from ukbb_cardiac_tpu.train.device_pool import (
+        make_pool_window_multi_dp_step)
+
+    train_list = ao_lib.scan_dataset_ao(ao_dataset)["train"]
+    cfg = ao_lib.AoTrainConfig(model="UNet-LSTM", from_scratch=True,
+                               image_size=64, num_filter=4, num_level=3,
+                               num_hidden=4, weight_R=5, batch_windows=8,
+                               device_augment=True, device_windows=True)
+    ucfg, params, state, names = ao_lib.init_ao_model(
+        cfg, jax.random.PRNGKey(0))
+    loss_fn = ao_lib.make_ao_loss(cfg, ucfg, names, device_augment=True,
+                                  shift=0, rotate=10, scale=0.2)
+    optimizer = ao_lib.make_ao_optimizer(cfg, params)
+    opt_state = optimizer.init(params)
+
+    B, K, TW = 8, 2, 9
+    t_max = max(nifti.read_shape(e[0])[3] for e in train_list)
+
+    def batches_with(pool):
+        rng = random.Random(3)
+        sample = ao_lib.make_device_window_sampler(
+            train_list, B, pool, image_size=64, time_window=TW,
+            z_score=True, rng=rng)
+        idx = [sample() for _ in range(K)]
+        for b in idx:
+            for s in b["slot"]:
+                pool.unpin(int(s))
+        return {k: np.stack([b[k] for b in idx])
+                for k in ("slot", "tidx", "lidx")}
+
+    keys = jax.vmap(jax.random.PRNGKey)(jnp.arange(1, 1 + K))
+
+    pool1 = DeviceCinePool(6, t_max, 64, 64)
+    st1 = batches_with(pool1)
+    img1, lab1 = pool1.snapshot()
+    p_step = make_pool_window_multi_step(loss_fn, optimizer)
+    p1, _, _, l1, _ = p_step(params, state, opt_state, img1, lab1,
+                             {k: jnp.asarray(v) for k, v in st1.items()},
+                             keys)
+
+    mesh = make_mesh(8)
+    pool8 = DeviceCinePool(6, t_max, 64, 64,
+                           sharding=NamedSharding(mesh, P()))
+    st8 = batches_with(pool8)
+    img8, lab8 = pool8.snapshot()
+    dp_step = make_pool_window_multi_dp_step(loss_fn, optimizer, mesh)
+    p8, _, _, l8, _ = dp_step(params, state, opt_state, img8, lab8, st8,
+                              keys)
+
+    np.testing.assert_allclose(np.asarray(l1), np.asarray(l8),
+                               rtol=2e-4, atol=1e-5)
+    for a, b in zip(jax.tree.leaves(p1), jax.tree.leaves(p8)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
+
+
+def test_train_device_windows_mesh_smoke(ao_dataset, tmp_path,
+                                         eight_devices):
+    """train() with device_windows + mesh_devices=8 on the virtual CPU
+    mesh: runs, checkpoints, finite params."""
+    cfg = ao_lib.AoTrainConfig(
+        model="UNet", image_size=64, num_filter=4, num_level=3,
+        dataset_dir=ao_dataset, checkpoint_dir=str(tmp_path / "ck"),
+        batch_windows=8, steps_per_dispatch=2, device_augment=True,
+        device_windows=True, pool_gb=0.5, mesh_devices=8,
+        validation_every=4, checkpoint_every=4, seed=0)
+    params, _, _, _ = ao_lib.train(cfg, max_iterations=4, progress_every=4)
+    assert all(np.all(np.isfinite(np.asarray(x)))
+               for x in jax.tree.leaves(params))

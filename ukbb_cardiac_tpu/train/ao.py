@@ -102,7 +102,9 @@ class AoTrainConfig:
     # windows ON DEVICE (train/device_pool.py): each cine crosses
     # host->device once on first touch instead of every window it feeds,
     # so the trainer runs at device-step rate through a slow host link.
-    # Requires batch_windows and device_augment; single-chip.
+    # Requires batch_windows and device_augment.  With mesh_devices > 1
+    # the pool replicates over the mesh and index batches shard on B
+    # (make_pool_window_multi_dp_step).
     device_windows: bool = False
     # HBM budget for the device window pool, GiB
     pool_gb: float = 2.0
@@ -522,7 +524,7 @@ def restore_pretrained_unet(params, state, model_path: str):
 
 
 def _make_device_window_pipeline(cfg: AoTrainConfig, train_list, K, rng,
-                                 cache):
+                                 cache, sharding=None):
     """Size and build the HBM cine pool and its index sampler.
 
     ``t_max`` comes from a header-only scan of the training cines
@@ -557,7 +559,7 @@ def _make_device_window_pipeline(cfg: AoTrainConfig, train_list, K, rng,
             f"({bytes_per_slot / 2 ** 20:.0f} MiB each) but one dispatch "
             f"chunk may pin {min_slots}; raise pool_gb or lower "
             "batch_windows/steps_per_dispatch")
-    pool = DeviceCinePool(n_slots, t_max, s, s)
+    pool = DeviceCinePool(n_slots, t_max, s, s, sharding=sharding)
     print(f"Device window pool: {n_slots} slots x T{t_max} @ {s}x{s} "
           f"({pool.nbytes / 2 ** 30:.2f} GiB HBM)")
     sample = make_device_window_sampler(
@@ -601,10 +603,7 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
             raise ValueError("device_windows requires device_augment: the "
                              "windows never exist on the host, so the "
                              "affine augmentation must run in the step")
-        if cfg.mesh_devices > 1:
-            raise ValueError("device_windows is single-chip (the pool "
-                             "gather path); use compact_transfer for "
-                             "mesh data-parallel training")
+    pool_sharding = None
     if cfg.mesh_devices > 1:
         if cfg.batch_windows <= 0:
             raise ValueError("mesh_devices > 1 requires batch_windows "
@@ -615,9 +614,20 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
                              f"{cfg.mesh_devices} != 0)")
         from ukbb_cardiac_tpu.parallel.mesh import make_mesh
         mesh = make_mesh(cfg.mesh_devices)
-        step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
-        multi_step = (steps_lib.make_multi_dp_train_step(
-            loss_fn, optimizer, mesh) if K > 1 else None)
+        if cfg.device_windows:
+            # pool replicated over the mesh, index batches sharded on B
+            # (device_pool.py::make_pool_window_multi_dp_step)
+            from jax.sharding import NamedSharding, PartitionSpec
+            from ukbb_cardiac_tpu.train.device_pool import \
+                make_pool_window_multi_dp_step
+            pool_sharding = NamedSharding(mesh, PartitionSpec())
+            step = None
+            multi_step = make_pool_window_multi_dp_step(loss_fn, optimizer,
+                                                        mesh)
+        else:
+            step = steps_lib.make_dp_train_step(loss_fn, optimizer, mesh)
+            multi_step = (steps_lib.make_multi_dp_train_step(
+                loss_fn, optimizer, mesh) if K > 1 else None)
     elif cfg.device_windows:
         from ukbb_cardiac_tpu.train.device_pool import \
             make_pool_window_multi_step
@@ -663,7 +673,8 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
     host_flatten = flatten and not cfg.device_augment
     if cfg.device_windows:
         pool, sample = _make_device_window_pipeline(cfg, data_list["train"],
-                                                    K, rng, cache)
+                                                    K, rng, cache,
+                                                    sharding=pool_sharding)
     elif cfg.batch_windows > 0:
         sample = make_window_pool_sampler(
             data_list["train"], cfg.batch_windows, image_size=cfg.image_size,
@@ -704,7 +715,11 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
                     k_now = min(k_now, c - it % c)
             chunk = [prefetcher.next() for _ in range(k_now)]
             pool_img, pool_lab = pool.snapshot()
-            batches = {k: jax.device_put(np.stack([b[k] for b in chunk]))
+            # mesh runs leave the (tiny) index batches host-side: the
+            # sharded jit places them per its in_shardings
+            stage = jax.device_put if cfg.mesh_devices <= 1 else (
+                lambda x: x)
+            batches = {k: stage(np.stack([b[k] for b in chunk]))
                        for k in chunk[0]}
             for b in chunk:
                 for s in b["slot"]:

@@ -208,6 +208,51 @@ def make_pool_slice_multi_step(loss_fn, optimizer: optax.GradientTransformation)
     return jax.jit(multi_step)
 
 
+def make_pool_window_multi_dp_step(loss_fn,
+                                   optimizer: optax.GradientTransformation,
+                                   mesh, axis: str = "data"):
+    """Mesh data-parallel :func:`make_pool_window_multi_step`: pool
+    replicated over the mesh, (K, B[, TW]) index batches sharded over
+    ``axis`` on B — the aortic twin of
+    :func:`make_pool_slice_multi_dp_step`."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    shard_b = NamedSharding(mesh, P(None, axis))
+    shard_bt = NamedSharding(mesh, P(None, axis, None))
+
+    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
+                   keys):
+        n_slots, t_max = pool_img.shape[0], pool_img.shape[1]
+        flat_img = pool_img.reshape((n_slots * t_max,) + pool_img.shape[2:])
+        flat_lab = pool_lab.reshape((n_slots * t_max,) + pool_lab.shape[2:])
+
+        def body(carry, xs):
+            params, state, opt_state = carry
+            ib, key = xs
+            fi = ib["slot"][:, None] * t_max + ib["tidx"]
+            li = ib["slot"][:, None] * t_max + ib["lidx"]
+            batch = {"image": flat_img[fi][..., None],
+                     "label": flat_lab[li]}
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return jax.jit(
+        multi_step,
+        in_shardings=(repl, repl, repl, repl, repl,
+                      {"slot": shard_b, "tidx": shard_bt,
+                       "lidx": shard_bt}, repl),
+        out_shardings=(repl, repl, repl, repl, repl))
+
+
 def make_pool_slice_multi_dp_step(loss_fn,
                                   optimizer: optax.GradientTransformation,
                                   mesh, axis: str = "data"):
