@@ -362,7 +362,7 @@ def main():
 
 
 def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=340, repeats=2,
-                    device_slices=True, estimator="mean"):
+                    device_slices=True, estimator="mean", batch_slices=20):
     """END-TO-END trainer throughput from a dataset on disk — the number
     a user actually gets, not just the device step.
 
@@ -405,7 +405,7 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=340, repeats=2,
                 dataset_dir=root,
                 checkpoint_dir=os.path.join(root, f"ck{run_i[0]}"),
                 validation_every=10 ** 9, checkpoint_every=10 ** 9,
-                batch_slices=20, steps_per_dispatch=10,
+                batch_slices=batch_slices, steps_per_dispatch=10,
                 device_augment=True, cache_gb=2.0, seed=0,
                 bf16=True, compact_transfer=True,
                 # HBM slice pool (r5): each subject-frame ships once,
@@ -428,7 +428,7 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=340, repeats=2,
         run(warm_iters)
         diffs = [(run(hi) - run(lo)) / (hi - lo) for _ in range(repeats)]
         sec = min(diffs) if estimator == "min" else float(np.mean(diffs))
-        return (20 / sec) if sec > 0 else None
+        return (batch_slices / sec) if sec > 0 else None
     finally:
         shutil.rmtree(root, ignore_errors=True)
 
