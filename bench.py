@@ -378,7 +378,8 @@ def main():
             _, train_mfu_b128 = bt.bench_fcn_step_quick(
                 K=4, B=PRODUCTION_BATCH_SLICES)
             if train_mfu_b128:
-                partial["train_mfu_b128"] = round(train_mfu_b128, 3)
+                partial["train_mfu_b%d" % PRODUCTION_BATCH_SLICES] = \
+                    round(train_mfu_b128, 3)
     except Exception:
         pass
 
@@ -538,9 +539,14 @@ def main():
         # same step, saturating batch — which IS the shipped default:
         # the train CLI's production profile defaults to
         # PRODUCTION_BATCH_SLICES (train/sa.py), so train_mfu_default
-        # is the MFU a user gets running `ukbb-train` with no flags
-        "train_mfu_b128": (round(train_mfu_b128, 3)
-                           if train_mfu_b128 else None),
+        # is the MFU a user gets running `ukbb-train` with no flags.
+        # The batch-named key derives from the constant so the key can
+        # never misreport the batch it was measured at (the historical
+        # name is train_mfu_b128).
+        "train_mfu_b%d" % __import__(
+            "ukbb_cardiac_tpu.train.sa",
+            fromlist=["PRODUCTION_BATCH_SLICES"]).PRODUCTION_BATCH_SLICES:
+            (round(train_mfu_b128, 3) if train_mfu_b128 else None),
         "train_default_batch_slices": __import__(
             "ukbb_cardiac_tpu.train.sa",
             fromlist=["PRODUCTION_BATCH_SLICES"]).PRODUCTION_BATCH_SLICES,

@@ -370,10 +370,11 @@ def bench_train_e2e(n_subjects=30, warm_iters=20, lo=40, hi=340, repeats=2,
     per-draw gzip re-decode), on-device augmentation, bf16 compute,
     compact f16/uint8 transfer (2.7x fewer host->device bytes), K=10
     steps per dispatch, and next-chunk H2D staged under the running
-    dispatch.  Measured as min over (hi-lo)-iteration pair differences
-    (tunnel noise is additive; validation/progress disabled so the diff
-    is pure steady-state training; the end-of-run checkpoint save
-    appears in both points and cancels).
+    dispatch.  Measured from (hi-lo)-iteration pair differences
+    (validation/progress disabled so the diff is pure steady-state
+    training; the end-of-run checkpoint save appears in both points and
+    cancels); the default ``estimator='mean'`` averages the pair diffs
+    — see the estimator note below for why 'min' can overshoot.
     """
     import shutil
     import tempfile

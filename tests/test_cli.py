@@ -273,3 +273,11 @@ def test_train_cli_profile_resolution(monkeypatch, tmp_path):
     # mesh training auto-disables the (single-device) slice pool
     tn.main(base + ["--mesh_devices", "2", "--batch_slices", "32"])
     assert not seen["cfg"].device_slices
+
+    # the documented '--batch_slices 0' reference-batching mode must
+    # resolve to a runnable config under the production profile too
+    # (steps_per_dispatch > 1 requires batch_slices)
+    tn.main(base + ["--batch_slices", "0"])
+    cfg = seen["cfg"]
+    assert cfg.batch_slices == 0 and cfg.steps_per_dispatch == 1
+    assert not cfg.device_slices and cfg.learning_rate == 1e-3

@@ -119,7 +119,7 @@ def main(argv=None):
         batch_slices=batch_slices,
         steps_per_dispatch=(args.steps_per_dispatch
                             if args.steps_per_dispatch is not None
-                            else (10 if prod else 1)),
+                            else (10 if prod and batch_slices > 0 else 1)),
         cache_gb=(args.cache_gb if args.cache_gb is not None
                   else (4.0 if prod else 0.0)),
         bf16=(args.bf16 if args.bf16 is not None else prod),

@@ -702,31 +702,15 @@ def train(cfg: AoTrainConfig, max_iterations: Optional[int] = None,
         make_batch = sample
 
     prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
-    from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
+    from ukbb_cardiac_tpu.train.prefetch import (make_chunk_builder,
+                                                 make_pool_chunk_builder)
     if cfg.device_windows:
-        # index chunks are a few hundred bytes; the pool snapshot the
-        # chunk gathers from is taken HERE (after all its subjects are
-        # ensured), then the windows' slot pins release
-        def build_input(it):
-            k_now = min(K, total - it)
-            for c in (cfg.validation_every, cfg.checkpoint_every,
-                      progress_every):
-                if c and c > 0:
-                    k_now = min(k_now, c - it % c)
-            chunk = [prefetcher.next() for _ in range(k_now)]
-            pool_img, pool_lab = pool.snapshot()
-            # mesh runs leave the (tiny) index batches host-side: the
-            # sharded jit places them per its in_shardings
-            stage = jax.device_put if cfg.mesh_devices <= 1 else (
-                lambda x: x)
-            batches = {k: stage(np.stack([b[k] for b in chunk]))
-                       for k in chunk[0]}
-            for b in chunk:
-                for s in b["slot"]:
-                    pool.unpin(int(s))
-            keys_arr = jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(it + 1, it + 1 + k_now))
-            return k_now, (pool_img, pool_lab, batches), keys_arr
+        # index chunks are a few hundred bytes; snapshot/unpin ordering
+        # lives in the shared builder (train/prefetch.py)
+        build_input = make_pool_chunk_builder(
+            prefetcher, pool, K, total,
+            (cfg.validation_every, cfg.checkpoint_every, progress_every),
+            stage_local=cfg.mesh_devices <= 1)
     else:
         # the next chunk is device_put one dispatch ahead: its H2D
         # transfer rides under the running step (transfers overlap

@@ -167,6 +167,67 @@ class DeviceCinePool:
             return slot
 
 
+def _gather_slices(flat_img, flat_lab, ib, t_max):
+    """SA gather: (slot, z) index pairs -> {(B, X, Y, 1), (B, X, Y)}."""
+    fi = ib["slot"] * t_max + ib["zidx"]
+    return {"image": flat_img[fi][..., None], "label": flat_lab[fi]}
+
+
+def _gather_windows(flat_img, flat_lab, ib, t_max):
+    """Aortic gather: (slot, tidx, lidx) -> {(B, TW, X, Y, 1),
+    (B, TW, X, Y)}.  ``tidx`` are the circular window frames, ``lidx``
+    the label frames (the window itself when a densely propagated label
+    exists, the annotated centre repeated otherwise —
+    ``train_network_ao.py:181-187`` semantics)."""
+    fi = ib["slot"][:, None] * t_max + ib["tidx"]
+    li = ib["slot"][:, None] * t_max + ib["lidx"]
+    return {"image": flat_img[fi][..., None], "label": flat_lab[li]}
+
+
+def _make_pool_multi_step(loss_fn, optimizer, gather):
+    """The ONE K-step scan body all four pool steps share: flatten the
+    pool snapshot, ``gather`` each step's pixel batch from it by index,
+    and run loss/grad/update under ``lax.scan``.  The slice/window and
+    single-device/mesh variants below differ ONLY in the gather and in
+    the jit shardings — keeping one body means a fix here cannot
+    diverge the paths."""
+
+    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
+                   keys):
+        n_slots, t_max = pool_img.shape[0], pool_img.shape[1]
+        flat_img = pool_img.reshape((n_slots * t_max,) + pool_img.shape[2:])
+        flat_lab = pool_lab.reshape((n_slots * t_max,) + pool_lab.shape[2:])
+
+        def body(carry, xs):
+            params, state, opt_state = carry
+            ib, key = xs
+            batch = gather(flat_img, flat_lab, ib, t_max)
+            (loss, (aux, new_state)), grads = jax.value_and_grad(
+                loss_fn, has_aux=True)(params, state, batch, key)
+            updates, opt_state = optimizer.update(grads, opt_state, params)
+            params = optax.apply_updates(params, updates)
+            return (params, new_state, opt_state), (loss, aux)
+
+        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
+            body, (params, state, opt_state), (batches, keys))
+        last_aux = jax.tree.map(lambda a: a[-1], auxes)
+        return params, state, opt_state, losses, last_aux
+
+    return multi_step
+
+
+def _dp_shardings(mesh, axis, idx_specs):
+    """(in_shardings, out_shardings) for a mesh-DP pool step: everything
+    replicated except the index batches, which shard over ``axis`` on
+    their batch dimension (dim 1 of (K, B, ...))."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    repl = NamedSharding(mesh, P())
+    idx = {k: NamedSharding(mesh, P(*spec)) for k, spec in idx_specs.items()}
+    return ((repl, repl, repl, repl, repl, idx, repl),
+            (repl, repl, repl, repl, repl))
+
+
 def make_pool_slice_multi_step(loss_fn, optimizer: optax.GradientTransformation):
     """K-step scan dispatch whose batches are (slot, z-index) pairs
     gathered from a :class:`DeviceCinePool` snapshot on device — the SA
@@ -181,76 +242,8 @@ def make_pool_slice_multi_step(loss_fn, optimizer: optax.GradientTransformation)
     ``compact_transfer``), so ``loss_fn`` (``train.sa.make_fcn_loss``)
     is reused unchanged.  Steady-state H2D is 8 bytes per slice.
     """
-
-    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
-                   keys):
-        n_slots, z_max = pool_img.shape[0], pool_img.shape[1]
-        flat_img = pool_img.reshape((n_slots * z_max,) + pool_img.shape[2:])
-        flat_lab = pool_lab.reshape((n_slots * z_max,) + pool_lab.shape[2:])
-
-        def body(carry, xs):
-            params, state, opt_state = carry
-            ib, key = xs
-            fi = ib["slot"] * z_max + ib["zidx"]
-            batch = {"image": flat_img[fi][..., None],
-                     "label": flat_lab[fi]}
-            (loss, (aux, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), (loss, aux)
-
-        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, state, opt_state), (batches, keys))
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
-        return params, state, opt_state, losses, last_aux
-
-    return jax.jit(multi_step)
-
-
-def make_pool_window_multi_dp_step(loss_fn,
-                                   optimizer: optax.GradientTransformation,
-                                   mesh, axis: str = "data"):
-    """Mesh data-parallel :func:`make_pool_window_multi_step`: pool
-    replicated over the mesh, (K, B[, TW]) index batches sharded over
-    ``axis`` on B — the aortic twin of
-    :func:`make_pool_slice_multi_dp_step`."""
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    repl = NamedSharding(mesh, P())
-    shard_b = NamedSharding(mesh, P(None, axis))
-    shard_bt = NamedSharding(mesh, P(None, axis, None))
-
-    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
-                   keys):
-        n_slots, t_max = pool_img.shape[0], pool_img.shape[1]
-        flat_img = pool_img.reshape((n_slots * t_max,) + pool_img.shape[2:])
-        flat_lab = pool_lab.reshape((n_slots * t_max,) + pool_lab.shape[2:])
-
-        def body(carry, xs):
-            params, state, opt_state = carry
-            ib, key = xs
-            fi = ib["slot"][:, None] * t_max + ib["tidx"]
-            li = ib["slot"][:, None] * t_max + ib["lidx"]
-            batch = {"image": flat_img[fi][..., None],
-                     "label": flat_lab[li]}
-            (loss, (aux, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), (loss, aux)
-
-        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, state, opt_state), (batches, keys))
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
-        return params, state, opt_state, losses, last_aux
-
-    return jax.jit(
-        multi_step,
-        in_shardings=(repl, repl, repl, repl, repl,
-                      {"slot": shard_b, "tidx": shard_bt,
-                       "lidx": shard_bt}, repl),
-        out_shardings=(repl, repl, repl, repl, repl))
+    return jax.jit(_make_pool_multi_step(loss_fn, optimizer,
+                                         _gather_slices))
 
 
 def make_pool_slice_multi_dp_step(loss_fn,
@@ -267,39 +260,12 @@ def make_pool_slice_multi_dp_step(loss_fn,
     broadcast each subject once; steady-state H2D stays bytes of
     indices.
     """
-    from jax.sharding import NamedSharding, PartitionSpec as P
-
-    repl = NamedSharding(mesh, P())
-    shard_idx = NamedSharding(mesh, P(None, axis))
-
-    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
-                   keys):
-        n_slots, z_max = pool_img.shape[0], pool_img.shape[1]
-        flat_img = pool_img.reshape((n_slots * z_max,) + pool_img.shape[2:])
-        flat_lab = pool_lab.reshape((n_slots * z_max,) + pool_lab.shape[2:])
-
-        def body(carry, xs):
-            params, state, opt_state = carry
-            ib, key = xs
-            fi = ib["slot"] * z_max + ib["zidx"]
-            batch = {"image": flat_img[fi][..., None],
-                     "label": flat_lab[fi]}
-            (loss, (aux, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), (loss, aux)
-
-        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, state, opt_state), (batches, keys))
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
-        return params, state, opt_state, losses, last_aux
-
-    return jax.jit(
-        multi_step,
-        in_shardings=(repl, repl, repl, repl, repl,
-                      {"slot": shard_idx, "zidx": shard_idx}, repl),
-        out_shardings=(repl, repl, repl, repl, repl))
+    in_sh, out_sh = _dp_shardings(mesh, axis,
+                                  {"slot": (None, axis),
+                                   "zidx": (None, axis)})
+    return jax.jit(_make_pool_multi_step(loss_fn, optimizer,
+                                         _gather_slices),
+                   in_shardings=in_sh, out_shardings=out_sh)
 
 
 def make_pool_window_multi_step(loss_fn, optimizer: optax.GradientTransformation):
@@ -307,40 +273,30 @@ def make_pool_window_multi_step(loss_fn, optimizer: optax.GradientTransformation
     gathered from a :class:`DeviceCinePool` snapshot on device.
 
     ``batches``: {"slot": (K, B) int32, "tidx": (K, B, TW) int32,
-    "lidx": (K, B, TW) int32} — ``tidx`` are the circular window frames,
-    ``lidx`` the label frames (the window itself when a densely
-    propagated label exists, the annotated centre repeated otherwise —
-    ``train_network_ao.py:181-187`` semantics).  The gather builds the
-    exact {"image": (B, TW, X, Y, 1) f16, "label": (B, TW, X, Y) uint8}
-    batch the host window samplers would have shipped, so ``loss_fn``
-    (``train.ao.make_ao_loss``) is reused unchanged.
+    "lidx": (K, B, TW) int32} (see :func:`_gather_windows`).  The gather
+    builds the exact {"image": (B, TW, X, Y, 1) f16, "label":
+    (B, TW, X, Y) uint8} batch the host window samplers would have
+    shipped, so ``loss_fn`` (``train.ao.make_ao_loss``) is reused
+    unchanged.
 
     Returns ``step(params, state, opt_state, pool_img, pool_lab,
     batches, keys) -> (params, state, opt_state, losses[K], last_aux)``.
     """
+    return jax.jit(_make_pool_multi_step(loss_fn, optimizer,
+                                         _gather_windows))
 
-    def multi_step(params, state, opt_state, pool_img, pool_lab, batches,
-                   keys):
-        n_slots, t_max = pool_img.shape[0], pool_img.shape[1]
-        flat_img = pool_img.reshape((n_slots * t_max,) + pool_img.shape[2:])
-        flat_lab = pool_lab.reshape((n_slots * t_max,) + pool_lab.shape[2:])
 
-        def body(carry, xs):
-            params, state, opt_state = carry
-            ib, key = xs
-            fi = ib["slot"][:, None] * t_max + ib["tidx"]
-            li = ib["slot"][:, None] * t_max + ib["lidx"]
-            batch = {"image": flat_img[fi][..., None],
-                     "label": flat_lab[li]}
-            (loss, (aux, new_state)), grads = jax.value_and_grad(
-                loss_fn, has_aux=True)(params, state, batch, key)
-            updates, opt_state = optimizer.update(grads, opt_state, params)
-            params = optax.apply_updates(params, updates)
-            return (params, new_state, opt_state), (loss, aux)
-
-        (params, state, opt_state), (losses, auxes) = jax.lax.scan(
-            body, (params, state, opt_state), (batches, keys))
-        last_aux = jax.tree.map(lambda a: a[-1], auxes)
-        return params, state, opt_state, losses, last_aux
-
-    return jax.jit(multi_step)
+def make_pool_window_multi_dp_step(loss_fn,
+                                   optimizer: optax.GradientTransformation,
+                                   mesh, axis: str = "data"):
+    """Mesh data-parallel :func:`make_pool_window_multi_step`: pool
+    replicated over the mesh, (K, B[, TW]) index batches sharded over
+    ``axis`` on B — the aortic twin of
+    :func:`make_pool_slice_multi_dp_step`."""
+    in_sh, out_sh = _dp_shardings(mesh, axis,
+                                  {"slot": (None, axis),
+                                   "tidx": (None, axis, None),
+                                   "lidx": (None, axis, None)})
+    return jax.jit(_make_pool_multi_step(loss_fn, optimizer,
+                                         _gather_windows),
+                   in_shardings=in_sh, out_shardings=out_sh)

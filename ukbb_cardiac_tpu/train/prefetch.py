@@ -112,3 +112,45 @@ def make_chunk_builder(prefetcher: BatchPrefetcher, K: int, total: int,
         return 1, stage(prefetcher.next()), jax.random.PRNGKey(it + 1)
 
     return build_input
+
+
+def make_pool_chunk_builder(prefetcher: BatchPrefetcher, pool, K: int,
+                            total: int, cadences: Sequence[int],
+                            stage_local: bool = True):
+    """Build the K-step dispatch input for a DEVICE-POOL training loop
+    (``train/device_pool.py``) — shared by the SA slice-pool and aortic
+    window-pool trainers so the correctness-sensitive ordering lives in
+    one place: the pool snapshot is taken AFTER all of the chunk's
+    subjects are ensured (batch indices must resolve against a pool
+    version that contains them), and each batch's slot pins release
+    only after that snapshot is captured.
+
+    Returns ``build_input(it) -> (k_now, (pool_img, pool_lab, batches),
+    keys)`` with the same cadence-clamping as :func:`make_chunk_builder`
+    and the same ``PRNGKey(it+1..)`` key stream.  ``stage_local``:
+    device_put the (tiny) index batches one dispatch ahead on a single
+    device; mesh trainers pass False and let the sharded jit place
+    them per its in_shardings.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    def build_input(it):
+        k_now = min(K, total - it)
+        for c in cadences:
+            if c and c > 0:
+                k_now = min(k_now, c - it % c)
+        chunk = [prefetcher.next() for _ in range(k_now)]
+        pool_img, pool_lab = pool.snapshot()
+        stage = jax.device_put if stage_local else (lambda x: x)
+        batches = {k: stage(np.stack([b[k] for b in chunk]))
+                   for k in chunk[0]}
+        for b in chunk:
+            for s in b["slot"]:
+                pool.unpin(int(s))
+        keys = jax.vmap(jax.random.PRNGKey)(
+            jnp.arange(it + 1, it + 1 + k_now))
+        return k_now, (pool_img, pool_lab, batches), keys
+
+    return build_input

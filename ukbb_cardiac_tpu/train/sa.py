@@ -348,14 +348,19 @@ def make_device_slice_sampler(filename_list, batch_slices: int, pool,
         key = (image_name, label_name, image_size,
                os.path.getmtime(image_name), os.path.getmtime(label_name))
         z = meta.get(key)
+        first = None
         if z is None:
-            got = load_volume(image_name, label_name, key)
-            meta[key] = z = 0 if got is None else got[0].shape[2]
+            # keep the decoded volume for make_host below: without a
+            # SubjectCache a meta miss would otherwise decode twice
+            # (once for Z, once for the pool upload)
+            first = load_volume(image_name, label_name, key)
+            meta[key] = z = 0 if first is None else first[0].shape[2]
         if z == 0:
             return
 
-        def make_host():
-            got = load_volume(image_name, label_name, key)
+        def make_host(first=first):
+            got = first if first is not None else load_volume(
+                image_name, label_name, key)
             if got is None:
                 raise RuntimeError(f"subject {image_name} failed to "
                                    "re-load for pool upload")
@@ -609,32 +614,15 @@ def train(cfg: SATrainConfig, max_iterations: Optional[int] = None,
 
     prefetcher = BatchPrefetcher(make_batch, depth=2 if K == 1 else K + 1)
 
-    from ukbb_cardiac_tpu.train.prefetch import make_chunk_builder
+    from ukbb_cardiac_tpu.train.prefetch import (make_chunk_builder,
+                                                 make_pool_chunk_builder)
     if cfg.device_slices:
-        # index chunks are a few hundred bytes; the pool snapshot the
-        # chunk gathers from is taken HERE (after all its subjects are
-        # ensured), then the slices' slot pins release (train/ao.py's
-        # device-window chunk builder, slice-shaped)
-        def build_input(it):
-            k_now = min(K, total - it)
-            for c in (cfg.validation_every, cfg.checkpoint_every,
-                      progress_every):
-                if c and c > 0:
-                    k_now = min(k_now, c - it % c)
-            chunk = [prefetcher.next() for _ in range(k_now)]
-            pool_img, pool_lab = pool.snapshot()
-            # mesh runs leave the (tiny) index batches host-side: the
-            # sharded jit places them per its in_shardings
-            stage = jax.device_put if cfg.mesh_devices <= 1 else (
-                lambda x: x)
-            batches = {k: stage(np.stack([b[k] for b in chunk]))
-                       for k in chunk[0]}
-            for b in chunk:
-                for s_ in b["slot"]:
-                    pool.unpin(int(s_))
-            keys_arr = jax.vmap(jax.random.PRNGKey)(
-                jnp.arange(it + 1, it + 1 + k_now))
-            return k_now, (pool_img, pool_lab, batches), keys_arr
+        # index chunks are a few hundred bytes; snapshot/unpin ordering
+        # lives in the shared builder (train/prefetch.py)
+        build_input = make_pool_chunk_builder(
+            prefetcher, pool, K, total,
+            (cfg.validation_every, cfg.checkpoint_every, progress_every),
+            stage_local=cfg.mesh_devices <= 1)
     else:
         # single-device batches are device_put one dispatch AHEAD, so the
         # host->device transfer of chunk N+1 rides under the device
